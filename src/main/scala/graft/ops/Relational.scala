@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator core (SURVEY.md §2.2–2.5).
+  *
+  * Re-expresses the reference's hand-rolled RDD patterns as declarative
+  * DataFrame plans so Catalyst supplies pushdown, pruning, partial
+  * aggregation and join-strategy selection:
+  *
+  *  - J1 set difference (`Assignment 1/a1p1_ahuja.py:224–239`,
+  *    `a1p2a_ahuja.py:34`) → `except` / left-anti join.
+  *  - J2 broadcast semi join (`a1p2b_ahuja.py:70,80,99`) → broadcast hint +
+  *    left-semi; Catalyst plans `BroadcastHashJoinExec`, no driver
+  *    round-trip.
+  *  - A1/A2/A3 keyed SUM with map-side combine (`a1p1_ahuja.py:181–192`) →
+  *    `groupBy.agg` (HashAggregate partial+final is automatic).
+  *  - A5 grouped nesting (`a1p2a_ahuja.py:34`, `a2_ahuja.py:240`) →
+  *    `sort_array(collect_list(...))` for deterministic nesting.
+  *  - A10 two-level temporal roll-up (`a1p2b_ahuja.py:82`).
+  *  - O1 sorts / top-k per group (`a2_ahuja.py:312–314`) → window
+  *    `row_number`, rank pushed down so only k rows per group survive.
+  *  - P4/P5 post-aggregation filters (`a1p2a_ahuja.py:34`,
+  *    `a1p1_ahuja.py:84–88`) → HAVING-shaped `filter` after `agg`.
+  *
+  * Scale posture: every operator is a pure logical plan — no collect(), no
+  * driver state. Small dimension inputs are explicitly `broadcast()`-hinted;
+  * everything else shuffles on its natural key.
+  */
+object Relational {
+
+  /** J1: R − S over whole rows, for any comparable schema. */
+  def setDifference(r: DataFrame, s: DataFrame): DataFrame = r.except(s)
+
+  /** J1 (keyed form): rows of `r` whose key has no match in `s`.
+    * Anti join keeps `r`'s full row width, unlike `except`. */
+  def antiJoin(r: DataFrame, s: DataFrame, rKey: Column, sKey: Column): DataFrame =
+    r.join(s, rKey === sKey, "left_anti")
+
+  /** J2: rows of `r` whose key appears in the (small) set `s`.
+    * `s` is broadcast — at 100 TB the fact side never shuffles. */
+  def broadcastSemiJoin(r: DataFrame, s: DataFrame, rKey: Column, sKey: Column): DataFrame =
+    r.join(broadcast(s), rKey === sKey, "left_semi")
+
+  /** A6: DISTINCT projection (`a1p2b_ahuja.py:94` used reduceByKey(first)). */
+  def distinctOf(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** O1 as window: top-k rows per group, deterministic via tie-breakers. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** A5: nest group members into one deterministic string
+    * (`sort_array(collect_list)`, pinned order for golden comparison). */
+  def groupedConcat(df: DataFrame, groupCols: Seq[Column], item: Column,
+                    alias: String): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(concat_ws(",", sort_array(collect_list(item))).as(alias))
+
+  /** A10: two-level temporal roll-up — count by (key, year-month), then nest
+    * the per-month series per key (`a1p2b_ahuja.py:82`). One query, two
+    * shuffles, both partial-aggregated map-side. */
+  def yearMonthRollup(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val monthly = df
+      .groupBy(key.as("key"), date_format(ts, "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("cnt"))
+    monthly
+      .groupBy(col("key"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(concat_ws(":", col("ym"), col("cnt")))))
+        .as("series"))
+  }
+
+  /** Exact decimal SUM of a 2-dp monetary double, surfaced as double.
+    * Decimal accumulation is associative ⇒ the result is independent of
+    * partitioning/merge order — required for a bit-stable oracle compare,
+    * and the honest answer at 1000-executor scale too. */
+  def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Same, for a product of 2-dp factors (4 fractional digits preserved). */
+  def moneySum4(c: Column): Column =
+    sum(c.cast(DecimalType(22, 4))).cast("double")
+}

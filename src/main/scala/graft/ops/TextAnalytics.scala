@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analytics (SURVEY.md §2.2 P6/P7/P10 + the training-data-pipeline
+  * text operators: token counting, quality scoring, language ID, document
+  * fingerprinting).
+  *
+  * Reference semantics re-expressed:
+  *  - P6 tokenizer (`a1p2a_ahuja.py:20` split-on-space;
+  *    `a1p2b_ahuja.py:68` regex multi-delimiter split; word-boundary
+  *    contract from Assignment-1 spec p.2 (ii)(2)) → one
+  *    `explode(split(lower(text), "[^a-z0-9]+"))` — codegen'd, no UDF.
+  *  - A1 word count (`a1p2a_ahuja.py:20`) → groupBy(token).count.
+  *  - J2 vocabulary semi join (`a1p2b_ahuja.py:70`) — see
+  *    [[Relational.broadcastSemiJoin]].
+  *
+  * All operators are per-row or single-shuffle; nothing holds driver state,
+  * so they scale linearly with input bytes.
+  */
+object TextAnalytics {
+
+  /** Word-boundary contract: a token is a maximal run of [a-z0-9] after
+    * lowercasing — "Marketing." tokenizes to "marketing";
+    * "supermarketing" does not (Assignment-1 spec p.2 (ii)(2)). */
+  val TokenPattern = "[^a-z0-9]+"
+
+  /** Small English stopword list used by quality scoring and language ID.
+    * Fixed + sorted so oracle SQL can embed the identical literal. */
+  val Stopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "in",
+    "is", "it", "of", "on", "or", "that", "the", "to", "with")
+
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), TokenPattern), t => t =!= "")
+
+  /** P6: (id, text) → one row per token. */
+  def tokenize(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), explode(tokensCol(text)).as("token"))
+
+  /** A1: global word count, deterministically ordered. */
+  def wordCount(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(tokensCol(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Quality scoring: per-document token statistics — token count, distinct
+    * tokens, mean token length, stopword ratio, digit-character ratio.
+    * Pure per-row array math (no shuffle at all). */
+  def docStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokensCol(text)
+    df.select(
+        id.as("doc_id"),
+        toks.as("toks"),
+        length(regexp_replace(text, "[^0-9]", "")).as("n_digit"),
+        length(text).as("n_char"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double")
+          / size(col("toks"))).as("avg_token_len"),
+        (size(filter(col("toks"), t => t.isin(Stopwords.map(lit): _*)))
+          .cast("double") / size(col("toks"))).as("stopword_ratio"),
+        (col("n_digit").cast("double") / col("n_char")).as("digit_ratio"))
+  }
+
+  /** Language ID heuristic: stopword-hit ratio over the token stream.
+    * An n-gram model would slot in the same shape; the contract here is the
+    * Spark plumbing (per-row, no shuffle), oracle-checkable in SQL. */
+  def languageId(df: DataFrame, id: Column, text: Column,
+                 threshold: Double = 0.10): DataFrame = {
+    val toks = tokensCol(text)
+    df.select(id.as("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        (size(filter(col("toks"), t => t.isin(Stopwords.map(lit): _*)))
+          .cast("double") / greatest(size(col("toks")), lit(1))).as("stop_ratio"))
+      .withColumn("lang_pred",
+        when(col("stop_ratio") >= threshold, lit("en")).otherwise(lit("other")))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive content identity (bag-of-words dedup key). */
+  def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokensCol(text))))).as("fp"))
+
+  /** Token count with a BPE-ish sub-word heuristic: whitespace tokens are
+    * further split every `chunk` chars (an upper bound proxy for BPE token
+    * counts used in training-data budgeting). */
+  def tokenBudget(df: DataFrame, id: Column, text: Column,
+                  chunk: Int = 4): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(split(text, "\\s+")).cast("long").as("ws_tokens"),
+      aggregate(split(text, "\\s+"), lit(0L),
+        (a, t) => a + ceil(length(t).cast("double") / chunk).cast("long"))
+        .as("bpe_tokens"))
+}

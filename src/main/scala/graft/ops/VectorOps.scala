@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector kernels over `array<float>` embedding columns (SURVEY.md §2.6
+  * M7/M9, A7/A8 + the training-data-pipeline similarity-search operators).
+  *
+  * Reference semantics:
+  *  - A7/A8 grand mean/variance of vectors (`a2_ahuja.py:260–266`):
+  *    map-to-one-key reduceByKey → here `posexplode` + per-dimension
+  *    aggregation (partial-agg'd map-side; shuffle carries 1 row per dim,
+  *    not per input row).
+  *  - M7 z-score standardization (`a2_ahuja.py:260–268`).
+  *  - M9 Euclidean distance (`a2_ahuja.py:299–310`).
+  *  - Brute-force cosine top-k: baseline ANN; the scale path buckets by an
+  *    LSH/SimHash prefix first (see [[Dedup]] / [[Lsh]]) so the cross
+  *    product never materializes at 100 TB.
+  *
+  * All folds run in array order (deterministic per row). Cross-row sums use
+  * integer-scaled ("micro") accumulation: associative and exact, so results
+  * are independent of partition merge order — required both for the DuckDB
+  * oracle hash and for run-to-run stability on a real cluster.
+  */
+object VectorOps {
+
+  /** Σ f(x) over an array column, left-fold in array order (double). */
+  def foldSum(v: Column, f: Column => Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + f(x))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(foldSum(v, x => x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => x.cast("double") - y.cast("double")),
+      lit(0.0), (acc, d) => acc + d * d))
+
+  /** Per-row L2 norms (M9 building block), deterministically ordered. */
+  def norms(df: DataFrame, id: Column, vec: Column): DataFrame =
+    df.select(id.as("vec_id"), l2Norm(vec).as("norm")).orderBy("vec_id")
+
+  /** A7/A8: per-dimension mean and population variance across all rows.
+    *
+    * Cross-row float sums are order-dependent in IEEE double; instead each
+    * value is scaled to an exact integer number of millionths and summed as
+    * BIGINT (associative ⇒ plan- and partition-order-independent). The
+    * shuffle carries `dim` rows total regardless of input size.
+    */
+  def dimStats(df: DataFrame, vec: Column): DataFrame = {
+    val micro = round(col("v").cast("double") * 1e6).cast("long")
+    df.select(posexplode(vec).as(Seq("dim", "v")))
+      .select(col("dim"), micro.as("vu"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vu")).cast("double").as("s1"),
+        sum(col("vu") * col("vu")).cast("double").as("s2"))
+      .select(
+        col("dim"),
+        col("n"),
+        (col("s1") / col("n") / 1e6).as("mean"),
+        ((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) / 1e12)
+          .as("var_pop"))
+      .orderBy("dim")
+  }
+
+  /** M7: z-score standardize every vector against the corpus per-dimension
+    * stats. Stats (O(dim) values) are computed distributed, then joined
+    * back as a broadcast — the data side is a single narrow map. */
+  def standardize(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val stats = dimStats(df, vec)
+      .agg(
+        collect_list(struct(col("dim"), col("mean"))).as("ms"),
+        collect_list(struct(col("dim"), col("var_pop"))).as("vs"))
+      .select(
+        transform(array_sort(col("ms")), s => s.getField("mean")).as("mu"),
+        transform(array_sort(col("vs")), s => sqrt(s.getField("var_pop"))).as("sigma"))
+    df.select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("vec_id"),
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => (x.cast("double") - element_at(col("mu"), i + 1))
+            / element_at(col("sigma"), i + 1)).as("z"))
+  }
+
+  /** Brute-force cosine top-k: every query row against the full corpus.
+    * The query side is broadcast (must be small); ranking is a window over
+    * the corpus side, so only k rows per query survive the shuffle.
+    * This is the correctness baseline ANN; see [[Dedup.embeddingNearDupLsh]]
+    * for the bucketed scale path. */
+  def knnCosine(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** All pairs (query, neighbor) above a cosine threshold, rounded for
+    * cross-engine comparability. */
+  def cosinePairsAbove(corpus: DataFrame, queries: DataFrame,
+                       threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos_r"))
+      .filter(col("cos_r") >= threshold)
+      .orderBy("query_id", "nbr_id")
+  }
+}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Runs each oracle_sql.json query in DuckDB over the same sf tables, loads the
+Spark parquet dump, sorts columns by name, and compares row-by-row values
+(exact for ints/strings, exact-or-tiny-eps report for floats).
+"""
+import json, sys, glob, math
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}"); fail += 1; continue
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fail += 1; continue
+    sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+    if sorted(odf.columns) != sorted(sdf.columns):
+        print(f"FAIL {name}: columns {sorted(sdf.columns)} vs oracle {sorted(odf.columns)}")
+        fail += 1; continue
+    odf = odf[sorted(odf.columns)]
+    sdf = sdf[sorted(sdf.columns)]
+    if len(odf) != len(sdf):
+        print(f"FAIL {name}: rows {len(sdf)} vs oracle {len(odf)}"); fail += 1; continue
+    bad = None
+    for c in odf.columns:
+        ov, sv = odf[c].tolist(), sdf[c].tolist()
+        for i, (a, b) in enumerate(zip(ov, sv)):
+            if isinstance(a, float) or isinstance(b, float):
+                if a != b and not (isinstance(a,float) and isinstance(b,float)
+                                   and math.isfinite(a) and math.isfinite(b)
+                                   and a == b):
+                    bad = (c, i, a, b); break
+            elif a != b:
+                bad = (c, i, a, b); break
+        if bad: break
+    if bad:
+        c, i, a, b = bad
+        print(f"FAIL {name}: col {c} row {i}: oracle={a!r} spark={b!r}")
+        fail += 1
+    else:
+        print(f"OK   {name}: {len(odf)} rows")
+# rows-only queries (no oracle entry)
+for d in sorted(glob.glob(f"{out}/*/")):
+    name = d.rstrip("/").split("/")[-1]
+    if name in oracle: continue
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
+    status = "OK  " if n > 0 else "FAIL"
+    if n == 0: fail += 1
+    print(f"{status} {name}: {n} rows (rows-only)")
+sys.exit(1 if fail else 0)

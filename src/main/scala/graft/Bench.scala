@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+
+/** Benchmark main: one JSON line with per-query wall seconds.
+  *
+  * Every query is FULLY materialized — xxhash64 over a struct of all output
+  * columns, then summed — so column pruning cannot skip UDF-heavy final
+  * projections the way `count()` would. Failures are recorded per query
+  * (status "error:<class>") instead of being swallowed as normal timings.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +19,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val status =
+        try {
+          val df = fn(spark, sfDir)
+          // bit_xor: order-independent and cannot overflow under ANSI mode
+          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+            .agg(bit_xor(col("h"))).collect()
+          "ok"
+        } catch {
+          case e: Throwable => "error:" + e.getClass.getSimpleName
+        }
+      (name, (System.nanoTime() - t0) / 1e9, status)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, s) if s != "ok" =>
+      "\"" + k + "\":\"" + s + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -228,19 +228,26 @@ object SparkEntry {
             x => when(x < -0.05, -1).when(x > 0.05, 1).otherwise(0)), 77))
           .as("features"))
       val banded = Lsh.withSignatureBuckets(feats, col("item_id"), col("features"))
+      // scalarized candidate list: the harness comparator hashes scalars
       Lsh.candidateLists(banded, Seq(0, 1, 2, 3))
+        .select(col("query_id"), col("n_candidates"),
+          concat_ws(",", col("candidates")).as("candidates"))
     }),
 
-    // ---- M7 standardize (z-scores) over embeddings ----------------------
+    // ---- M7 standardize (z-scores) over embeddings, (id, dim, z) rows ---
     "vec_standardize" -> ((s, dir) =>
-      VectorOps.standardize(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
-        .orderBy("vec_id")),
+      VectorOps.standardizeLong(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"))),
 
-    // ---- M6+M8: RP → standardize → Gram → SVD → project ----------------
+    // ---- M8: standardize → Gram → SVD → project (RP is exercised by the
+    // composed image pipeline, where dims are high enough to warrant it) --
     "pca_projection" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      Projections.pca(e, col("vec_id"), col("v"), k = 10).orderBy("vec_id")
+      Projections.pca(e, col("vec_id"), col("v"), k = 10, d = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+        .withColumn("dim", col("dim").cast("long"))
+        .orderBy("vec_id", "dim")
     }),
 
     // ---- P8/M1–M3 multimodal image pipeline on deterministic fixtures ---
@@ -388,6 +395,30 @@ object SparkEntry {
         |  FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE cos_r >= 0.2 ORDER BY query_id, nbr_id""".stripMargin,
 
+    "vec_standardize" ->
+      """WITH x AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS xv,
+        |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vu
+        |           FROM embeddings),
+        |st AS (SELECT dim,
+        |  CAST(sum(vu) AS DOUBLE) / count(*) / 1e6 AS mean,
+        |  sqrt((CAST(sum(vu * vu) AS DOUBLE) / count(*)
+        |    - (CAST(sum(vu) AS DOUBLE) / count(*)) * (CAST(sum(vu) AS DOUBLE) / count(*))) / 1e12) AS sigma
+        |  FROM x GROUP BY dim)
+        |SELECT x.vec_id, x.dim, (x.xv - st.mean) / st.sigma AS z
+        |FROM x JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
+
+    "knn_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |        round(list_dot_product(q.v, c.v)
+        |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_r
+        |      FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, nbr_id, cos_r, rank FROM (
+        |  SELECT query_id, nbr_id, cos_r,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id) AS rank
+        |  FROM s) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
@@ -397,8 +428,8 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,

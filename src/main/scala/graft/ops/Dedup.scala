@@ -37,12 +37,16 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: k independent hash functions via seeded xxhash64;
-    * sig[i] = min over shingles of xxhash64(shingle, i). Entirely per-row
-    * (the shingle set lives in the row), no shuffle, codegen'd. */
-  def minhashSignature(sh: Column, k: Int): Column =
+  /** Hash each shingle string to a long exactly once. Downstream minhash
+    * re-mixes these 8-byte values instead of re-hashing the full strings —
+    * the k-pass inner loop touches 12 bytes per shingle, not the string. */
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** MinHash signature over pre-hashed shingles: sig[i] = min over h of
+    * xxhash64(h, i). Entirely per-row, no shuffle, codegen'd. */
+  def minhashSignature(sh64: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+      i => array_min(transform(sh64, h => xxhash64(h, i))))
 
   /** LSH banding: split a k-long signature into bands of `rowsPerBand`,
     * hash each band to a bucket. Returns array<struct<band:int,bucket:long>>. */
@@ -51,49 +55,59 @@ object Dedup {
     transform(sequence(lit(0), lit(nBands - 1)),
       b => struct(
         b.cast("int").as("band"),
-        xxhash64(concat_ws("_",
-          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-            h => h.cast("string")))).as("bucket")))
+        // xxhash64 hashes the long-array band slice directly — no string
+        // round-trip in the hot path
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
   }
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
     * documents → shingles → signature → band buckets → self equi-join on
-    * (band, bucket) → distinct candidate pairs → exact Jaccard filter.
-    * The self-join shuffles on (band, bucket) only; AQE handles hot
-    * buckets (boilerplate/empty docs) via skew-join splitting.
+    * (band, bucket) **carrying ids only** → `distinct` candidate pairs →
+    * join the shingle sets back once per side → ONE exact Jaccard check per
+    * unique pair. The band join shuffles (band, bucket, id) triples — a few
+    * bytes per row — never the shingle arrays; a pair colliding in many
+    * bands is verified once, not once per band. AQE splits hot buckets
+    * (boilerplate/empty docs) via skew-join handling.
     */
   def minhashDupPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 3, k: Int = 64, rowsPerBand: Int = 8,
                       jaccardThreshold: Double = 0.7): DataFrame = {
-    val base = df.select(id.as("doc_id"), shingles(text, n).as("sh"))
+    // Shingle sets are carried as 8-byte hashes (set semantics preserved up
+    // to negligible 64-bit collisions): cheaper to minhash, cheaper to join,
+    // cheaper to intersect at verify time than the raw strings.
+    val base = df.select(id.as("doc_id"),
+      array_distinct(shingleHashes(shingles(text, n))).as("sh"))
     val banded = base
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         explode(lshBands(minhashSignature(col("sh"), k), k, rowsPerBand)).as("bb"))
-      .select(col("doc_id"), col("sh"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= jaccardThreshold)
       .orderBy("id_a", "id_b")
   }
 
   /** SimHash bit vector (64 bits as array<int> of 0/1): per token, xxhash64
-    * contributes ±1 to each bit position; final bit = sign of the sum. */
+    * contributes ±1 to each bit position; final bit = sign of the sum.
+    * Tokens are hashed ONCE up front — the 64-bit unpack re-mixes the long,
+    * it never re-hashes the token string. */
   def simhashBits(text: Column): Column = {
-    val toks = TextAnalytics.tokensCol(text)
-    val sums = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+    val hs = transform(TextAnalytics.tokensCol(text), t => xxhash64(t))
+    val sums = aggregate(hs, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(63)),
-          b => call_function("shiftright", xxhash64(t), b).bitwiseAND(1)),
+          b => call_function("shiftright", h, b).bitwiseAND(1)),
         (a, bit) => a + when(bit === 1, 1L).otherwise(-1L)))
     transform(sums, s => when(s > 0, 1).otherwise(0))
   }

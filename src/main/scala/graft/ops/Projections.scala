@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *    ±1 matrix, P(±1) = 1/(2√d) each, d×⌊√d⌋. The reference is unseeded
   *    ("multiple correct answers" per the spec); we seed for test
   *    determinism (SURVEY.md §7.4.3).
-  *  - M7 standardize (a2:260–268): distributed mean/variance then
-  *    elementwise z-score.
+  *  - M7 standardize (a2:260–268) lives in [[VectorOps.standardize]] /
+  *    [[VectorOps.dimStats]] (posexplode + groupBy(dim): the shuffle carries
+  *    d rows, and the plan stays O(1) expressions regardless of d); [[pca]]
+  *    folds μ/σ into its projection matrix instead of duplicating it.
   *  - M8 PCA (a2:271–291): Gram matrix via [[GramAggregator]] (map-side
   *    partial merge — shuffle is O(partitions·d²), not O(rows·d²)), SVD of
   *    the small d×d matrix on the driver (breeze), broadcast top-k
@@ -60,30 +62,26 @@ object Projections {
               mat: Array[Array[Double]]): DataFrame =
     df.select(id.as("vec_id"), matmulUdf(mat)(vec).as("proj"))
 
-  /** M7 over double vectors: z = (x − μ)/σ with distributed μ, σ² (the
-    * reference's two reduceByKey passes collapse into one agg each). */
-  def standardize(df: DataFrame, id: Column, vec: Column): DataFrame = {
-    val withV = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
-    val d = withV.select(size(col("v"))).first().getInt(0)
-    // One flat agg with 2d accumulators (aggregates cannot nest inside
-    // array HOF lambdas); a single pass computes all per-dim moments.
-    val moments = (0 until d).flatMap { i =>
-      Seq(sum(element_at(col("v"), i + 1)).as(s"s1_$i"),
-        sum(pow(element_at(col("v"), i + 1), 2)).as(s"s2_$i"))
-    }
-    val sums = withV.agg(count(lit(1)).as("n"), moments: _*)
-      .select(
-        array((0 until d).map(i => col(s"s1_$i") / col("n")): _*).as("mu"),
-        array((0 until d).map(i =>
-          sqrt(col(s"s2_$i") / col("n")
-            - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))): _*)
-          .as("sigma"))
-    withV.crossJoin(broadcast(sums))
-      .select(col("vec_id"),
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, i) => (x - element_at(col("mu"), i + 1))
-            / element_at(col("sigma"), i + 1)).as("z"))
-  }
+  /** x → x·M − c: affine projection for a broadcast matrix + offset. */
+  private def affineUdf(mat: Array[Array[Double]], offset: Array[Double]) =
+    udf((x: Seq[Double]) => {
+      val d = mat.length
+      val k = offset.length
+      val out = new Array[Double](k)
+      var i = 0
+      while (i < d) {
+        val xi = x(i)
+        if (xi != 0.0) {
+          val row = mat(i)
+          var j = 0
+          while (j < k) { out(j) += xi * row(j); j += 1 }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < k) { out(j) -= offset(j); j += 1 }
+      out
+    })
 
   /** A9: d×d Gram matrix Σ xᵀx of a double-vector column (flat, row-major). */
   def gram(df: DataFrame, vec: Column, d: Int): Array[Double] = {
@@ -104,12 +102,33 @@ object Projections {
     Array.tabulate(d)(r => Array.tabulate(k)(c => u(r, c)))
   }
 
-  /** Full M8 pipeline: standardize → Gram → SVD → project to k dims. */
-  def pca(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
-    val std = standardize(df, id, vec).persist()
-    val d = std.select(size(col("z"))).first().getInt(0)
-    val g = gram(std, col("z"), d)
+  /** Full M8 pipeline: standardize → Gram → SVD → project to k dims.
+    *
+    * `d` is a caller-supplied parameter (no `.first()` dimension sniffing).
+    * μ/σ are collected to the driver (O(d) values, one shuffle of d rows via
+    * [[VectorOps.dimStats]]) and folded with the eigenvectors into a single
+    * affine map x ↦ (x−μ)/σ·U = x·W − c, so the returned plan is ONE narrow
+    * pass over the source — nothing is persisted and nothing leaks. The fit
+    * itself is two single passes (stats, Gram) with O(d²) driver state.
+    */
+  def pca(df: DataFrame, id: Column, vec: Column, k: Int, d: Int): DataFrame = {
+    val src = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    val stats = VectorOps.dimStats(src, col("v"))
+      .select(col("dim"), col("mean"), sqrt(col("var_pop")).as("sigma"))
+      .collect().sortBy(_.getInt(0))
+    require(stats.length == d, s"dimStats saw ${stats.length} dims, expected $d")
+    val mu = stats.map(_.getDouble(1))
+    val sigma = stats.map(_.getDouble(2))
+    val zCol = zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+      (x, i) => (x - element_at(typedLit(mu), i + 1))
+        / element_at(typedLit(sigma), i + 1))
+    val g = gram(src.select(zCol.as("z")), col("z"), d)
     val ev = topEigenvectors(g, d, k)
-    project(std, col("vec_id"), col("z"), ev)
+    // W_ij = U_ij/σ_i and c_j = Σ_i (μ_i/σ_i)·U_ij fold standardization
+    // into the projection itself.
+    val w = Array.tabulate(d)(i => Array.tabulate(k)(j => ev(i)(j) / sigma(i)))
+    val c = Array.tabulate(k)(j =>
+      (0 until d).map(i => mu(i) / sigma(i) * ev(i)(j)).sum)
+    src.select(col("vec_id"), affineUdf(w, c)(col("v")).as("proj"))
   }
 }

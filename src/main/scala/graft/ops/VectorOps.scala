@@ -90,6 +90,20 @@ object VectorOps {
             / element_at(col("sigma"), i + 1)).as("z"))
   }
 
+  /** M7 in long form: (vec_id, dim, z) rows — the harness-comparable and
+    * DuckDB-oracle-expressible shape of [[standardize]]. The per-dim stats
+    * (O(dim) rows) are broadcast-joined back onto the exploded data, so the
+    * data side never shuffles before the final deterministic sort. */
+  def standardizeLong(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val stats = dimStats(df, vec)
+      .select(col("dim"), col("mean"), sqrt(col("var_pop")).as("sigma"))
+    df.select(id.as("vec_id"), posexplode(vec).as(Seq("dim", "x")))
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        ((col("x").cast("double") - col("mean")) / col("sigma")).as("z"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** Brute-force cosine top-k: every query row against the full corpus.
     * The query side is broadcast (must be small); ranking is a window over
     * the corpus side, so only k rows per query survive the shuffle.
@@ -98,13 +112,16 @@ object VectorOps {
   def knnCosine(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("cv"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // cos rounded to 4dp: bit-stable across engines (same fold order), so
+    // the ranking — tie-broken on nbr_id — is oracle-reproducible.
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        round(cosine(col("qv"), col("cv")), 4).as("cos_r"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nbr_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .orderBy(col("cos_r").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
 

@@ -2,8 +2,10 @@
 """Local stand-in for the driver's DuckDB correctness gate.
 
 Runs each oracle_sql.json query in DuckDB over the same sf tables, loads the
-Spark parquet dump, sorts columns by name, and compares row-by-row values
-(exact for ints/strings, exact-or-tiny-eps report for floats).
+Spark parquet dump, sorts columns by name, and compares column dtypes plus
+row-by-row values EXACTLY (floats bitwise; NaN==NaN) — the driver hashes
+pandas frames, which is dtype- and bit-sensitive, so anything looser here
+could report a false local green.
 """
 import json, sys, glob, math
 import duckdb
@@ -34,16 +36,18 @@ for name, sql in sorted(oracle.items()):
     sdf = sdf[sorted(sdf.columns)]
     if len(odf) != len(sdf):
         print(f"FAIL {name}: rows {len(sdf)} vs oracle {len(odf)}"); fail += 1; continue
+    dt_bad = [c for c in odf.columns if str(odf[c].dtype) != str(sdf[c].dtype)]
+    if dt_bad:
+        c = dt_bad[0]
+        print(f"FAIL {name}: col {c} dtype oracle={odf[c].dtype} spark={sdf[c].dtype}")
+        fail += 1; continue
     bad = None
     for c in odf.columns:
         ov, sv = odf[c].tolist(), sdf[c].tolist()
         for i, (a, b) in enumerate(zip(ov, sv)):
-            if isinstance(a, float) or isinstance(b, float):
-                if a != b and not (isinstance(a,float) and isinstance(b,float)
-                                   and math.isfinite(a) and math.isfinite(b)
-                                   and a == b):
-                    bad = (c, i, a, b); break
-            elif a != b:
+            both_nan = (isinstance(a, float) and isinstance(b, float)
+                        and math.isnan(a) and math.isnan(b))
+            if a != b and not both_nan:
                 bad = (c, i, a, b); break
         if bad: break
     if bad:

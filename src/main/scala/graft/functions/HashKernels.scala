@@ -1,0 +1,254 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup hash kernels.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * `CodegenFallback` — a k×|shingles| minhash loop written with them runs
+  * interpreted, allocating an array per lambda application, and breaks the
+  * surrounding whole-stage-codegen span. These expressions keep the hot
+  * loops in tight JIT'd JVM code over primitive arrays and participate in
+  * codegen via a single static call (SURVEY.md §7.3 "custom Catalyst
+  * Expression ... performance upgrades over UDFs, same semantics").
+  *
+  * Hash values reproduce Spark's `xxhash64(...)` function bit-for-bit
+  * (seed 42, same chaining), so swapping the HOF implementations for these
+  * kernels leaves every query's output unchanged.
+  */
+object HashFunctions {
+
+  /** Distinct (sorted) 64-bit hashes of token n-gram shingles.
+    * Equals `xxhash64(concat_ws(" ", <window>))` per window, deduplicated. */
+  def shingleHash64(tokens: Column, n: Int): Column =
+    GraftExpressionBridge.column(
+      ShingleHash64(GraftExpressionBridge.expression(tokens), n))
+
+  /** MinHash signature → LSH band buckets over pre-hashed shingles.
+    * bucket[b] = xxhash64 of the b-th length-`rowsPerBand` slice of
+    * sig, where sig[i] = min over shingle hashes h of xxhash64(h, i). */
+  def minhashBuckets(shingleHashes: Column, k: Int, rowsPerBand: Int): Column =
+    GraftExpressionBridge.column(
+      MinHashBuckets(GraftExpressionBridge.expression(shingleHashes), k, rowsPerBand))
+
+  /** 64-bit SimHash of a token array: per token, xxhash64 contributes ±1 to
+    * each bit position; result bit b is set iff the position-b sum > 0. */
+  def simhash64(tokens: Column): Column =
+    GraftExpressionBridge.column(
+      SimHash64(GraftExpressionBridge.expression(tokens)))
+
+  /** Random-hyperplane LSH bucket of a double vector: `planes` sign bits
+    * (plane components ±1 derived from xxhash64(p, j), bit 13), packed
+    * MSB-first into a long. */
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    GraftExpressionBridge.column(
+      HyperplaneBucket(GraftExpressionBridge.expression(vec), planes))
+}
+
+/** Static kernels (objects get Java static forwarders, so generated code
+  * can call them directly). */
+object ShingleKernel {
+  private final val Seed = 42L
+
+  /** tokens → sorted distinct xxhash64 of each n-token window joined by a
+    * single space (the whole-tokens string when fewer than n tokens). */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) {
+      // single shingle: all tokens joined (empty string for zero tokens)
+      var total = 0
+      var i = 0
+      val bs = new Array[Array[Byte]](m)
+      while (i < m) { bs(i) = tokens.getUTF8String(i).getBytes; total += bs(i).length; i += 1 }
+      val buf = new Array[Byte](total + math.max(0, m - 1))
+      var off = 0
+      i = 0
+      while (i < m) {
+        if (i > 0) { buf(off) = ' '; off += 1 }
+        System.arraycopy(bs(i), 0, buf, off, bs(i).length); off += bs(i).length
+        i += 1
+      }
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, off, Seed)))
+    }
+    val bs = new Array[Array[Byte]](m)
+    var i = 0
+    var maxWin = 0
+    while (i < m) { bs(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    i = 0
+    var winLen = n - 1 // separators
+    while (i < n) { winLen += bs(i).length; i += 1 }
+    maxWin = winLen
+    // first pass just for max window byte length
+    i = 1
+    while (i <= m - n) {
+      winLen += bs(i + n - 1).length - bs(i - 1).length
+      if (winLen > maxWin) maxWin = winLen
+      i += 1
+    }
+    val buf = new Array[Byte](maxWin)
+    val w = m - n + 1
+    val hashes = new Array[Long](w)
+    i = 0
+    while (i < w) {
+      var off = 0
+      var j = i
+      while (j < i + n) {
+        if (j > i) { buf(off) = ' '; off += 1 }
+        System.arraycopy(bs(j), 0, buf, off, bs(j).length); off += bs(j).length
+        j += 1
+      }
+      hashes(i) = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, off, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place unique
+    var out = 0
+    i = 0
+    while (i < w) {
+      if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(out) = hashes(i); out += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hashes, out))
+  }
+}
+
+object MinHashKernel {
+  private final val Seed = 42L
+
+  def compute(sh: ArrayData, k: Int, rowsPerBand: Int): ArrayData = {
+    val hs = sh.toLongArray()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val hh = XXH64.hashLong(hs(i), Seed)
+      var j = 0
+      while (j < k) {
+        val v = XXH64.hashInt(j, hh)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = k / rowsPerBand
+    val buckets = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = Seed
+      var j = b * rowsPerBand
+      val end = j + rowsPerBand
+      while (j < end) { acc = XXH64.hashLong(sig(j), acc); j += 1 }
+      buckets(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(buckets)
+  }
+}
+
+object SimHashKernel {
+  private final val Seed = 42L
+
+  def compute(tokens: ArrayData): Long = {
+    val sums = new Array[Int](64)
+    val m = tokens.numElements()
+    var i = 0
+    while (i < m) {
+      val t = tokens.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), Seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+object HyperplaneKernel {
+  private final val Seed = 42L
+
+  def compute(vec: ArrayData, planes: Int): Long = {
+    val x = vec.toDoubleArray()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val hp = XXH64.hashInt(p, Seed)
+      var acc = 0.0
+      var j = 0
+      while (j < x.length) {
+        // plane component ±1 from bit 13 of xxhash64(p, j)
+        val s = if (((XXH64.hashInt(j, hp) >> 13) & 1L) == 1L) 1.0 else -1.0
+        acc += x(j) * s
+        j += 1
+      }
+      bucket = bucket * 2 + (if (acc > 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+}
+
+case class ShingleHash64(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any): Any =
+    ShingleKernel.compute(tokens.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hash64"
+}
+
+case class MinHashBuckets(child: Expression, k: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(sh: Any): Any =
+    MinHashKernel.compute(sh.asInstanceOf[ArrayData], k, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.compute($c, $k, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_buckets"
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(tokens: Any): Any =
+    SimHashKernel.compute(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+case class HyperplaneBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(vec: Any): Any =
+    HyperplaneKernel.compute(vec.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneKernel.compute($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_bucket"
+}

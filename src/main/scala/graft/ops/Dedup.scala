@@ -37,28 +37,18 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Hash each shingle string to a long exactly once. Downstream minhash
-    * re-mixes these 8-byte values instead of re-hashing the full strings —
-    * the k-pass inner loop touches 12 bytes per shingle, not the string. */
-  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+  /** Distinct 64-bit shingle hashes — native codegen kernel
+    * ([[graft.functions.ShingleHash64]]); values equal
+    * `xxhash64(concat_ws(" ", <n-token window>))` per window. */
+  def shingleHashes64(text: Column, n: Int): Column =
+    graft.functions.HashFunctions.shingleHash64(TextAnalytics.tokensCol(text), n)
 
-  /** MinHash signature over pre-hashed shingles: sig[i] = min over h of
-    * xxhash64(h, i). Entirely per-row, no shuffle, codegen'd. */
-  def minhashSignature(sh64: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh64, h => xxhash64(h, i))))
-
-  /** LSH banding: split a k-long signature into bands of `rowsPerBand`,
-    * hash each band to a bucket. Returns array<struct<band:int,bucket:long>>. */
-  def lshBands(sig: Column, k: Int, rowsPerBand: Int): Column = {
-    val nBands = k / rowsPerBand
-    transform(sequence(lit(0), lit(nBands - 1)),
-      b => struct(
-        b.cast("int").as("band"),
-        // xxhash64 hashes the long-array band slice directly — no string
-        // round-trip in the hot path
-        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
-  }
+  /** MinHash signature → LSH band buckets in one native kernel
+    * ([[graft.functions.MinHashBuckets]]): sig[i] = min over shingle hashes
+    * h of xxhash64(h, i); bucket[b] = xxhash64 of the b-th signature slice.
+    * Returns array<long>, band index = position. */
+  def minhashBandBuckets(sh64: Column, k: Int, rowsPerBand: Int): Column =
+    graft.functions.HashFunctions.minhashBuckets(sh64, k, rowsPerBand)
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
@@ -76,12 +66,11 @@ object Dedup {
     // Shingle sets are carried as 8-byte hashes (set semantics preserved up
     // to negligible 64-bit collisions): cheaper to minhash, cheaper to join,
     // cheaper to intersect at verify time than the raw strings.
-    val base = df.select(id.as("doc_id"),
-      array_distinct(shingleHashes(shingles(text, n))).as("sh"))
+    val base = df.select(id.as("doc_id"), shingleHashes64(text, n).as("sh"))
     val banded = base
       .select(col("doc_id"),
-        explode(lshBands(minhashSignature(col("sh"), k), k, rowsPerBand)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        posexplode(minhashBandBuckets(col("sh"), k, rowsPerBand))
+          .as(Seq("band", "bucket")))
     val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
         Seq("band", "bucket"))
@@ -98,50 +87,40 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash bit vector (64 bits as array<int> of 0/1): per token, xxhash64
-    * contributes ±1 to each bit position; final bit = sign of the sum.
-    * Tokens are hashed ONCE up front — the 64-bit unpack re-mixes the long,
-    * it never re-hashes the token string. */
-  def simhashBits(text: Column): Column = {
-    val hs = transform(TextAnalytics.tokensCol(text), t => xxhash64(t))
-    val sums = aggregate(hs, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          b => call_function("shiftright", h, b).bitwiseAND(1)),
-        (a, bit) => a + when(bit === 1, 1L).otherwise(-1L)))
-    transform(sums, s => when(s > 0, 1).otherwise(0))
-  }
+  /** 64-bit SimHash as a single long — native codegen kernel
+    * ([[graft.functions.SimHash64]]): per token, xxhash64 contributes ±1 to
+    * each bit position; final bit = sign of the sum. */
+  def simhash64(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(TextAnalytics.tokensCol(text))
 
-  /** Hamming distance between two equal-length bit arrays. */
-  def hamming(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => x =!= y), d => d))
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Fold a bit-array slice into a bucket id (MSB-first). */
-  def bitsToBucket(bits: Column, start: Int, len: Int): Column =
-    aggregate(slice(bits, start + 1, len), lit(0L), (acc, bit) => acc * 2 + bit)
-
-  /** SimHash near-dup pairs: candidates share one of `bands` prefix buckets
-    * (pigeonhole: hamming ≤ bands−1 guarantees a shared band), verified by
-    * full Hamming distance. */
+  /** SimHash near-dup pairs: candidates share one of `bands` 16-bit windows
+    * of the simhash (pigeonhole: hamming ≤ bands−1 guarantees a shared
+    * band), verified by full Hamming distance via `bit_count(xor)`.
+    * Everything per-row is one long; the band self-join shuffles
+    * (band, bucket, id, sim) — ~28 bytes/row. */
   def simhashDupPairs(df: DataFrame, id: Column, text: Column,
                       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val bandLen = 64 / bands
-    val sh = df.select(id.as("doc_id"), simhashBits(text).as("bits"))
-    val banded = sh.select(col("doc_id"), col("bits"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.cast("int").as("band"),
-          aggregate(slice(col("bits"), b * bandLen + 1, lit(bandLen)),
-            lit(0L), (acc, bit) => acc * 2 + bit).as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("bits"),
+    val sh = df.select(id.as("doc_id"), simhash64(text).as("sim"))
+    val banded = sh.select(col("doc_id"), col("sim"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sim"), b * bandLen)
+            .bitwiseAND(lit((1L << bandLen) - 1)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sim"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("bits").as("bits_a"))
+      col("doc_id").as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("bits").as("bits_b"))
+      col("doc_id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hamming(col("bits_a"), col("bits_b")).as("hamming"))
+        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
@@ -154,16 +133,11 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
                           planes: Int = 16,
                           cosineThreshold: Double = 0.9): DataFrame = {
-    // plane component r(p,j) ∈ {−1,+1} from xxhash64(p, j)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p =>
-      when(
-        aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") *
-            when(call_function("shiftright", xxhash64(p, j), lit(13)).bitwiseAND(1) === 1, 1.0)
-              .otherwise(-1.0)),
-          lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0))
+    // plane component r(p,j) ∈ {−1,+1} from xxhash64(p, j), packed to one
+    // long bucket by the native codegen kernel
     val hashed = df.select(id.as("vec_id"), vec.as("v"),
-      aggregate(bits, lit(0L), (acc, bit) => acc * 2 + bit).as("bucket"))
+      graft.functions.HashFunctions.hyperplaneBucket(
+        vec.cast("array<double>"), planes).as("bucket"))
     val a = hashed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = hashed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

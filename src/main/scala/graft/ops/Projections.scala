@@ -118,7 +118,12 @@ object Projections {
       .collect().sortBy(_.getInt(0))
     require(stats.length == d, s"dimStats saw ${stats.length} dims, expected $d")
     val mu = stats.map(_.getDouble(1))
-    val sigma = stats.map(_.getDouble(2))
+    // σ=0 (constant dimension) → use 1: the dim standardizes to 0 and
+    // contributes nothing, instead of ANSI divide-by-zero (numpy yields
+    // nan here; 0 is the useful answer for a degenerate dim)
+    val sigma = stats.map { r =>
+      val s = r.getDouble(2); if (s == 0.0) 1.0 else s
+    }
     val zCol = zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
       (x, i) => (x - element_at(typedLit(mu), i + 1))
         / element_at(typedLit(sigma), i + 1))

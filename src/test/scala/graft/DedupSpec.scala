@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import graft.ops.{Dedup, TextAnalytics}
+
+/** Dedup kernels: native-expression parity with Spark's xxhash64, LSH
+  * collision guarantees, and end-to-end pair extraction. */
+class DedupSpec extends SparkSpec {
+
+  test("ShingleHash64 kernel equals xxhash64(concat_ws) per window (property)") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.toLowerCase)
+    val gen = Gen.listOfN(8, word)
+    checkProp(Prop.forAll(gen) { words =>
+      val text = words.mkString(" ")
+      val df = spark.createDataFrame(Seq((1, text))).toDF("id", "text")
+      // kernel path
+      val fast = df.select(Dedup.shingleHashes64(col("text"), 3).as("sh"))
+        .collect().head.getSeq[Long](0).toSet
+      // declarative model: xxhash64 over each concat_ws(" ", window)
+      val toks = TextAnalytics.tokensCol(col("text"))
+      val model = df.select(
+        when(size(toks) >= 3,
+          transform(sequence(lit(0), size(toks) - 3),
+            i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(3))))))
+          .otherwise(array(xxhash64(concat_ws(" ", toks)))).as("h"))
+        .collect().head.getSeq[Long](0).toSet
+      fast == model
+    }, minTests = 30)
+  }
+
+  test("identical documents always share every minhash band bucket") {
+    val df = spark.createDataFrame(Seq(
+      (1, "the quick brown fox jumps over the lazy dog again and again"),
+      (2, "the quick brown fox jumps over the lazy dog again and again"),
+      (3, "entirely different content with no overlap whatsoever here")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashDupPairs(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1, 2, 1.0)))
+  }
+
+  test("minhash Jaccard verification filters sub-threshold band collisions") {
+    // doc 2 shares a prefix with doc 1 but jaccard << 0.7
+    val common = "alpha beta gamma delta epsilon"
+    val df = spark.createDataFrame(Seq(
+      (1, common + " one two three four five six seven eight nine ten"),
+      (2, common + " uno dos tres cuatro cinco seis siete ocho nueve diez")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashDupPairs(df, col("doc_id"), col("text"),
+      jaccardThreshold = 0.7)
+    assert(out.count() == 0)
+  }
+
+  test("SimHash64: identical token streams -> hamming 0; near-identical small") {
+    val df = spark.createDataFrame(Seq(
+      (1, "spark catalyst tungsten codegen shuffle partition broadcast join"),
+      (2, "spark catalyst tungsten codegen shuffle partition broadcast join"),
+      (3, "spark catalyst tungsten codegen shuffle partition broadcast merge")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashDupPairs(df, col("doc_id"), col("text"),
+      maxHamming = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(pairs((1, 2)) == 0)
+    assert(pairs.get((1, 3)).forall(_ > 0))
+  }
+
+  test("SimHash64 kernel is deterministic and order-sensitive only via sums") {
+    import spark.implicits._
+    val a = Seq("x y z x y z").toDF("text")
+      .select(Dedup.simhash64(col("text"))).first().getLong(0)
+    val b = Seq("z y x z y x").toDF("text")
+      .select(Dedup.simhash64(col("text"))).first().getLong(0)
+    assert(a == b) // bag-of-tokens: order must not matter
+  }
+
+  test("exact dedup groups by content and keeps min id") {
+    val df = spark.createDataFrame(Seq(
+      (10, "same text"), (3, "same text"), (7, "other")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(out == Set((3, 2L), (7, 1L)))
+  }
+
+  test("embedding near-dup: duplicated vector found, orthogonal not") {
+    val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v3 = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = spark.createDataFrame(Seq(
+      (1, v1), (2, v1.clone()), (3, v3))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupLsh(df, col("vec_id"), col("embedding"),
+      planes = 8, cosineThreshold = 0.99)
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(out.toSeq == Seq((1, 2)))
+  }
+
+  test("identical vectors always share the hyperplane bucket (property)") {
+    val gen = Gen.listOfN(12, Gen.chooseNum(-100, 100))
+    checkProp(Prop.forAll(gen) { xs =>
+      val v = xs.map(_.toFloat / 7f).toArray
+      val df = spark.createDataFrame(Seq((1, v), (2, v.clone())))
+        .toDF("vec_id", "embedding")
+      val buckets = df.select(
+        graft.functions.HashFunctions.hyperplaneBucket(
+          col("embedding").cast("array<double>"), 16))
+        .collect().map(_.getLong(0))
+      buckets(0) == buckets(1)
+    }, minTests = 20)
+  }
+}

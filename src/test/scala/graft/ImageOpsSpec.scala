@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.ImageOps
+
+/** Golden micro-fixtures from the Assignment-2 spec (SURVEY.md §5.2.2). */
+class ImageOpsSpec extends SparkSpec {
+
+  test("M1 intensity: spec example pixel (10,20,30,65) -> 13") {
+    // mean(10,20,30) = 20, * 65/100 = 13 (spec2 p.2 Step 2a)
+    val out = ImageOps.intensity(Array[Byte](10, 20, 30, 65))
+    assert(out.length == 1)
+    assert(out(0) == 13.0f)
+  }
+
+  test("M3 diff+quantize: spec example [10,5,4,10,1] -> [-1,0,1,-1]") {
+    // np.diff = [-5,-1,6,-9]; 3-level quantize at strict +/-1
+    // (spec2 p.2 Step 2c) — a 1x5 image has row diffs only.
+    val out = ImageOps.gradientFeatures(Array(10f, 5f, 4f, 10f, 1f), 1, 5)
+    assert(out.toSeq == Seq(-1, 0, 1, -1))
+  }
+
+  test("M3 boundary: diffs of exactly +/-1 quantize to 0 (strict inequality)") {
+    val out = ImageOps.gradientFeatures(Array(0f, 1f, 0f, 2f), 1, 4)
+    assert(out.toSeq == Seq(0, 0, 1))
+  }
+
+  test("M3 shape: r x c input -> r*(c-1) + (r-1)*c features, row-major concat") {
+    val img = Array.tabulate(12)(_.toFloat) // 3x4
+    val out = ImageOps.gradientFeatures(img, 3, 4)
+    assert(out.length == 3 * 3 + 2 * 4)
+    // gradient 1 everywhere along rows (diff=1 -> 0), 4 down columns (-> 1)
+    assert(out.toSeq == Seq.fill(9)(0) ++ Seq.fill(8)(1))
+  }
+
+  test("M2 block mean: 4x4 factor 2") {
+    val img = Array[Float](
+      1, 2, 10, 20,
+      3, 4, 30, 40,
+      5, 6, 50, 60,
+      7, 8, 70, 80)
+    val out = ImageOps.blockMean(img, 4, 4, 2)
+    assert(out.toSeq == Seq(2.5f, 25f, 6.5f, 65f))
+  }
+
+  test("P8 tiling: row-major part index, correct pixel bytes") {
+    // 4x4 image, 4 channels; pixel (r,c) has value r*4+c in every channel
+    val img = Array.tabulate[Byte](4 * 4 * 4)(p => (p / 4).toByte)
+    val tiles = ImageOps.tileImage(img, 4, 4, 2)
+    assert(tiles.length == 4)
+    assert(tiles.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // tile 1 (top-right) holds pixels (0,2),(0,3),(1,2),(1,3) = 2,3,6,7
+    val t1 = tiles(1)._2
+    assert(t1.grouped(4).map(_.head.toInt).toSeq == Seq(2, 3, 6, 7))
+    // tile 2 (bottom-left) holds pixels 8,9,12,13
+    val t2 = tiles(2)._2
+    assert(t2.grouped(4).map(_.head.toInt).toSeq == Seq(8, 9, 12, 13))
+  }
+
+  test("pipeline: tiles -> intensity -> blockMean -> gradient over DataFrame") {
+    import org.apache.spark.sql.functions._
+    val img = Array.tabulate[Byte](20 * 20 * 4)(p => ((p / 4) % 97).toByte)
+    val df = spark.createDataFrame(Seq(("a.zip", img, 20, 20)))
+      .toDF("name", "img", "rows", "cols")
+    val tiles = ImageOps.tiles(df, col("name"), col("img"),
+      col("rows"), col("cols"), t = 10)
+    val feats = ImageOps.tileFeatures(tiles, factor = 5).collect()
+    assert(feats.length == 4)
+    assert(feats.map(_.getString(0)).sorted.toSeq ==
+      Seq("a.zip-0", "a.zip-1", "a.zip-2", "a.zip-3"))
+    // 2x2 downsampled tile -> 2*1 + 1*2 = 4 features each
+    assert(feats.forall(_.getSeq[Int](1).length == 4))
+  }
+}

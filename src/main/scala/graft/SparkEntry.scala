@@ -147,6 +147,14 @@ object SparkEntry {
       TextAnalytics.tokenBudget(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- P7/P9/P10/S3/S4 + J2 + A10: the reference blog pipeline --------
+    // (a1p2b_ahuja.py end-to-end: wholetext files → malformed-XML parse →
+    // industry vocabulary from filenames → mention counts per year-month)
+    "industry_mentions" -> ((s, dir) => {
+      val blogs = graft.sources.BlogCorpus.ensureFixtures(s, dir)
+      graft.sources.BlogCorpus.industryMentions(s, blogs)
+    }),
+
     // ---- exact dedup ----------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), col("doc_id"), col("text"))),
@@ -366,6 +374,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS ws_tokens,
         |  CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "industry_mentions" ->
+      """WITH f AS (SELECT filename, content FROM read_text('/tmp/graft_fixtures/blogs/*.xml')),
+        |ind AS (SELECT DISTINCT lower(string_split(string_split(filename, '/')[-1], '.')[-3]) AS industry FROM f),
+        |p AS (SELECT regexp_extract_all(content, '(?s)<date>(.*?)</date>.*?<post>(.*?)</post>', 1) AS ds,
+        |             regexp_extract_all(content, '(?s)<date>(.*?)</date>.*?<post>(.*?)</post>', 2) AS ps FROM f),
+        |dp AS (SELECT unnest(ds) AS d, unnest(ps) AS post FROM p),
+        |d2 AS (SELECT string_split(d, ',')[3] || '-' || string_split(d, ',')[2] AS ym, post FROM dp),
+        |w AS (SELECT ym, lower(unnest(string_split_regex(post, '[ ,.:;\n\r"''?-]'))) AS word FROM d2),
+        |m AS (SELECT word, ym, count(*) AS cnt FROM w
+        |      WHERE word IN (SELECT industry FROM ind) GROUP BY word, ym)
+        |SELECT word, string_agg(ym || ':' || cnt, ',' ORDER BY ym || ':' || cnt) AS series
+        |FROM m GROUP BY word ORDER BY word""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -258,6 +258,15 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // ---- the composed flagship DAG (a2:216–319) over real zip files -----
+    // S2 binaryFile → S5 zip extraction (stub codec) → P8/M1–M3 → M4/M5 →
+    // J3 → M6 RP → M7/A9/M8 PCA → M9 euclidean → O1 sorted distances
+    "image_similarity" -> ((s, dir) => {
+      val zips = graft.sources.ZipImages.ensureFixtures()
+      graft.pipelines.ImageSimilarity.run(s, zips,
+        queryImages = Seq("img0.zip", "img3.zip"))
+    }),
+
     // ---- P8/M1–M3 multimodal image pipeline on deterministic fixtures ---
     "image_features" -> ((s, dir) => {
       val imgs = (0 until 4).map { i =>

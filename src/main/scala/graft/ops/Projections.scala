@@ -102,17 +102,27 @@ object Projections {
     Array.tabulate(d)(r => Array.tabulate(k)(c => u(r, c)))
   }
 
-  /** Full M8 pipeline: standardize → Gram → SVD → project to k dims.
+  /** A fitted PCA as one affine map x ↦ x·w − c (standardization folded
+    * into the projection matrix: w_ij = U_ij/σ_i, c_j = Σ_i (μ_i/σ_i)U_ij).
+    * O(d·k) driver/broadcast state. */
+  final case class PcaModel(w: Array[Array[Double]], c: Array[Double]) {
+    /** Project rows (a narrow map; no shuffle). */
+    def transform(df: DataFrame, id: Column, vec: Column): DataFrame =
+      df.select(id.as("vec_id"),
+        affineUdf(w, c)(vec.cast("array<double>")).as("proj"))
+  }
+
+  /** Fit M7+M8: standardize → Gram → SVD → top-k eigenvectors.
     *
     * `d` is a caller-supplied parameter (no `.first()` dimension sniffing).
     * μ/σ are collected to the driver (O(d) values, one shuffle of d rows via
-    * [[VectorOps.dimStats]]) and folded with the eigenvectors into a single
-    * affine map x ↦ (x−μ)/σ·U = x·W − c, so the returned plan is ONE narrow
-    * pass over the source — nothing is persisted and nothing leaks. The fit
-    * itself is two single passes (stats, Gram) with O(d²) driver state.
+    * [[VectorOps.dimStats]]); the fit is two single passes (stats, Gram)
+    * with O(d²) driver state. Fitting and projecting are separate so a
+    * pipeline can fit on the full corpus but project only the rows it needs
+    * (the reference projects query+candidate rows only, a2:289–291).
     */
-  def pca(df: DataFrame, id: Column, vec: Column, k: Int, d: Int): DataFrame = {
-    val src = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+  def pcaFit(df: DataFrame, vec: Column, k: Int, d: Int): PcaModel = {
+    val src = df.select(vec.cast("array<double>").as("v"))
     val stats = VectorOps.dimStats(src, col("v"))
       .select(col("dim"), col("mean"), sqrt(col("var_pop")).as("sigma"))
       .collect().sortBy(_.getInt(0))
@@ -129,11 +139,15 @@ object Projections {
         / element_at(typedLit(sigma), i + 1))
     val g = gram(src.select(zCol.as("z")), col("z"), d)
     val ev = topEigenvectors(g, d, k)
-    // W_ij = U_ij/σ_i and c_j = Σ_i (μ_i/σ_i)·U_ij fold standardization
-    // into the projection itself.
     val w = Array.tabulate(d)(i => Array.tabulate(k)(j => ev(i)(j) / sigma(i)))
     val c = Array.tabulate(k)(j =>
       (0 until d).map(i => mu(i) / sigma(i) * ev(i)(j)).sum)
-    src.select(col("vec_id"), affineUdf(w, c)(col("v")).as("proj"))
+    PcaModel(w, c)
+  }
+
+  /** Full M8 pipeline: fit on `df`, project every row of `df`. */
+  def pca(df: DataFrame, id: Column, vec: Column, k: Int, d: Int): DataFrame = {
+    val src = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    pcaFit(src, col("v"), k, d).transform(src, col("vec_id"), col("v"))
   }
 }

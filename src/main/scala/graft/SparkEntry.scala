@@ -282,7 +282,9 @@ object SparkEntry {
         col("rows"), col("cols"), t = 50)
       ImageOps.tileFeatures(tiles, factor = 5)
         .select(col("tile_name"), size(col("features")).as("n_features"),
-          aggregate(col("features"), lit(0L), (a, x) => a + abs(x)).as("l1"))
+          aggregate(col("features"), lit(0L), (a, x) => a + abs(x)).as("l1"),
+          // O4 head/tail preview (a2:224–227)
+          VectorOps.headTailPreview(col("features")).as("preview"))
         .orderBy("tile_name")
     }))
 

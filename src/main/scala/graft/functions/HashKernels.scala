@@ -51,6 +51,12 @@ object HashFunctions {
   def hyperplaneBucket(vec: Column, planes: Int): Column =
     GraftExpressionBridge.column(
       HyperplaneBucket(GraftExpressionBridge.expression(vec), planes))
+
+  /** M4 chunked-md5 signature of an int32 vector (reference-parity
+    * remainder chunking; hex digit `idx` of each chunk digest). */
+  def md5ChunkSignature(vec: Column, idx: Int): Column =
+    GraftExpressionBridge.column(
+      Md5ChunkSignature(GraftExpressionBridge.expression(vec), idx))
 }
 
 /** Static kernels (objects get Java static forwarders, so generated code
@@ -181,6 +187,44 @@ object SimHashKernel {
   }
 }
 
+/** M4 (a2_ahuja.py:99–120): chunked-md5 signature of an int32 vector.
+  * Operates on ArrayData directly (no per-element boxing) with one
+  * reusable MessageDigest + byte buffer per thread. */
+object SignatureKernel {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(v: ArrayData, idx: Int): UTF8String = {
+    val arr = v.toIntArray()
+    val n = arr.length
+    val pieces = 128
+    val step = n / pieces
+    val mod = n % pieces
+    val md = md5.get()
+    val out = new Array[Byte](math.min(pieces, n))
+    val buf = java.nio.ByteBuffer.allocate((step + 1) * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var s = 0
+    var i = 0
+    while (i < pieces && s < n) {
+      val len = if (i < mod) step + 1 else step
+      buf.clear()
+      var j = 0
+      while (j < len) { buf.putInt(arr(s + j)); j += 1 }
+      md.reset()
+      md.update(buf.array(), 0, len * 4)
+      val digest = md.digest()
+      // hex digit `idx`: digit 2k = high nibble of byte k, 2k+1 = low
+      val b = digest(idx / 2) & 0xff
+      val nib = if (idx % 2 == 0) b >>> 4 else b & 0xf
+      out(i) = java.lang.Character.forDigit(nib, 16).toByte
+      s += len
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, i)
+  }
+}
+
 object HyperplaneKernel {
   private final val Seed = 42L
 
@@ -239,6 +283,18 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash64"
+}
+
+case class Md5ChunkSignature(child: Expression, idx: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    SignatureKernel.compute(v.asInstanceOf[ArrayData], idx)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureKernel.compute($c, $idx)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_md5_chunk_signature"
 }
 
 case class HyperplaneBucket(child: Expression, planes: Int)

@@ -67,11 +67,16 @@ object Lsh {
   val signatureUdf = udf((v: Seq[Int], idx: Int) => signature(v.toArray, idx))
   val bucketsUdf = udf((sig: String, bandwidth: Int) => buckets(sig, bandwidth))
 
-  /** Attach signature + band buckets to a feature-vector DataFrame. */
+  /** Attach signature + band buckets to a feature-vector DataFrame.
+    * The signature is the native codegen kernel
+    * ([[graft.functions.Md5ChunkSignature]] — no per-element boxing on the
+    * 4900-int hot path, identical output to [[signature]]); banding is one
+    * cheap per-row UDF over the 128-char string. */
   def withSignatureBuckets(df: DataFrame, id: Column, features: Column,
                            idx: Int = 1, bandwidth: Int = 13): DataFrame =
     df.select(id.as("item_id"), features.as("fv"))
-      .withColumn("sig", signatureUdf(col("fv"), lit(idx)))
+      .withColumn("sig",
+        graft.functions.HashFunctions.md5ChunkSignature(col("fv"), idx))
       .withColumn("buckets", bucketsUdf(col("sig"), lit(bandwidth)))
 
   /** J3: candidate pairs (query, item) that share any band bucket.

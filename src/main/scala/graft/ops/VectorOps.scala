@@ -41,6 +41,15 @@ object VectorOps {
     sqrt(aggregate(zip_with(a, b, (x, y) => x.cast("double") - y.cast("double")),
       lit(0.0), (acc, d) => acc + d * d))
 
+  /** O4 (a2:224–227, spec2 p.3 (f)): "first k … last k" preview string of
+    * an array column — the reference's feature-vector print contract. */
+  def headTailPreview(arr: Column, k: Int = 3): Column =
+    concat_ws(" ",
+      concat(
+        transform(slice(arr, 1, k), x => x.cast("string")),
+        array(lit("...")),
+        transform(slice(arr, -k, k), x => x.cast("string"))))
+
   /** Per-row L2 norms (M9 building block), deterministically ordered. */
   def norms(df: DataFrame, id: Column, vec: Column): DataFrame =
     df.select(id.as("vec_id"), l2Norm(vec).as("norm")).orderBy("vec_id")

@@ -56,6 +56,26 @@ class LshSpec extends SparkSpec {
     }
   }
 
+  test("Md5ChunkSignature native kernel equals the reference-shaped model (property)") {
+    import spark.implicits._
+    val gen = Gen.chooseNum(5, 600).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-5, 5)))
+    checkProp(Prop.forAll(gen) { xs =>
+      val fromExpr = Seq(Tuple1(xs.toArray)).toDF("fv")
+        .select(graft.functions.HashFunctions.md5ChunkSignature(col("fv"), 1))
+        .first().getString(0)
+      fromExpr == Lsh.signature(xs.toArray, idx = 1)
+    }, minTests = 15)
+  }
+
+  test("O4 head/tail preview") {
+    import spark.implicits._
+    val p = Seq(Tuple1((1 to 10).toArray)).toDF("v")
+      .select(graft.ops.VectorOps.headTailPreview(col("v"), 3))
+      .first().getString(0)
+    assert(p == "1 2 3 ... 8 9 10")
+  }
+
   test("M5 buckets: binary-parsed-as-hex quirk, bandwidth 13 -> 39 bands") {
     val sig = "f" * 128 // 512 ones
     val b = Lsh.buckets(sig, 13)

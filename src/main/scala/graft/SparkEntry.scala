@@ -198,6 +198,24 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- streaming twin (batch mode): watermarked tumbling-window counts
+    // (the same operator runs under readStream; see EventStreamsSpec) -----
+    "windowed_event_counts" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedCounts(
+        Tables.events(s, dir), key = "event_type", windowLen = "1 day")
+        .orderBy("key", "win_start_s")),
+
+    // ---- streaming twin (batch mode): stateful gap sessionization — same
+    // oracle as the window-function `sessionize` query ---------------------
+    "sessionize_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.sessionizeBatch(ev).toDF()
+        .orderBy("user_id", "session_id")
+    }),
+
     // ================= rows-only checked (no SQL oracle) =================
 
     // ---- MinHash+LSH near-dup (self-union guarantees true dup pairs) ----
@@ -450,6 +468,30 @@ object SparkEntry {
         |  SELECT query_id, nbr_id, cos_r,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id) AS rank
         |  FROM s) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "windowed_event_counts" ->
+      """SELECT event_type AS key,
+        |  CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT) AS win_start_s,
+        |  CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT) + 86400 AS win_end_s,
+        |  count(*) AS cnt
+        |FROM events GROUP BY key, win_start_s ORDER BY key, win_start_s""".stripMargin,
+
+    "sessionize_stateful" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,
+        |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     "sessionize" ->
       """WITH g AS (

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming slice (SURVEY.md §2.8/§7.5 parity-plus: the
+  * reference is batch-only, but the engine exposes the stream-shaped
+  * `events` semantics as streaming operators).
+  *
+  * Both operators are written against plain Datasets so the SAME code runs
+  * in batch (where the driver's DuckDB oracle can check it) and under
+  * `readStream` (exercised with MemoryStream in the test suite):
+  *
+  *  - [[windowedCounts]]: tumbling-window count by key — the streaming twin
+  *    of the A10 year-month rollup. With a watermark, late data beyond the
+  *    horizon is dropped and window state is bounded: O(keys × open
+  *    windows), never O(rows).
+  *  - [[sessionize]]: gap-based sessions via `flatMapGroupsWithState` — the
+  *    streaming twin of the windowed batch `sessionize` query. State per
+  *    key is one open session (O(1)); closed sessions are emitted
+  *    incrementally (append mode) and the open one on event-time timeout.
+  */
+object EventStreams {
+
+  final case class Event(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+                           start_s: Long, end_s: Long)
+  // public: the state encoder's generated code needs constructor access
+  final case class SessState(nextSessionId: Long, n: Long,
+                             startS: Long, endS: Long)
+
+  /** Tumbling-window counts with watermark. `ts` must be an event-time
+    * column named `ts`. Works identically on batch input (watermark is a
+    * no-op there). Output: (key, win_start_s, win_end_s, cnt). */
+  def windowedCounts(events: DataFrame, key: String,
+                     windowLen: String = "1 day",
+                     watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col(key).as("key"), window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("key"),
+        unix_timestamp(col("window.start")).as("win_start_s"),
+        unix_timestamp(col("window.end")).as("win_end_s"),
+        col("cnt"))
+
+  /** Gap sessionization with one-open-session state per user.
+    *
+    * Streaming: events arrive in micro-batches; a session closes when a
+    * later event exceeds `gapSec` (emitted then) or on event-time timeout.
+    * Batch: the per-group iterator is sorted in memory first (bounded by a
+    * single user's history — at cluster scale the streaming path is the
+    * one that sees unbounded data, and its state is O(1) per user).
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap horizon: close it
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.nextSessionId, st.n, st.startS, st.endS))
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.getOrElse(
+              SessState(0L, 0L, Long.MinValue, Long.MinValue))
+            sorted.foreach { e =>
+              val s = e.ts.getTime / 1000
+              if (st.n == 0L) {
+                st = SessState(st.nextSessionId + 1, 1L, s, s)
+              } else if (s - st.endS > gapSec) {
+                out += Session(userId, st.nextSessionId, st.n, st.startS, st.endS)
+                st = SessState(st.nextSessionId + 1, 1L, s, s)
+              } else {
+                st = st.copy(n = st.n + 1, endS = math.max(st.endS, s))
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp((st.endS + gapSec) * 1000 + 1)
+            out.iterator
+          }
+      }
+  }
+
+  /** Batch form of [[sessionize]] that also FLUSHES the final open session
+    * per user (batch input is complete, so the open session is closed by
+    * definition). Matches the batch `sessionize` window query row-for-row.
+    */
+  def sessionizeBatch(events: Dataset[Event], gapSec: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (userId: Long, it: Iterator[Event]) =>
+        val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var sessionId = 0L
+        var n = 0L
+        var startS = 0L
+        var endS = Long.MinValue
+        sorted.foreach { e =>
+          val s = e.ts.getTime / 1000
+          if (n == 0L || s - endS > gapSec) {
+            if (n > 0L) out += Session(userId, sessionId, n, startS, endS)
+            sessionId += 1; n = 1L; startS = s; endS = s
+          } else {
+            n += 1; endS = math.max(endS, s)
+          }
+        }
+        if (n > 0L) out += Session(userId, sessionId, n, startS, endS)
+        out.iterator
+      }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** The streaming operators under a real streaming execution (MemoryStream
+  * micro-batches → memory sink), plus batch/stream agreement. */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000)
+
+  test("windowedCounts under readStream: watermark + tumbling windows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("event_type", "ts")
+    val q = EventStreams.windowedCounts(df, key = "event_type",
+      windowLen = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode("append").start()
+    val day = 86400L * 19000
+    mem.addData(
+      ("click", ts(day + 100)), ("click", ts(day + 200)),
+      ("view", ts(day + 3700)), ("click", ts(day + 3800)),
+      // advance watermark far enough to close earlier windows
+      ("click", ts(day + 3600 * 5)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wc_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // first hour window: 2 clicks; second hour: 1 view + 1 click
+    assert(out.contains(("click", day, 2L)))
+    assert(out.contains(("view", day + 3600, 1L)))
+    assert(out.contains(("click", day + 3600, 1L)))
+  }
+
+  test("sessionize under readStream: sessions close on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val base = 86400L * 19001
+    val q = EventStreams.sessionize(
+      mem.toDS().withWatermark("ts", "1 hour").as[Event], gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // batch 1: user 1 session of 2 events, then a gap > 1800 within the batch
+    mem.addData(
+      Event(1L, 1L, ts(base)), Event(1L, 2L, ts(base + 60)),
+      Event(1L, 3L, ts(base + 5000)))
+    q.processAllAvailable()
+    // batch 2: far-future event advances the watermark past the open
+    // session's gap horizon -> timeout fires and closes it
+    mem.addData(Event(2L, 9L, ts(base + 86400)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out").as[Session].collect()
+      .map(s => (s.user_id, s.session_id, s.n_events, s.start_s, s.end_s)).toSet
+    assert(out.contains((1L, 1L, 2L, base, base + 60)))       // closed by gap
+    assert(out.contains((1L, 2L, 1L, base + 5000, base + 5000))) // closed by timeout
+  }
+
+  test("sessionizeBatch agrees with the window-function formulation") {
+    import spark.implicits._
+    val base = 86400L * 19002
+    val ev = Seq(
+      Event(7L, 1L, ts(base)), Event(7L, 2L, ts(base + 100)),
+      Event(7L, 3L, ts(base + 100 + 1801)), // new session (gap > 1800)
+      Event(8L, 4L, ts(base + 50))).toDS()
+    val out = EventStreams.sessionizeBatch(ev).collect()
+      .map(s => (s.user_id, s.session_id, s.n_events)).toSet
+    assert(out == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("windowedCounts in batch mode equals a plain group-by") {
+    import spark.implicits._
+    val base = 86400L * 19003
+    val df = Seq(("a", ts(base + 10)), ("a", ts(base + 20)),
+      ("a", ts(base + 86400 + 10))).toDF("event_type", "ts")
+    val out = EventStreams.windowedCounts(df, "event_type", "1 day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out == Set(("a", base, 2L), ("a", base + 86400, 1L)))
+  }
+}

@@ -236,8 +236,16 @@ object SparkEntry {
     "embedding_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val dupped = e.union(e.select(col("vec_id") + 100000, col("embedding")))
+      // 2 bands × 16 planes: multi-band recovers the recall cliff a single
+      // 16-bit bucket has below cos≈0.99 (P(hit) = 1−(1−p¹⁶)²)
       Dedup.embeddingNearDupLsh(dupped, col("vec_id"), col("embedding"),
-        planes = 16, cosineThreshold = 0.99)
+        planes = 16, bands = 2, cosineThreshold = 0.99)
+    }),
+
+    // ---- ANN scale path: LSH-bucketed approximate top-k -----------------
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      VectorOps.annLshTopK(e, e.filter(col("vec_id") < 5), 10)
     }),
 
     // ---- kNN with ranking window (ANN baseline, top-k form) -------------

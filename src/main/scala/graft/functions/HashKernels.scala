@@ -48,9 +48,9 @@ object HashFunctions {
   /** Random-hyperplane LSH bucket of a double vector: `planes` sign bits
     * (plane components ±1 derived from xxhash64(p, j), bit 13), packed
     * MSB-first into a long. */
-  def hyperplaneBucket(vec: Column, planes: Int): Column =
+  def hyperplaneBucket(vec: Column, planes: Int, offset: Int = 0): Column =
     GraftExpressionBridge.column(
-      HyperplaneBucket(GraftExpressionBridge.expression(vec), planes))
+      HyperplaneBucket(GraftExpressionBridge.expression(vec), planes, offset))
 
   /** M4 chunked-md5 signature of an int32 vector (reference-parity
     * remainder chunking; hex digit `idx` of each chunk digest). */
@@ -228,12 +228,14 @@ object SignatureKernel {
 object HyperplaneKernel {
   private final val Seed = 42L
 
-  def compute(vec: ArrayData, planes: Int): Long = {
+  /** `offset` selects a disjoint plane range [offset, offset+planes) —
+    * multi-band LSH uses offset = band * planes. */
+  def compute(vec: ArrayData, planes: Int, offset: Int): Long = {
     val x = vec.toDoubleArray()
     var bucket = 0L
     var p = 0
     while (p < planes) {
-      val hp = XXH64.hashInt(p, Seed)
+      val hp = XXH64.hashInt(offset + p, Seed)
       var acc = 0.0
       var j = 0
       while (j < x.length) {
@@ -297,13 +299,13 @@ case class Md5ChunkSignature(child: Expression, idx: Int)
   override def prettyName: String = "graft_md5_chunk_signature"
 }
 
-case class HyperplaneBucket(child: Expression, planes: Int)
+case class HyperplaneBucket(child: Expression, planes: Int, offset: Int = 0)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(vec: Any): Any =
-    HyperplaneKernel.compute(vec.asInstanceOf[ArrayData], planes)
+    HyperplaneKernel.compute(vec.asInstanceOf[ArrayData], planes, offset)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneKernel.compute($c, $planes)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneKernel.compute($c, $planes, $offset)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_hyperplane_bucket"

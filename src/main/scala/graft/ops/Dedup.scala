@@ -126,22 +126,38 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-band random-hyperplane buckets: array of `bands` structs
+    * (band, bucket), each band using a disjoint plane range — multi-band
+    * recovers the recall a single bit-string bucket loses (a near-dup pair
+    * only needs ALL planes of ONE band to agree, P(hit) = 1−(1−pᵖ)ᵇ). */
+  def hyperplaneBands(vec: Column, planes: Int, bands: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        graft.functions.HashFunctions.hyperplaneBucket(
+          vec.cast("array<double>"), planes, b * planes).as("bucket"))
+    }: _*)
+
   /** Embedding near-dup, LSH-bucketed (the scale path): random-hyperplane
-    * sign bits (planes derived from seeded hashes — deterministic, no
-    * driver-side matrix), bucket on the full bit string, verify cosine
-    * within buckets only. */
+    * sign-bit buckets (planes derived from seeded hashes — deterministic,
+    * no driver-side matrix), multi-band for recall, dedup-then-verify:
+    * the band self-join carries ids only, pairs are `distinct`ed, vectors
+    * are joined back once per side and cosine verified once per pair. */
   def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
-                          planes: Int = 16,
+                          planes: Int = 16, bands: Int = 1,
                           cosineThreshold: Double = 0.9): DataFrame = {
-    // plane component r(p,j) ∈ {−1,+1} from xxhash64(p, j), packed to one
-    // long bucket by the native codegen kernel
-    val hashed = df.select(id.as("vec_id"), vec.as("v"),
-      graft.functions.HashFunctions.hyperplaneBucket(
-        vec.cast("array<double>"), planes).as("bucket"))
-    val a = hashed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = hashed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    val base = df.select(id.as("vec_id"), vec.as("v"),
+      hyperplaneBands(vec, planes, bands).as("bb"))
+    val banded = base.select(col("vec_id"), explode(col("bb")).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorOps.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= cosineThreshold)

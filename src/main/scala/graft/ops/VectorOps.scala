@@ -147,4 +147,39 @@ object VectorOps {
       .filter(col("cos_r") >= threshold)
       .orderBy("query_id", "nbr_id")
   }
+
+  /** Approximate nearest neighbours via multi-band random-hyperplane LSH —
+    * the scale path behind the brute-force [[knnCosine]] baseline.
+    *
+    * Corpus and (small, broadcast) query side are bucketed per band with
+    * disjoint plane ranges; candidates = corpus rows sharing ANY band
+    * bucket with a query. The band join carries ids only, candidate pairs
+    * are `distinct`ed, vectors are joined back once and exact cosine is
+    * computed once per candidate — then a window keeps the top k. The
+    * corpus is scanned, never cross-joined: at 100 TB the pair space is
+    * |candidates| (bucket-bounded), not |queries|×|corpus|.
+    */
+  def annLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 planes: Int = 6, bands: Int = 4): DataFrame = {
+    def banded(df: DataFrame, idAs: String) = df
+      .select(col("vec_id").as(idAs),
+        explode(Dedup.hyperplaneBands(col("embedding"), planes, bands)).as("bb"))
+      .select(col(idAs), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = banded(corpus, "nbr_id")
+      .join(broadcast(banded(queries, "query_id")), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select("query_id", "nbr_id")
+      .distinct()
+    val scored = cands
+      .join(corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("cv")), "nbr_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .select(col("query_id"), col("nbr_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop}
-import graft.ops.{Dedup, TextAnalytics}
+import graft.ops.{Dedup, TextAnalytics, VectorOps}
 
 /** Dedup kernels: native-expression parity with Spark's xxhash64, LSH
   * collision guarantees, and end-to-end pair extraction. */
@@ -92,6 +92,39 @@ class DedupSpec extends SparkSpec {
       planes = 8, cosineThreshold = 0.99)
       .collect().map(r => (r.getInt(0), r.getInt(1)))
     assert(out.toSeq == Seq((1, 2)))
+  }
+
+  test("multi-band near-dup is a superset of single-band (recall improves)") {
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 60).map { i =>
+      (i, Array.tabulate(16)(j => (rng.nextGaussian() + (i % 6)).toFloat))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    def pairs(bands: Int) =
+      Dedup.embeddingNearDupLsh(df, col("vec_id"), col("embedding"),
+        planes = 8, bands = bands, cosineThreshold = 0.95)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val one = pairs(1)
+    val three = pairs(3)
+    assert(one.subsetOf(three))
+  }
+
+  test("ANN LSH top-k: twin retrieved at rank 1, subset of brute-force candidates") {
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 80).map { i =>
+      val v = Array.tabulate(16)(_ => rng.nextGaussian().toFloat)
+      (i, if (i == 70) null else v) // placeholder, replaced below
+    }
+    // vec 70 = exact copy of vec 0 (the planted twin)
+    val fixed = rows.map { case (i, v) => (i, if (i == 70) rows.head._2 else v) }
+    val df = spark.createDataFrame(fixed).toDF("vec_id", "embedding")
+    val out = VectorOps.annLshTopK(df, df.filter(col("vec_id") === 0), k = 10,
+      planes = 5, bands = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(3)))
+    assert(out.nonEmpty)
+    // identical vector shares every band bucket -> always a candidate,
+    // and cosine 1.0 ranks it first
+    assert(out.exists { case (q, n, rank) => q == 0 && n == 70 && rank == 1L })
   }
 
   test("identical vectors always share the hyperplane bucket (property)") {

@@ -198,6 +198,13 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- n-gram Jaccard similarity (exact baseline behind minhash LSH) --
+    "ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.ngramJaccardPairs(d, d.filter(col("doc_id") < 5),
+        col("doc_id"), col("text"))
+    }),
+
     // ---- streaming twin (batch mode): watermarked tumbling-window counts
     // (the same operator runs under readStream; see EventStreamsSpec) -----
     "windowed_event_counts" -> ((s, dir) =>
@@ -476,6 +483,18 @@ object SparkEntry {
         |  SELECT query_id, nbr_id, cos_r,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id) AS rank
         |  FROM s) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+         |      FROM t WHERE len(toks) >= 3),
+         |p AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         |        CAST(len(list_intersect(q.sh, c.sh)) AS DOUBLE)
+         |          / (len(q.sh) + len(c.sh) - len(list_intersect(q.sh, c.sh))) AS jaccard
+         |      FROM s q, s c WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id)
+         |SELECT query_id, doc_id, jaccard FROM p WHERE jaccard >= 0.01
+         |ORDER BY query_id, doc_id""".stripMargin,
 
     "windowed_event_counts" ->
       """SELECT event_type AS key,

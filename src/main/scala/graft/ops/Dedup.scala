@@ -50,19 +50,43 @@ object Dedup {
   def minhashBandBuckets(sh64: Column, k: Int, rowsPerBand: Int): Column =
     graft.functions.HashFunctions.minhashBuckets(sh64, k, rowsPerBand)
 
+  /** Ordered within-bucket pairs from a (band, bucket, <id>) DataFrame:
+    * group ids per bucket (sorted → id_a < id_b for free), drop singleton
+    * buckets, CAP degenerate buckets (boilerplate/empty content makes a
+    * bucket quadratic — the standard LSH skew guard is to skip buckets
+    * over a size bound), emit each bucket's pairs, dedupe across bands.
+    *
+    * One shuffle of (band, bucket, id); the per-row hash kernel upstream
+    * runs ONCE — a self-join formulation would recompute the whole lineage
+    * per join side (Spark does not reuse non-identical exchanges).
+    */
+  private[ops] def bucketPairs(banded: DataFrame, idCol: Column,
+                               maxBucket: Int): DataFrame = {
+    val grouped = banded.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    grouped
+      .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2),
+        i => transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1),
+          b => struct(element_at(col("ids"), i + 1).as("id_a"), b.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
-    * documents → shingles → signature → band buckets → self equi-join on
-    * (band, bucket) **carrying ids only** → `distinct` candidate pairs →
+    * documents → shingles → signature → band buckets (ONE scan, native
+    * kernels) → within-bucket pair generation ([[bucketPairs]]: one shuffle
+    * of (band, bucket, id), capped buckets for skew) → `distinct` pairs →
     * join the shingle sets back once per side → ONE exact Jaccard check per
-    * unique pair. The band join shuffles (band, bucket, id) triples — a few
-    * bytes per row — never the shingle arrays; a pair colliding in many
-    * bands is verified once, not once per band. AQE splits hot buckets
-    * (boilerplate/empty docs) via skew-join handling.
+    * unique pair. Shingle arrays never ride a shuffle keyed by bucket; a
+    * pair colliding in many bands is verified once, not once per band.
     */
   def minhashDupPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 3, k: Int = 64, rowsPerBand: Int = 8,
-                      jaccardThreshold: Double = 0.7): DataFrame = {
+                      jaccardThreshold: Double = 0.7,
+                      maxBucket: Int = 1000): DataFrame = {
     // Shingle sets are carried as 8-byte hashes (set semantics preserved up
     // to negligible 64-bit collisions): cheaper to minhash, cheaper to join,
     // cheaper to intersect at verify time than the raw strings.
@@ -71,13 +95,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(minhashBandBuckets(col("sh"), k, rowsPerBand))
           .as(Seq("band", "bucket")))
-    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    pairs
+    bucketPairs(banded, col("doc_id"), maxBucket)
       .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -85,6 +103,31 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity of a (small, broadcast) query set
+    * against the corpus — the verifiable baseline behind [[minhashDupPairs]]
+    * (which is its scale path: bucket first, verify the same Jaccard only
+    * on collisions). Shingle sets are distinct n-grams carried as 64-bit
+    * hashes (set sizes equal the string sets up to negligible collisions,
+    * and long intersection beats string intersection); Jaccard =
+    * |∩| / (|A| + |B| − |∩|), exact integer arithmetic → bit-stable. */
+  def ngramJaccardPairs(corpus: DataFrame, queries: DataFrame,
+                        id: Column, text: Column,
+                        n: Int = 3, threshold: Double = 0.01): DataFrame = {
+    def sh(df: DataFrame, idAs: String, shAs: String) = df
+      .filter(size(TextAnalytics.tokensCol(text)) >= n)
+      .select(id.as(idAs), shingleHashes64(text, n).as(shAs))
+    val c = sh(corpus, "doc_id", "sh_c")
+    val q = sh(queries, "query_id", "sh_q")
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (size(array_intersect(col("sh_q"), col("sh_c"))).cast("double")
+          / (size(col("sh_q")) + size(col("sh_c"))
+            - size(array_intersect(col("sh_q"), col("sh_c"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("query_id", "doc_id")
   }
 
   /** 64-bit SimHash as a single long — native codegen kernel
@@ -99,29 +142,27 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share one of `bands` 16-bit windows
     * of the simhash (pigeonhole: hamming ≤ bands−1 guarantees a shared
     * band), verified by full Hamming distance via `bit_count(xor)`.
-    * Everything per-row is one long; the band self-join shuffles
-    * (band, bucket, id, sim) — ~28 bytes/row. */
+    *
+    * The 8-byte simhash rides INSIDE the bucket id list, so verification is
+    * inline — the whole operator is one scan + one (band, bucket, id, sim)
+    * shuffle, no joins at all. */
   def simhashDupPairs(df: DataFrame, id: Column, text: Column,
-                      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                      bands: Int = 4, maxHamming: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
     val bandLen = 64 / bands
-    val sh = df.select(id.as("doc_id"), simhash64(text).as("sim"))
-    val banded = sh.select(col("doc_id"), col("sim"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sim"), b * bandLen)
-            .bitwiseAND(lit((1L << bandLen) - 1)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("sim"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("sim_a"), col("sim_b")).as("hamming"))
-      .distinct()
+    val banded = df
+      .select(struct(id.as("doc_id"), simhash64(text).as("sim")).as("ds"))
+      .select(col("ds"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("ds.sim"), b * bandLen)
+              .bitwiseAND(lit((1L << bandLen) - 1)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("ds"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // struct sort order is lexicographic: distinct doc_ids ⇒ id_a < id_b
+    bucketPairs(banded, col("ds"), maxBucket)
+      .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"),
+        hamming64(col("id_a.sim"), col("id_b.sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
@@ -144,18 +185,13 @@ object Dedup {
     * are joined back once per side and cosine verified once per pair. */
   def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
                           planes: Int = 16, bands: Int = 1,
-                          cosineThreshold: Double = 0.9): DataFrame = {
-    val base = df.select(id.as("vec_id"), vec.as("v"),
-      hyperplaneBands(vec, planes, bands).as("bb"))
-    val banded = base.select(col("vec_id"), explode(col("bb")).as("bb"))
+                          cosineThreshold: Double = 0.9,
+                          maxBucket: Int = 1000): DataFrame = {
+    val base = df.select(id.as("vec_id"), vec.as("v"))
+    val banded = df.select(id.as("vec_id"),
+      explode(hyperplaneBands(vec, planes, bands)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val pairs = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("vec_id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    pairs
+    bucketPairs(banded, col("vec_id"), maxBucket)
       .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),

@@ -151,6 +151,58 @@ object ImageOps {
         col("part._2").as("tile"),
         lit(t).as("rows"), lit(t).as("cols"))
 
+  /** Frame sampling for opaque video payloads: treat the binary column as
+    * fixed-size frames and keep every `stride`-th one (decoders for real
+    * containers plug in ahead, like [[decodeTiffStub]] — the Spark-side
+    * contract is (payload, frame_size, stride) → (frame_idx, frame)).
+    * Per-row generator, no shuffle. */
+  def sampleFrames(video: Array[Byte], frameSize: Int, stride: Int): Array[(Int, Array[Byte])] = {
+    val n = video.length / frameSize
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var i = 0
+    while (i < n) {
+      out += ((i, java.util.Arrays.copyOfRange(video, i * frameSize, (i + 1) * frameSize)))
+      i += stride
+    }
+    out.toArray
+  }
+
+  val sampleFramesUdf = udf((v: Array[Byte], frameSize: Int, stride: Int) =>
+    sampleFrames(v, frameSize, stride))
+
+  /** (id, video) → one row per sampled frame. */
+  def frameSample(df: DataFrame, id: Column, video: Column,
+                  frameSize: Int, stride: Int): DataFrame =
+    df.select(id.as("id"),
+        explode(sampleFramesUdf(video, lit(frameSize), lit(stride))).as("f"))
+      .select(col("id"), col("f._1").as("frame_idx"), col("f._2").as("frame"))
+
+  /** Audio feature extraction for opaque PCM payloads: signed 16-bit LE
+    * samples framed into windows of `win` samples; per-window RMS energy.
+    * The multimodal pattern again: binary column in, typed features out,
+    * all per-row. */
+  def pcmWindowEnergy(pcm: Array[Byte], win: Int): Array[Double] = {
+    val samples = pcm.length / 2
+    val windows = samples / win
+    val out = new Array[Double](windows)
+    var w = 0
+    while (w < windows) {
+      var acc = 0.0
+      var i = 0
+      while (i < win) {
+        val p = 2 * (w * win + i)
+        val s = ((pcm(p) & 0xff) | (pcm(p + 1) << 8)).toShort.toDouble
+        acc += s * s
+        i += 1
+      }
+      out(w) = math.sqrt(acc / win)
+      w += 1
+    }
+    out
+  }
+
+  val pcmEnergyUdf = udf((pcm: Array[Byte], win: Int) => pcmWindowEnergy(pcm, win))
+
   /** Full per-tile feature pipeline: M1 → M2(factor) → M3. */
   def tileFeatures(df: DataFrame, factor: Int): DataFrame =
     df.select(col("tile_name"),

@@ -56,6 +56,35 @@ class ImageOpsSpec extends SparkSpec {
     assert(t2.grouped(4).map(_.head.toInt).toSeq == Seq(8, 9, 12, 13))
   }
 
+  test("multimodal frame sampling: every stride-th fixed-size frame") {
+    val video = Array.tabulate[Byte](40)(_.toByte) // 10 frames of 4 bytes
+    val frames = ImageOps.sampleFrames(video, frameSize = 4, stride = 3)
+    assert(frames.map(_._1).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.head._2.toSeq == Seq[Byte](0, 1, 2, 3))
+    assert(frames(1)._2.toSeq == Seq[Byte](12, 13, 14, 15))
+    // through the DataFrame generator
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq((1, video))).toDF("id", "video")
+    val rows = ImageOps.frameSample(df, col("id"), col("video"), 4, 3).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getInt(1)).sorted.toSeq == Seq(0, 3, 6, 9))
+  }
+
+  test("multimodal audio: per-window RMS energy of 16-bit PCM") {
+    // 4 samples of value 100, then 4 of value 0 -> windows of 4
+    val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).foreach(_ => bb.putShort(100))
+    (0 until 4).foreach(_ => bb.putShort(0))
+    val e = ImageOps.pcmWindowEnergy(bb.array(), win = 4)
+    assert(e.length == 2)
+    assert(math.abs(e(0) - 100.0) < 1e-9)
+    assert(e(1) == 0.0)
+    // negative samples round-trip (LE signed)
+    val bb2 = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putShort(-200); bb2.putShort(-200)
+    assert(math.abs(ImageOps.pcmWindowEnergy(bb2.array(), 2)(0) - 200.0) < 1e-9)
+  }
+
   test("pipeline: tiles -> intensity -> blockMean -> gradient over DataFrame") {
     import org.apache.spark.sql.functions._
     val img = Array.tabulate[Byte](20 * 20 * 4)(p => ((p / 4) % 97).toByte)

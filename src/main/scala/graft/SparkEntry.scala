@@ -38,6 +38,15 @@ object SparkEntry {
       TextAnalytics.wordCount(Tables.documents(s, dir), col("text"))
         .filter(col("cnt") >= 100).orderBy("word")),
 
+    // ---- A1 under skew: salted two-phase word count (same oracle) -------
+    "wordcount_salted" -> ((s, dir) =>
+      Relational.saltedSum(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalytics.tokensCol(col("text"))).as("word"),
+            lit(1L).as("one")),
+        keys = Seq("word"), value = col("one"), alias = "cnt")
+        .orderBy("word")),
+
     // ---- TPC-H Q1 shape: multi-aggregate summary ------------------------
     "q1_pricing_summary" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -325,6 +334,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "wordcount" ->
+      s"""WITH t AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents)
+         |SELECT word, count(*) AS cnt FROM t WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+    "wordcount_salted" ->
       s"""WITH t AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents)
          |SELECT word, count(*) AS cnt FROM t WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
 

@@ -77,6 +77,24 @@ object Relational {
         .as("series"))
   }
 
+  /** A1 under key skew: two-phase "salted" aggregation. Rows are spread
+    * over (key, salt) for the first aggregation — a hot key occupies
+    * `salts` reducers instead of one — then combined on key alone.
+    * Identical results for any associative aggregate.
+    *
+    * Honest scope note: for algebraic aggregates (sum/count/min/max) Spark
+    * already combines map-side, so salting mainly pays off for holistic
+    * aggregates (collect_list/distinct counts) and for skewed-join keys;
+    * it is exposed here as the standard explicit skew tool. */
+  def saltedSum(df: DataFrame, keys: Seq[String], value: Column,
+                alias: String, salts: Int = 16): DataFrame =
+    df.select(keys.map(col) :+ value.as("_v"): _*)
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
+      .groupBy(keys.map(col) :+ col("_salt"): _*)
+      .agg(sum(col("_v")).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as(alias))
+
   /** Exact decimal SUM of a 2-dp monetary double, surfaced as double.
     * Decimal accumulation is associative ⇒ the result is independent of
     * partitioning/merge order — required for a bit-stable oracle compare,

@@ -84,6 +84,16 @@ class TextRelationalSpec extends SparkSpec {
     assert(out("view") == "2024-02:1")
   }
 
+  test("salted two-phase sum equals plain groupBy sum (skew tool)") {
+    import spark.implicits._
+    // heavy skew: one hot key
+    val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "b")).map((_, 1L))
+      .toDF("k", "v")
+    val salted = Relational.saltedSum(df, Seq("k"), col("v"), "total", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == Map("hot" -> 500L, "a" -> 1L, "b" -> 2L))
+  }
+
   test("P4/P5 HAVING-shaped filter after aggregation") {
     val df = spark.createDataFrame(Seq(
       (1, "a a a b"), (2, "b c"))).toDF("id", "text")

@@ -80,16 +80,24 @@ object Lsh {
       .withColumn("buckets", bucketsUdf(col("sig"), lit(bandwidth)))
 
   /** J3: candidate pairs (query, item) that share any band bucket.
-    * `queries` is a small id set — broadcast; corpus side stays put. */
-  def candidates(banded: DataFrame, queryIds: Seq[Any]): DataFrame = {
+    * The query side is selected by a predicate evaluated INSIDE the plan
+    * (no driver round-trip) and must be small — it is broadcast; the
+    * corpus side never shuffles. */
+  def candidatesWhere(banded: DataFrame, queryPred: Column): DataFrame = {
     val exploded = banded.select(col("item_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val q = exploded.filter(col("item_id").isin(queryIds: _*))
-      .select(col("item_id").as("query_id"), col("band"), col("bucket"))
+    val q = banded.filter(queryPred)
+      .select(col("item_id").as("query_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .select(col("query_id"), col("band"), col("bucket"))
     exploded.join(broadcast(q), Seq("band", "bucket"))
       .select(col("query_id"), col("item_id").as("candidate_id"))
       .distinct()   // self-pairs retained: reference keeps dist-0 rows (J4)
   }
+
+  /** J3 with an explicit small id set. */
+  def candidates(banded: DataFrame, queryIds: Seq[Any]): DataFrame =
+    candidatesWhere(banded, col("item_id").isin(queryIds: _*))
 
   /** Candidate lists per query with counts (reference's rdd10 shape,
     * a2:240–241) — deterministic ordering inside the list. */

@@ -42,13 +42,12 @@ object ImageSimilarity {
       val s = tileSize / factor
       val d = 2 * s * (s - 1)
 
-      // M4/M5/J3: query tiles = all tiles of the query images
+      // M4/M5/J3: query tiles = all tiles of the query images — selected by
+      // predicate inside the plan (no driver round-trip for the id list)
       val banded = Lsh.withSignatureBuckets(feats, col("tile_name"),
         col("features"), sigIdx, bandwidth)
-      val queryTileIds = feats
-        .filter(element_at(split(col("tile_name"), "-"), 1).isin(queryImages: _*))
-        .select(col("tile_name")).collect().map(_.getString(0)).toSeq
-      val cands = Lsh.candidates(banded, queryTileIds)  // (query_id, candidate_id)
+      val cands = Lsh.candidatesWhere(banded,
+        element_at(split(col("item_id"), "-"), 1).isin(queryImages: _*))
 
       // M6 RP: d → ⌊√d⌋, broadcast matmul; M7+M8 fit over ALL projected
       // tiles, then project only the rows the distance stage needs.

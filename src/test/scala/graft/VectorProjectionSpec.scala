@@ -20,6 +20,16 @@ class VectorProjectionSpec extends SparkSpec {
     assert(math.abs(out(1)._4 - 200.0 / 3) < 1e-9)
   }
 
+  test("M7 standardize (wide form): z-vectors match the long form") {
+    val df = vecs(Seq(Array(1f, 10f), Array(3f, 20f), Array(5f, 30f)))
+    val wide = VectorOps.standardize(df, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val long = VectorOps.standardizeLong(df, col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 until 3; d <- 0 until 2)
+      assert(math.abs(wide(i)(d) - long((i, d.toLong))) < 1e-12)
+  }
+
   test("M7 standardizeLong: z-scores match hand computation") {
     val df = vecs(Seq(Array(1f, 10f), Array(3f, 20f), Array(5f, 30f)))
     val out = VectorOps.standardizeLong(df, col("vec_id"), col("embedding"))

@@ -146,6 +146,11 @@ object SparkEntry {
       TextAnalytics.languageId(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- n-gram (trigram rank-distance) language ID ---------------------
+    "lang_id_ngram" -> ((s, dir) =>
+      TextAnalytics.langIdNgram(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ---- document fingerprint ------------------------------------------
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalytics.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -432,18 +437,33 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
 
-    "industry_mentions" ->
-      """WITH f AS (SELECT filename, content FROM read_text('/tmp/graft_fixtures/blogs/*.xml')),
-        |ind AS (SELECT DISTINCT lower(string_split(string_split(filename, '/')[-1], '.')[-3]) AS industry FROM f),
-        |p AS (SELECT regexp_extract_all(content, '(?s)<date>(.*?)</date>.*?<post>(.*?)</post>', 1) AS ds,
-        |             regexp_extract_all(content, '(?s)<date>(.*?)</date>.*?<post>(.*?)</post>', 2) AS ps FROM f),
-        |dp AS (SELECT unnest(ds) AS d, unnest(ps) AS post FROM p),
-        |d2 AS (SELECT string_split(d, ',')[3] || '-' || string_split(d, ',')[2] AS ym, post FROM dp),
-        |w AS (SELECT ym, lower(unnest(string_split_regex(post, '[ ,.:;\n\r"''?-]'))) AS word FROM d2),
-        |m AS (SELECT word, ym, count(*) AS cnt FROM w
-        |      WHERE word IN (SELECT industry FROM ind) GROUP BY word, ym)
-        |SELECT word, string_agg(ym || ':' || cnt, ',' ORDER BY ym || ':' || cnt) AS series
-        |FROM m GROUP BY word ORDER BY word""".stripMargin,
+    // The oracle reconstructs the expected result straight from the
+    // documents table: the blog fixture corpus is a deterministic function
+    // of it (same Scala constants interpolated below, so Spark fixtures and
+    // oracle can never drift), which keeps the oracle independent of
+    // filesystem access. The Spark side still reads the real files through
+    // wholetext + the malformed-XML scanner — this checks that whole path
+    // end-to-end against an independent reconstruction.
+    "industry_mentions" -> {
+      val monthsSql = graft.sources.BlogCorpus.Months
+        .map(m => s"'$m'").mkString("[", ", ", "]")
+      val industriesSql = graft.sources.BlogCorpus.Industries
+        .map(i => s"'$i'").mkString("[", ", ", "]")
+      s"""WITH f AS (SELECT doc_id, text,
+         |             $monthsSql[CAST(doc_id % 12 AS INT) + 1] AS m1,
+         |             $monthsSql[CAST((doc_id + 5) % 12 AS INT) + 1] AS m2,
+         |             CAST(2000 + doc_id % 5 AS VARCHAR) AS y,
+         |             $industriesSql[CAST(doc_id % ${graft.sources.BlogCorpus.Industries.size} AS INT) + 1] AS industry
+         |           FROM documents WHERE doc_id < 200),
+         |ind AS (SELECT DISTINCT lower(industry) AS industry FROM f),
+         |posts AS (SELECT y || '-' || m1 AS ym, text FROM f
+         |          UNION ALL SELECT y || '-' || m2 AS ym, text FROM f),
+         |w AS (SELECT ym, lower(unnest(string_split_regex(text, '[ ,.:;\n\r"''?-]'))) AS word FROM posts),
+         |m AS (SELECT word, ym, count(*) AS cnt FROM w
+         |      WHERE word <> '' AND word IN (SELECT industry FROM ind) GROUP BY word, ym)
+         |SELECT word, string_agg(ym || ':' || cnt, ',' ORDER BY ym || ':' || cnt) AS series
+         |FROM m GROUP BY word ORDER BY word""".stripMargin
+    },
 
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * payload stays a byte blob through the scan (parquet reads it lazily),
   * and only the kernels below interpret it. Decoders for real container
   * formats (TIFF-in-zip, `a2_ahuja.py:13–24`) would plug in ahead of
-  * `tile`; the container decode is STUBBED (see [[decodeTiffStub]]) because
-  * no imaging codec ships in this environment — the Spark-side plumbing
+  * `tile`; the container decode is STUBBED (see
+  * [[graft.sources.ZipImages.decodeRawStub]]) because no imaging codec
+  * ships in this environment — the Spark-side plumbing
   * (schema, tiling, kernels) is real and tested.
   *
   * Reference semantics:
@@ -30,12 +31,6 @@ import org.apache.spark.sql.functions._
   * one task, no shuffle, and the DataFrame around them stays declarative.
   */
 object ImageOps {
-
-  /** STUB decode: container bytes → raw RGBI. A real deployment swaps in a
-    * TIFF/PNG codec (e.g. javax.imageio or a vendored decoder); semantics
-    * downstream are codec-independent. Here: identity on already-raw
-    * fixtures. */
-  def decodeTiffStub(content: Array[Byte]): Array[Byte] = content
 
   /** P8: one (rows×cols×4) image → ⌊r/t⌋·⌊c/t⌋ tiles of t×t×4, row-major
     * index. Returns array<struct<idx:int, tile:binary>>. */
@@ -153,7 +148,7 @@ object ImageOps {
 
   /** Frame sampling for opaque video payloads: treat the binary column as
     * fixed-size frames and keep every `stride`-th one (decoders for real
-    * containers plug in ahead, like [[decodeTiffStub]] — the Spark-side
+    * containers plug in ahead, like the zip/TIFF decode — the Spark-side
     * contract is (payload, frame_size, stride) → (frame_idx, frame)).
     * Per-row generator, no shuffle. */
   def sampleFrames(video: Array[Byte], frameSize: Int, stride: Int): Array[(Int, Array[Byte])] = {

@@ -64,7 +64,6 @@ object Lsh {
     }
   }
 
-  val signatureUdf = udf((v: Seq[Int], idx: Int) => signature(v.toArray, idx))
   val bucketsUdf = udf((sig: String, bandwidth: Int) => buckets(sig, bandwidth))
 
   /** Attach signature + band buckets to a feature-vector DataFrame.

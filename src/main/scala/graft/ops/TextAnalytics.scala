@@ -81,6 +81,62 @@ object TextAnalytics {
         when(col("stop_ratio") >= threshold, lit("en")).otherwise(lit("other")))
   }
 
+  /** Character-trigram language profiles (Cavnar–Trenkle style: a ranked
+    * list of the language's most frequent trigrams, spaces as boundaries).
+    * Hand-built from high-frequency function words — small on purpose; a
+    * production profile would be learned from a corpus, the OPERATOR shape
+    * (per-row profile distance, zero shuffle) is what scales. */
+  val LangProfiles: Map[String, IndexedSeq[String]] = Map(
+    "en" -> Vector(" th", "the", "he ", " an", "and", "nd ", " of", "of ",
+      "ing", "ng ", " to", "to ", " in", "in ", "ion", " is", "is ", "ed ",
+      "at ", " be"),
+    "es" -> Vector(" de", "de ", " la", "la ", " el", "el ", "os ", " qu",
+      "que", "ue ", " en", "en ", " lo", "los", " es", "es ", "ar ", " co",
+      "ión", "ón "),
+    "fr" -> Vector(" de", "de ", " le", "le ", "es ", " la", "la ", "ent",
+      "nt ", " et", "et ", " un", "un ", "re ", " qu", "que", "ue ", " pa",
+      "our", "ur "),
+    "de" -> Vector("er ", " de", "der", "en ", "ie ", " di", "die", "ch ",
+      "sch", " un", "und", "nd ", "ein", " ei", "ung", "ng ", "ich", " ge",
+      "ten", "cht"))
+
+  /** Rank-distance ("out of place") language ID over character trigrams —
+    * the n-gram heuristic complement of the stopword [[languageId]].
+    * Pure per-row work; returns the best profile and its distance. */
+  def langIdNgram(df: DataFrame, id: Column, text: Column,
+                  topK: Int = 40): DataFrame = {
+    val profiles = LangProfiles // stable capture for the closure
+    val classify = udf { (t: String) =>
+      val s = " " + t.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim + " "
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i + 3 <= s.length) {
+        val g = s.substring(i, i + 3)
+        counts(g) = counts.getOrElse(g, 0) + 1
+        i += 1
+      }
+      // deterministic top-K: by count desc, then trigram asc
+      val top = counts.toSeq.sortBy { case (g, c) => (-c, g) }
+        .take(topK).map(_._1).zipWithIndex.toMap
+      val scored = profiles.toSeq.map { case (lang, prof) =>
+        val maxPenalty = topK
+        val d = prof.zipWithIndex.map { case (g, r) =>
+          top.get(g) match {
+            case Some(dr) => math.abs(dr - r)
+            case None => maxPenalty
+          }
+        }.sum
+        (lang, d)
+      }
+      val best = scored.minBy { case (lang, d) => (d, lang) }
+      best._1 + ":" + best._2
+    }
+    df.select(id.as("doc_id"), classify(text).as("pred"))
+      .select(col("doc_id"),
+        split(col("pred"), ":").getItem(0).as("lang_pred"),
+        split(col("pred"), ":").getItem(1).cast("long").as("distance"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * order-insensitive content identity (bag-of-words dedup key). */
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =

@@ -40,7 +40,7 @@ object BlogCorpus {
     "hash", "batch", "filter", "merge", "customer",
     "lawenforcement-security")
 
-  private val Months = Seq("January", "February", "March", "April", "May",
+  val Months: Seq[String] = Seq("January", "February", "March", "April", "May",
     "June", "July", "August", "September", "October", "November", "December")
 
   /** P7: scan text into (date, post) pairs. Faithful to the reference's

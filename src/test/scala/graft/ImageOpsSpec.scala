@@ -83,6 +83,24 @@ class ImageOpsSpec extends SparkSpec {
     val bb2 = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb2.putShort(-200); bb2.putShort(-200)
     assert(math.abs(ImageOps.pcmWindowEnergy(bb2.array(), 2)(0) - 200.0) < 1e-9)
+    // through the DataFrame UDF
+    import org.apache.spark.sql.functions._
+    val e2 = spark.createDataFrame(Seq((1, bb.array())))
+      .toDF("id", "pcm")
+      .select(ImageOps.pcmEnergyUdf(col("pcm"), lit(4)))
+      .first().getSeq[Double](0)
+    assert(e2.length == 2 && math.abs(e2.head - 100.0) < 1e-9)
+  }
+
+  test("token n-gram string shingles: windows and short-doc fallback") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq((1, "a b c d"), (2, "x y")))
+      .toDF("id", "text")
+    val sh = df.select(col("id"),
+        graft.ops.Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(sh(1) == Seq("a b c", "b c d"))
+    assert(sh(2) == Seq("x y")) // fewer than n tokens: whole-doc shingle
   }
 
   test("pipeline: tiles -> intensity -> blockMean -> gradient over DataFrame") {

@@ -84,6 +84,21 @@ class TextRelationalSpec extends SparkSpec {
     assert(out("view") == "2024-02:1")
   }
 
+  test("n-gram language ID separates English / Spanish / French / German") {
+    val df = spark.createDataFrame(Seq(
+      (1, "the cat is in the house and the dog is in the garden of the king"),
+      (2, "el gato esta en la casa y el perro esta en el jardin de los reyes que"),
+      (3, "le chat est dans la maison et le chien est dans le jardin du roi que"),
+      (4, "der hund und die katze sind in dem haus und in dem garten des konigs")))
+      .toDF("doc_id", "text")
+    val out = TextAnalytics.langIdNgram(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "en", s"got ${out(1)}")
+    assert(out(2) == "es", s"got ${out(2)}")
+    assert(out(3) == "fr", s"got ${out(3)}")
+    assert(out(4) == "de", s"got ${out(4)}")
+  }
+
   test("salted two-phase sum equals plain groupBy sum (skew tool)") {
     import spark.implicits._
     // heavy skew: one hot key

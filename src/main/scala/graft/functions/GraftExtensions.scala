@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers the graft kernel expressions as SQL functions via the public
+  * `SparkSessionExtensions` mechanism, so `spark.sql` users can call them
+  * directly:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT graft_simhash64(tokens) FROM t")
+  * }}}
+  *
+  * Scalar parameters (n, k, bands…) are passed as literal arguments.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft.functions.HashFunctions", null, name, usage, "")
+
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hash64"),
+      info("graft_shingle_hash64",
+        "graft_shingle_hash64(tokens, n) - distinct 64-bit n-gram shingle hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHash64(children.head, intArg(children(1), "n"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash_buckets"),
+      info("graft_minhash_buckets",
+        "graft_minhash_buckets(shingleHashes, k, rowsPerBand) - minhash LSH band buckets"),
+      (children: Seq[Expression]) => MinHashBuckets(children.head,
+        intArg(children(1), "k"), intArg(children(2), "rowsPerBand"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_bucket"),
+      info("graft_hyperplane_bucket",
+        "graft_hyperplane_bucket(vec, planes[, offset]) - random-hyperplane LSH bucket"),
+      (children: Seq[Expression]) => HyperplaneBucket(children.head,
+        intArg(children(1), "planes"),
+        if (children.length > 2) intArg(children(2), "offset") else 0)))
+
+    ext.injectFunction((FunctionIdentifier("graft_md5_chunk_signature"),
+      info("graft_md5_chunk_signature",
+        "graft_md5_chunk_signature(intVec, idx) - 128-chunk md5 signature"),
+      (children: Seq[Expression]) =>
+        Md5ChunkSignature(children.head, intArg(children(1), "idx"))))
+  }
+}

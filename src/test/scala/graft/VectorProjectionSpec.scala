@@ -71,6 +71,32 @@ class VectorProjectionSpec extends SparkSpec {
     assert(pc1.max - pc1.min > 1.0)
   }
 
+  test("M8 full-rank PCA is an isometry of standardized data (invariant)") {
+    // k = d: proj = z·U with U orthogonal, so pairwise euclidean distances
+    // of projections equal those of the z-scores — an independent
+    // correctness invariant that does not depend on eigenvector signs.
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 25).map(_ => Array.tabulate(4)(_ => rng.nextGaussian().toFloat))
+    val df = vecs(rows).select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val proj = Projections.pca(df, col("vec_id"), col("v"), k = 4, d = 4)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    // z-scores computed independently in the test
+    val data = rows.map(_.map(_.toDouble))
+    val mu = (0 until 4).map(d => data.map(_(d)).sum / data.length)
+    val sg = (0 until 4).map(d =>
+      math.sqrt(data.map(x => math.pow(x(d) - mu(d), 2)).sum / data.length))
+    val z = data.zipWithIndex.map { case (x, i) =>
+      i -> (0 until 4).map(d => (x(d) - mu(d)) / sg(d)).toArray
+    }.toMap
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    for (i <- 0 until 10; j <- i + 1 until 10) {
+      val dp = dist(proj(i), proj(j))
+      val dz = dist(z(i), z(j))
+      assert(math.abs(dp - dz) < 1e-6, s"pair ($i,$j): $dp vs $dz")
+    }
+  }
+
   test("M8 PCA works at d=1024 (plan stays O(1) expressions)") {
     val rng = new scala.util.Random(11)
     val rows = (0 until 30).map { i =>

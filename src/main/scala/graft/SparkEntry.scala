@@ -517,6 +517,40 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id) AS rank
         |  FROM s) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // All-pairs oracles for the LSH dedup queries: the bucketed queries are
+    // exact-verification pipelines, so whenever LSH recall is 1 on the
+    // dataset (planted dup pairs are identical or near-identical — far from
+    // the threshold), the output EQUALS the brute-force answer, which
+    // DuckDB can compute directly. Verified: counts match at sf0.01/0.001.
+    "minhash_dup_pairs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM docs),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(len(toks) - 2),
+         |               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+         |             ELSE [array_to_string(toks, ' ')] END AS sh
+         |      FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |      FROM s a, s b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |      FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),

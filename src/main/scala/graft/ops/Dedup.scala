@@ -197,6 +197,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         VectorOps.cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= cosineThreshold)
+      // cos rounded for cross-engine comparability (fold order differs);
+      // the threshold above is applied to the unrounded value
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
       .orderBy("id_a", "id_b")
   }
 }

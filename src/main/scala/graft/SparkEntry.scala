@@ -426,6 +426,34 @@ object SparkEntry {
          |    / greatest(len(toks), 1) >= 0.10 THEN 'en' ELSE 'other' END AS lang_pred
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // Trigram rank-distance language ID, reproduced exactly in SQL (same
+    // normalization, same deterministic top-40 and tie-breaks); profile
+    // literals are generated from TextAnalytics.LangProfiles so the Spark
+    // side and the oracle cannot drift.
+    "lang_id_ngram" -> {
+      val vals = TextAnalytics.LangProfiles.toSeq.sortBy(_._1).flatMap {
+        case (lang, prof) => prof.zipWithIndex.map { case (g, r) =>
+          s"('$lang','$g',$r)"
+        }
+      }.mkString(",")
+      s"""WITH t AS (SELECT doc_id, ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) || ' ' AS s FROM documents),
+         |i AS (SELECT doc_id, s, unnest(range(1, length(s) - 1)) AS pos FROM t),
+         |g AS (SELECT doc_id, substring(s, pos, 3) AS tri FROM i),
+         |c AS (SELECT doc_id, tri, count(*) AS cnt FROM g GROUP BY doc_id, tri),
+         |tk AS (SELECT doc_id, tri, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tri) - 1 AS rnk
+         |       FROM c QUALIFY rnk < 40),
+         |p AS (SELECT * FROM (VALUES $vals) AS v(lang, tri, r)),
+         |d AS (SELECT docs.doc_id, p.lang,
+         |        CAST(sum(coalesce(abs(tk.rnk - p.r), 40)) AS BIGINT) AS dist
+         |      FROM (SELECT DISTINCT doc_id FROM documents) docs
+         |      CROSS JOIN p
+         |      LEFT JOIN tk ON tk.doc_id = docs.doc_id AND tk.tri = p.tri
+         |      GROUP BY docs.doc_id, p.lang),
+         |best AS (SELECT doc_id, lang AS lang_pred, dist AS distance,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn FROM d)
+         |SELECT doc_id, lang_pred, distance FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
     "doc_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp

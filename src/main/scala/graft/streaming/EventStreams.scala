@@ -90,6 +90,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup for a document stream: content-hash the payload
+    * and keep the first arrival, dropping later duplicates that arrive
+    * within the watermark horizon (state is bounded by the watermark —
+    * the streaming twin of [[graft.ops.Dedup.exact]]). Spark's
+    * `dropDuplicatesWithinWatermark` supplies the bounded-state engine;
+    * this operator contributes the content-identity key. */
+  def dedupStream(docs: DataFrame, ts: String, payload: String): DataFrame =
+    docs
+      .withColumn("content_hash",
+        org.apache.spark.sql.functions.md5(col(payload)))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Batch form of [[sessionize]] that also FLUSHES the final open session
     * per user (batch input is complete, so the open session is closed by
     * definition). Matches the batch `sessionize` window query row-for-row.

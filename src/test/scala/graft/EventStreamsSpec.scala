@@ -63,6 +63,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.contains((1L, 2L, 1L, base + 5000, base + 5000))) // closed by timeout
   }
 
+  test("streaming exact dedup drops within-watermark duplicates across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val base = 86400L * 19005
+    val q = EventStreams.dedupStream(
+      mem.toDF().toDF("ts", "text").withWatermark("ts", "1 hour"),
+      ts = "ts", payload = "text")
+      .select("text")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData((ts(base), "alpha"), (ts(base + 10), "alpha"), (ts(base + 20), "beta"))
+    q.processAllAvailable()
+    mem.addData((ts(base + 30), "alpha"), (ts(base + 40), "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect().map(_.getString(0)).toSeq
+    assert(out.sorted == Seq("alpha", "beta", "gamma")) // dups dropped across batches
+  }
+
   test("sessionizeBatch agrees with the window-function formulation") {
     import spark.implicits._
     val base = 86400L * 19002

@@ -560,11 +560,13 @@ object SparkEntry {
          |               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
          |             ELSE [array_to_string(toks, ' ')] END AS sh
          |      FROM t),
+         |x AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-         |      FROM s a, s b WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7
+         |        count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+         |      FROM x a JOIN x b USING (g) WHERE a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
 
     "embedding_neardup" ->

@@ -115,17 +115,26 @@ object Dedup {
   def ngramJaccardPairs(corpus: DataFrame, queries: DataFrame,
                         id: Column, text: Column,
                         n: Int = 3, threshold: Double = 0.01): DataFrame = {
-    def sh(df: DataFrame, idAs: String, shAs: String) = df
+    require(threshold > 0.0,
+      "inverted-index jaccard never materializes zero-overlap pairs")
+    def sh(df: DataFrame, idAs: String) = df
       .filter(size(TextAnalytics.tokensCol(text)) >= n)
-      .select(id.as(idAs), shingleHashes64(text, n).as(shAs))
-    val c = sh(corpus, "doc_id", "sh_c")
-    val q = sh(queries, "query_id", "sh_q")
-    c.crossJoin(broadcast(q))
+      .select(id.as(idAs), shingleHashes64(text, n).as("sh"))
+    // inverted index: explode shingles, equi-join on the shingle hash —
+    // |∩| arrives as a count and pairs with no overlap never exist, so the
+    // corpus is scanned once instead of cross-joined
+    val c = sh(corpus, "doc_id")
+      .select(col("doc_id"), size(col("sh")).as("n_c"), explode(col("sh")).as("g"))
+    val q = sh(queries, "query_id")
+      .select(col("query_id"), size(col("sh")).as("n_q"), explode(col("sh")).as("g"))
+    c.join(broadcast(q), "g")
       .filter(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("n_q")).as("n_q"), first(col("n_c")).as("n_c"))
       .select(col("query_id"), col("doc_id"),
-        (size(array_intersect(col("sh_q"), col("sh_c"))).cast("double")
-          / (size(col("sh_q")) + size(col("sh_c"))
-            - size(array_intersect(col("sh_q"), col("sh_c"))))).as("jaccard"))
+        (col("inter").cast("double")
+          / (col("n_q") + col("n_c") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("query_id", "doc_id")
   }

@@ -59,11 +59,14 @@ object TextAnalytics {
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        // greatest(…, 1): empty documents yield 0 ratios instead of an
+        // ANSI divide-by-zero error (doubles error too under ANSI mode);
+        // unchanged for any non-empty document
         (aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).cast("double")
-          / size(col("toks"))).as("avg_token_len"),
+          / greatest(size(col("toks")), lit(1))).as("avg_token_len"),
         (size(filter(col("toks"), t => t.isin(Stopwords.map(lit): _*)))
-          .cast("double") / size(col("toks"))).as("stopword_ratio"),
-        (col("n_digit").cast("double") / col("n_char")).as("digit_ratio"))
+          .cast("double") / greatest(size(col("toks")), lit(1))).as("stopword_ratio"),
+        (col("n_digit").cast("double") / greatest(col("n_char"), lit(1))).as("digit_ratio"))
   }
 
   /** Language ID heuristic: stopword-hit ratio over the token stream.

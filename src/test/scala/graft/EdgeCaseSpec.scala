@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalytics, VectorOps}
+
+/** Degenerate inputs a 100 TB corpus will contain: empty documents,
+  * punctuation-only text, nulls. Operators must degrade gracefully, not
+  * throw (Spark 4 runs ANSI mode: even double division by zero errors). */
+class EdgeCaseSpec extends SparkSpec {
+
+  private def docs(rows: (Int, String)*) =
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+
+  test("text operators survive empty / punctuation-only / single-char docs") {
+    val df = docs((1, ""), (2, "!!! ???"), (3, "x"), (4, "normal text here"))
+    val stats = TextAnalytics.docStats(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats(1) == 0L && stats(2) == 0L && stats(3) == 1L && stats(4) == 3L)
+    assert(TextAnalytics.languageId(df, col("doc_id"), col("text")).count() == 4)
+    assert(TextAnalytics.fingerprint(df, col("doc_id"), col("text")).count() == 4)
+    assert(TextAnalytics.tokenBudget(df, col("doc_id"), col("text")).count() == 4)
+    assert(TextAnalytics.langIdNgram(df, col("doc_id"), col("text")).count() == 4)
+    assert(TextAnalytics.wordCount(df, col("text")).count() == 4) // x, normal, text, here
+  }
+
+  test("dedup operators survive empty and near-empty docs") {
+    val df = docs((1, ""), (2, ""), (3, "a"), (4, "a"), (5, "real content words"))
+    // empty docs are exact dups of each other (shingle of "")
+    val mh = Dedup.minhashDupPairs(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(mh.toSet == Set((1, 2), (3, 4)))
+    val sh = Dedup.simhashDupPairs(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(sh.toSet.contains((1, 2)) && sh.toSet.contains((3, 4)))
+    assert(Dedup.exact(df, col("doc_id"), col("text")).count() == 3)
+  }
+
+  test("null text flows to null/absent rows, not exceptions") {
+    val df = spark.createDataFrame(Seq(
+      (1, "some text"), (2, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    // kernels are null-intolerant expressions -> null propagates; explode
+    // of null produces no rows
+    val mh = Dedup.minhashDupPairs(df, col("doc_id"), col("text")).count()
+    assert(mh == 0)
+    val wc = TextAnalytics.wordCount(df.filter(col("text").isNotNull), col("text"))
+    assert(wc.count() == 2)
+  }
+
+  test("vector ops survive zero vectors (cosine guarded by caller contract)") {
+    val df = spark.createDataFrame(Seq(
+      (1, Array(0f, 0f, 0f)), (2, Array(1f, 2f, 3f))))
+      .toDF("vec_id", "embedding")
+    // norms fine for zero vectors
+    val n = VectorOps.norms(df, col("vec_id"), col("embedding"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(n(1) == 0.0 && math.abs(n(2) - math.sqrt(14.0)) < 1e-9)
+    // dimStats over a constant-zero dim: var 0, no error
+    val ds = VectorOps.dimStats(df, col("embedding")).collect()
+    assert(ds.length == 3)
+  }
+}

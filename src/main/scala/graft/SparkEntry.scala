@@ -314,6 +314,14 @@ object SparkEntry {
         queryImages = Seq("img0.zip", "img3.zip"))
     }),
 
+    // ---- the reference's dual-resolution contract (a2:432–433 runs the
+    // same DAG at a finer factor — higher-dim features, bigger RP/PCA) ----
+    "image_similarity_hires" -> ((s, dir) => {
+      val zips = graft.sources.ZipImages.ensureFixtures()
+      graft.pipelines.ImageSimilarity.run(s, zips,
+        queryImages = Seq("img0.zip"), tileSize = 50, factor = 2)
+    }),
+
     // ---- P8/M1–M3 multimodal image pipeline on deterministic fixtures ---
     "image_features" -> ((s, dir) => {
       val imgs = (0 until 4).map { i =>

@@ -322,6 +322,25 @@ object SparkEntry {
         queryImages = Seq("img0.zip"), tileSize = 50, factor = 2)
     }),
 
+    // ---- M8 correctness invariant, oracle-checkable: full-rank PCA is an
+    // isometry of standardized data (orthogonal U), so projection-space
+    // distances equal z-space distances — which DuckDB computes directly
+    // from the table without any eigendecomposition. Verifies the whole
+    // standardize → Gram → SVD → affine-projection chain numerically. ----
+    "pca_isometry" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val proj = Projections.pca(e, col("vec_id"), col("v"), k = 64, d = 64)
+      val a = proj.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("id_a"), col("proj").as("pa"))
+      val b = proj.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("id_b"), col("proj").as("pb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorOps.euclidean(col("pa"), col("pb")), 6).as("dist_r"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- P8/M1–M3 multimodal image pipeline on deterministic fixtures ---
     "image_features" -> ((s, dir) => {
       val imgs = (0 until 4).map { i =>
@@ -541,6 +560,26 @@ object SparkEntry {
         |  FROM x GROUP BY dim)
         |SELECT x.vec_id, x.dim, (x.xv - st.mean) / st.sigma AS z
         |FROM x JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
+
+    "pca_isometry" ->
+      """WITH x AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |                  CAST(unnest(embedding) AS DOUBLE) AS xv,
+        |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vu
+        |           FROM embeddings),
+        |st AS (SELECT dim,
+        |  CAST(sum(vu) AS DOUBLE) / count(*) / 1e6 AS mean,
+        |  sqrt((CAST(sum(vu * vu) AS DOUBLE) / count(*)
+        |    - (CAST(sum(vu) AS DOUBLE) / count(*)) * (CAST(sum(vu) AS DOUBLE) / count(*))) / 1e12) AS sigma
+        |  FROM x GROUP BY dim),
+        |z AS (SELECT x.vec_id, x.dim, (x.xv - st.mean) / st.sigma AS z
+        |      FROM x JOIN st USING (dim)),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        sqrt(sum((a.z - b.z) * (a.z - b.z))) AS dist
+        |      FROM z a JOIN z b ON a.dim = b.dim
+        |      WHERE a.vec_id < 5 AND b.vec_id < 50 AND a.vec_id < b.vec_id
+        |      GROUP BY a.vec_id, b.vec_id)
+        |SELECT id_a, id_b, round(dist, 6) AS dist_r FROM p
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "knn_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -6,17 +6,19 @@ import org.apache.spark.sql.functions._
 /** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
   *
-  * Design for 100 TB: per-document work (shingling, signatures) is pure
-  * per-row higher-order-function math — codegen'd, zero shuffle. The only
-  * shuffles are (a) the groupBy on content hash for exact dedup and (b) the
-  * band-bucket equi self-join for candidate generation, which is the
-  * standard LSH trick that avoids the O(n²) pair space. Candidate pairs are
-  * then verified with exact Jaccard/cosine — only bucket collisions pay
-  * that cost.
+  * Design for 100 TB: per-document work (shingling, signatures, simhash,
+  * hyperplane buckets) runs in native codegen kernels
+  * ([[graft.functions.HashFunctions]]) — one scan, zero shuffle. Candidate
+  * generation is within-bucket ([[bucketPairs]]): one shuffle of
+  * (band, bucket, id) with capped buckets for skew, never an O(n²) pair
+  * space and never a self-join that would recompute the kernel lineage.
+  * Candidate pairs are `distinct`ed and then verified exactly
+  * (Jaccard / Hamming / cosine) ONCE per pair, with payloads joined back
+  * only for surviving candidates.
   *
-  * MinHash/LSH shape follows the reference's signature→bands→bucket-join
-  * pipeline (`a2_ahuja.py:99–149,164–170`) re-expressed as
-  * posexplode + equi join (SURVEY.md §2.3 J3).
+  * MinHash/LSH semantics follow the reference's signature→bands→bucket
+  * pipeline (`a2_ahuja.py:99–149,164–170`) re-expressed bucket-first
+  * (SURVEY.md §2.3 J3).
   */
 object Dedup {
 

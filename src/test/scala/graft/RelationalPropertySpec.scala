@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import graft.ops.Relational
+
+/** ScalaCheck contracts for the relational core (SURVEY.md §5.2.3):
+  * reference semantics hold for arbitrary inputs, not just fixtures. */
+class RelationalPropertySpec extends SparkSpec {
+
+  private val smallInts = Gen.listOf(Gen.chooseNum(-20, 20))
+
+  test("J1 set difference equals model set difference for any int sets") {
+    checkProp(Prop.forAll(smallInts, smallInts) { (r, s) =>
+      import spark.implicits._
+      val out = Relational.setDifference(r.toDF("x"), s.toDF("x"))
+        .collect().map(_.getInt(0)).toSet
+      out == (r.toSet -- s.toSet)
+    }, minTests = 25)
+  }
+
+  test("J1 set difference holds for string elements (any comparable type)") {
+    val words = Gen.listOf(Gen.oneOf("apple", "pear", "fig", "kiwi", "plum"))
+    checkProp(Prop.forAll(words, words) { (r, s) =>
+      import spark.implicits._
+      val out = Relational.setDifference(r.toDF("x"), s.toDF("x"))
+        .collect().map(_.getString(0)).toSet
+      out == (r.toSet -- s.toSet)
+    }, minTests = 20)
+  }
+
+  test("salted sum equals plain sum for arbitrary keyed data") {
+    val rows = Gen.listOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(-100L, 100L)))
+    checkProp(Prop.forAll(rows) { data =>
+      import spark.implicits._
+      if (data.isEmpty) true
+      else {
+        val df = data.toDF("k", "v")
+        val salted = Relational.saltedSum(df, Seq("k"), col("v"), "total", salts = 4)
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val model = data.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        salted == model
+      }
+    }, minTests = 20)
+  }
+
+  test("O1 top-k per group returns the true top-k") {
+    val rows = Gen.listOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 50)))
+    checkProp(Prop.forAll(rows) { data =>
+      import spark.implicits._
+      if (data.isEmpty) true
+      else {
+        val df = data.zipWithIndex.map { case ((g, v), i) => (g, v, i) }
+          .toDF("g", "v", "id")
+        val out = Relational.topKPerGroup(df, Seq(col("g")),
+          Seq(col("v").desc, col("id")), 2)
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        val model = data.zipWithIndex.map { case ((g, v), i) => (g, v, i) }
+          .groupBy(_._1).values.flatMap(
+            _.sortBy(t => (-t._2, t._3)).take(2)).toSet
+        out.toSet == model
+      }
+    }, minTests = 20)
+  }
+
+  test("A5 grouped concat is order-insensitive (deterministic nesting)") {
+    val rows = Gen.listOfN(12, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(10, 99)))
+    checkProp(Prop.forAll(rows) { data =>
+      import spark.implicits._
+      if (data.isEmpty) true
+      else {
+        def run(d: List[(Int, Int)]) =
+          Relational.groupedConcat(d.toDF("g", "v"), Seq(col("g")),
+            col("v").cast("string"), "items")
+            .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+        run(data) == run(scala.util.Random.shuffle(data))
+      }
+    }, minTests = 15)
+  }
+}

@@ -95,6 +95,17 @@ object Relational {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_partial")).as(alias))
 
+  /** Bucketed table write: pre-shuffle a fact table ONCE by its join key
+    * so that every later equi-join or aggregation on that key runs with no
+    * exchange at all (the 100 TB pattern for repeatedly-joined tables:
+    * pay the shuffle at ingest, never at query time). `sortBy` additionally
+    * removes the sort from sort-merge joins. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** Exact decimal SUM of a 2-dp monetary double, surfaced as double.
     * Decimal accumulation is associative ⇒ the result is independent of
     * partitioning/merge order — required for a bit-stable oracle compare,

@@ -53,6 +53,26 @@ class VectorProjectionSpec extends SparkSpec {
     g.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("A9 Gram aggregator merge path: many rows across many partitions") {
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 2000).map(_ => Array.tabulate(5)(_ => rng.nextGaussian().toFloat))
+    val df = vecs(rows)
+      .repartition(16) // force partial buffers + merges
+      .select(col("embedding").cast("array<double>").as("v"))
+    val g = Projections.gram(df, col("v"), 5)
+    val expect = Array.ofDim[Double](25)
+    rows.foreach { r =>
+      for (i <- 0 until 5; j <- 0 until 5)
+        expect(i * 5 + j) += r(i).toDouble * r(j).toDouble
+    }
+    // cross-partition double sums: compare with a tolerance scaled to the
+    // magnitude (merge order differs from the sequential model)
+    g.zip(expect).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"$a vs $b")
+    }
+  }
+
   test("M8 PCA: projection has k dims and recovers a dominant direction") {
     // points along direction (1,1,0,...) with small noise in dim 2
     val rng = new scala.util.Random(7)

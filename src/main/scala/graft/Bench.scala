@@ -34,7 +34,7 @@ object Bench {
         try {
           val df = fn(spark, sfDir)
           // bit_xor: order-independent and cannot overflow under ANSI mode
-          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
             .agg(bit_xor(col("h"))).collect()
           "ok"
         } catch {

@@ -26,8 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def info(name: String, usage: String) =
-      new ExpressionInfo("graft.functions.HashFunctions", null, name, usage, "")
+    def info(name: String, usage: String) = {
+      val _ = usage // shown via SQL DESCRIBE only with the extended ctor
+      new ExpressionInfo("graft.functions.HashFunctions", name)
+    }
 
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),

@@ -84,8 +84,8 @@ object Dedup {
     * join the shingle sets back once per side → ONE exact Jaccard check per
     * unique pair. Shingle arrays never ride a shuffle keyed by bucket; a
     * pair colliding in many bands is verified once, not once per band.
-    */
-  /** Band tuning: r=4/b=16 puts the S-curve midpoint at J≈0.5 —
+    *
+    * Band tuning: r=4/b=16 puts the S-curve midpoint at J≈0.5 —
     * P(miss) ≤ 2.2e-4 at J=0.8 and 4e-8 at J=0.9, so recall at a 0.7
     * threshold is ~1 even for short documents (whose tiny shingle sets
     * make minhash noisy); false candidates at the corpus's background
@@ -198,8 +198,9 @@ object Dedup {
   /** Embedding near-dup, LSH-bucketed (the scale path): random-hyperplane
     * sign-bit buckets (planes derived from seeded hashes — deterministic,
     * no driver-side matrix), multi-band for recall, dedup-then-verify:
-    * the band self-join carries ids only, pairs are `distinct`ed, vectors
-    * are joined back once per side and cosine verified once per pair. */
+    * within-bucket pair generation carries ids only ([[bucketPairs]]),
+    * pairs are `distinct`ed, vectors are joined back once per side and
+    * cosine is verified once per pair. */
   def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
                           planes: Int = 16, bands: Int = 1,
                           cosineThreshold: Double = 0.9,

@@ -463,15 +463,15 @@ object SparkEntry {
           s"('$lang','$g',$r)"
         }
       }.mkString(",")
-      s"""WITH t AS (SELECT doc_id, ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) || ' ' AS s FROM documents),
+      s"""WITH t AS (SELECT doc_id, ' ' || trim(regexp_replace(lower(text), '${TextAnalytics.LangIdNormPattern}', ' ', 'g')) || ' ' AS s FROM documents),
          |i AS (SELECT doc_id, s, unnest(range(1, length(s) - 1)) AS pos FROM t),
          |g AS (SELECT doc_id, substring(s, pos, 3) AS tri FROM i),
          |c AS (SELECT doc_id, tri, count(*) AS cnt FROM g GROUP BY doc_id, tri),
          |tk AS (SELECT doc_id, tri, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tri) - 1 AS rnk
-         |       FROM c QUALIFY rnk < 40),
+         |       FROM c QUALIFY rnk < ${TextAnalytics.LangIdTopK}),
          |p AS (SELECT * FROM (VALUES $vals) AS v(lang, tri, r)),
          |d AS (SELECT docs.doc_id, p.lang,
-         |        CAST(sum(coalesce(abs(tk.rnk - p.r), 40)) AS BIGINT) AS dist
+         |        CAST(sum(coalesce(abs(tk.rnk - p.r), ${TextAnalytics.LangIdTopK})) AS BIGINT) AS dist
          |      FROM (SELECT DISTINCT doc_id FROM documents) docs
          |      CROSS JOIN p
          |      LEFT JOIN tk ON tk.doc_id = docs.doc_id AND tk.tri = p.tri

@@ -16,6 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pre-generate fixture corpora (content-marker idempotent): the
+    // in-query ensureFixtures calls then no-op
+    graft.sources.BlogCorpus.ensureFixtures(spark, sfDir)
+    graft.sources.ZipImages.ensureFixtures()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

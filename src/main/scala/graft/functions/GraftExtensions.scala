@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(fn: String, children: Seq[Expression],
+                    min: Int, max: Int): Unit =
+    if (children.length < min || children.length > max) {
+      val expected = if (min == max) s"$min" else s"$min to $max"
+      throw new IllegalArgumentException(
+        s"$fn expects $expected arguments, got ${children.length}")
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) = {
       val _ = usage // shown via SQL DESCRIBE only with the extended ctor
@@ -33,31 +41,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => {
+        arity("graft_simhash64", children, 1, 1)
+        SimHash64(children.head)
+      }))
 
     ext.injectFunction((FunctionIdentifier("graft_shingle_hash64"),
       info("graft_shingle_hash64",
         "graft_shingle_hash64(tokens, n) - distinct 64-bit n-gram shingle hashes"),
-      (children: Seq[Expression]) =>
-        ShingleHash64(children.head, intArg(children(1), "n"))))
+      (children: Seq[Expression]) => {
+        arity("graft_shingle_hash64", children, 2, 2)
+        ShingleHash64(children.head, intArg(children(1), "n"))
+      }))
 
     ext.injectFunction((FunctionIdentifier("graft_minhash_buckets"),
       info("graft_minhash_buckets",
         "graft_minhash_buckets(shingleHashes, k, rowsPerBand) - minhash LSH band buckets"),
-      (children: Seq[Expression]) => MinHashBuckets(children.head,
-        intArg(children(1), "k"), intArg(children(2), "rowsPerBand"))))
+      (children: Seq[Expression]) => {
+        arity("graft_minhash_buckets", children, 3, 3)
+        MinHashBuckets(children.head,
+          intArg(children(1), "k"), intArg(children(2), "rowsPerBand"))
+      }))
 
     ext.injectFunction((FunctionIdentifier("graft_hyperplane_bucket"),
       info("graft_hyperplane_bucket",
         "graft_hyperplane_bucket(vec, planes[, offset]) - random-hyperplane LSH bucket"),
-      (children: Seq[Expression]) => HyperplaneBucket(children.head,
-        intArg(children(1), "planes"),
-        if (children.length > 2) intArg(children(2), "offset") else 0)))
+      (children: Seq[Expression]) => {
+        arity("graft_hyperplane_bucket", children, 2, 3)
+        HyperplaneBucket(children.head,
+          intArg(children(1), "planes"),
+          if (children.length > 2) intArg(children(2), "offset") else 0)
+      }))
 
     ext.injectFunction((FunctionIdentifier("graft_md5_chunk_signature"),
       info("graft_md5_chunk_signature",
         "graft_md5_chunk_signature(intVec, idx) - 128-chunk md5 signature"),
-      (children: Seq[Expression]) =>
-        Md5ChunkSignature(children.head, intArg(children(1), "idx"))))
+      (children: Seq[Expression]) => {
+        arity("graft_md5_chunk_signature", children, 2, 2)
+        Md5ChunkSignature(children.head, intArg(children(1), "idx"))
+      }))
   }
 }

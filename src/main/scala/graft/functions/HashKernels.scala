@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -228,31 +229,77 @@ object SignatureKernel {
 object HyperplaneKernel {
   private final val Seed = 42L
 
+  // (planes, offset, d) → flattened planes×d ±1 sign matrix. The signs are
+  // a pure function of seeded hashes, so they are computed once per JVM and
+  // the per-row work becomes a straight FMA loop instead of O(planes·d)
+  // hash calls per row. Key packed to avoid per-row tuple allocation.
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Double]]()
+
+  private def signs(planes: Int, offset: Int, d: Int): Array[Double] = {
+    val key = java.lang.Long.valueOf(
+      (planes.toLong << 48) | (offset.toLong << 24) | d.toLong)
+    var m = signCache.get(key)
+    if (m == null) {
+      m = new Array[Double](planes * d)
+      var p = 0
+      while (p < planes) {
+        val hp = XXH64.hashInt(offset + p, Seed)
+        var j = 0
+        while (j < d) {
+          // plane component ±1 from bit 13 of xxhash64(p, j) — identical
+          // derivation to the uncached loop, just precomputed
+          m(p * d + j) = if (((XXH64.hashInt(j, hp) >> 13) & 1L) == 1L) 1.0 else -1.0
+          j += 1
+        }
+        p += 1
+      }
+      signCache.putIfAbsent(key, m)
+    }
+    m
+  }
+
   /** `offset` selects a disjoint plane range [offset, offset+planes) —
     * multi-band LSH uses offset = band * planes. */
   def compute(vec: ArrayData, planes: Int, offset: Int): Long = {
     val x = vec.toDoubleArray()
+    val m = signs(planes, offset, x.length)
     var bucket = 0L
     var p = 0
+    var base = 0
     while (p < planes) {
-      val hp = XXH64.hashInt(offset + p, Seed)
       var acc = 0.0
       var j = 0
       while (j < x.length) {
-        // plane component ±1 from bit 13 of xxhash64(p, j)
-        val s = if (((XXH64.hashInt(j, hp) >> 13) & 1L) == 1L) 1.0 else -1.0
-        acc += x(j) * s
+        acc += x(j) * m(base + j)
         j += 1
       }
       bucket = bucket * 2 + (if (acc > 0) 1L else 0L)
       p += 1
+      base += x.length
     }
     bucket
   }
 }
 
+/** SQL-facing expressions: constructor params are bound-checked eagerly
+  * (the SQL builder passes user literals) and the child type is validated
+  * via `checkInputDataTypes`, so a misuse like `graft_simhash64(5)` fails
+  * analysis with a clear message instead of a runtime ClassCastException. */
+private[functions] object KernelTypeCheck {
+  def arrayOf(child: Expression, elem: DataType, fn: String): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(`elem`, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects array<${elem.simpleString}>, got ${other.simpleString}")
+    }
+}
+
 case class ShingleHash64(child: Expression, n: Int)
     extends UnaryExpression {
+  require(n >= 1, s"shingle width n must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.arrayOf(child, StringType, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(tokens: Any): Any =
     ShingleKernel.compute(tokens.asInstanceOf[ArrayData], n)
@@ -265,6 +312,10 @@ case class ShingleHash64(child: Expression, n: Int)
 
 case class MinHashBuckets(child: Expression, k: Int, rowsPerBand: Int)
     extends UnaryExpression {
+  require(k >= 1 && rowsPerBand >= 1 && k % rowsPerBand == 0,
+    s"need k >= 1, rowsPerBand >= 1 and rowsPerBand | k; got k=$k rowsPerBand=$rowsPerBand")
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.arrayOf(child, LongType, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(sh: Any): Any =
     MinHashKernel.compute(sh.asInstanceOf[ArrayData], k, rowsPerBand)
@@ -277,6 +328,8 @@ case class MinHashBuckets(child: Expression, k: Int, rowsPerBand: Int)
 
 case class SimHash64(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.arrayOf(child, StringType, prettyName)
   override def dataType: DataType = LongType
   override def nullSafeEval(tokens: Any): Any =
     SimHashKernel.compute(tokens.asInstanceOf[ArrayData])
@@ -289,6 +342,9 @@ case class SimHash64(child: Expression)
 
 case class Md5ChunkSignature(child: Expression, idx: Int)
     extends UnaryExpression {
+  require(idx >= 0 && idx < 32, s"md5 hex digit index must be in [0, 32), got $idx")
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.arrayOf(child, IntegerType, prettyName)
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
     SignatureKernel.compute(v.asInstanceOf[ArrayData], idx)
@@ -301,6 +357,10 @@ case class Md5ChunkSignature(child: Expression, idx: Int)
 
 case class HyperplaneBucket(child: Expression, planes: Int, offset: Int = 0)
     extends UnaryExpression {
+  require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+  require(offset >= 0, s"plane offset must be >= 0, got $offset")
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.arrayOf(child, DoubleType, prettyName)
   override def dataType: DataType = LongType
   override def nullSafeEval(vec: Any): Any =
     HyperplaneKernel.compute(vec.asInstanceOf[ArrayData], planes, offset)

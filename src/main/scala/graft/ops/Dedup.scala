@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -62,10 +64,49 @@ object Dedup {
     * runs ONCE — a self-join formulation would recompute the whole lineage
     * per join side (Spark does not reuse non-identical exchanges).
     */
+  // unique CollectMetrics name per bucketPairs call site (Spark requires
+  // observe names to be distinct within one query)
+  private val capObsId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Execution-time visibility for the skew cap: every [[bucketPairs]] plan
+    * carries an `observe` node counting dropped (over-cap) buckets and the
+    * largest bucket seen; a per-session listener WARN-logs non-zero drops.
+    * No-silent-caps: at 100 TB a boilerplate-heavy corpus WILL hit the cap,
+    * and the operator must say so rather than quietly under-report pairs. */
+  private object CapMetrics {
+    val MetricPrefix = "graft_bucket_caps"
+    private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    private val registered = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+    def ensureListener(spark: SparkSession): Unit =
+      if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+        spark.listenerManager.register(new QueryExecutionListener {
+          override def onSuccess(funcName: String, qe: QueryExecution,
+                                 durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith(MetricPrefix) && !row.isNullAt(0)
+                  && row.getLong(0) > 0)
+                log.warn(s"$name: ${row.getLong(0)} LSH bucket(s) exceeded " +
+                  s"the skew cap and were dropped (largest bucket: " +
+                  s"${row.get(1)}); near-dup recall is reduced for their " +
+                  "members — raise maxBucket or pre-dedup exact duplicates")
+            }
+          override def onFailure(funcName: String, qe: QueryExecution,
+                                 exception: Exception): Unit = ()
+        })
+      }
+  }
+
   private[ops] def bucketPairs(banded: DataFrame, idCol: Column,
                                maxBucket: Int): DataFrame = {
+    CapMetrics.ensureListener(banded.sparkSession)
     val grouped = banded.groupBy("band", "bucket")
       .agg(array_sort(collect_list(idCol)).as("ids"))
+      .observe(s"${CapMetrics.MetricPrefix}_${capObsId.incrementAndGet()}",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+          .as("capped_buckets"),
+        max(size(col("ids"))).as("max_bucket"))
       .filter(size(col("ids")).between(2, maxBucket))
     grouped
       .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2),
@@ -166,6 +207,12 @@ object Dedup {
   def simhashDupPairs(df: DataFrame, id: Column, text: Column,
                       bands: Int = 4, maxHamming: Int = 3,
                       maxBucket: Int = 1000): DataFrame = {
+    // bands must tile the 64-bit simhash exactly: a non-divisor leaves the
+    // top 64 % bands bits unbanded (voiding the hamming <= bands-1
+    // pigeonhole guarantee), and bands = 1 would need a 64-bit mask that
+    // (1L << 64) silently wraps to garbage
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
     val bandLen = 64 / bands
     val banded = df
       .select(struct(id.as("doc_id"), simhash64(text).as("sim")).as("ds"))

@@ -103,14 +103,26 @@ object TextAnalytics {
       "sch", " un", "und", "nd ", "ein", " ei", "ung", "ng ", "ich", " ge",
       "ten", "cht"))
 
+  /** Normalization used by [[langIdNgram]] on BOTH the Spark side and the
+    * DuckDB oracle (interpolated into the SQL from this constant, so the
+    * two can never drift). ASCII-only on purpose: the profile trigrams are
+    * a–z, so non-Latin characters are treated as boundaries — a document
+    * with no Latin letters degenerates to all-penalty distances for every
+    * profile and ties deterministically. */
+  val LangIdNormPattern = "[^a-z]+"
+
+  /** Default rank-list depth for [[langIdNgram]]; also the out-of-list
+    * penalty (Cavnar–Trenkle "out of place" maximum). */
+  val LangIdTopK = 40
+
   /** Rank-distance ("out of place") language ID over character trigrams —
     * the n-gram heuristic complement of the stopword [[languageId]].
     * Pure per-row work; returns the best profile and its distance. */
   def langIdNgram(df: DataFrame, id: Column, text: Column,
-                  topK: Int = 40): DataFrame = {
+                  topK: Int = LangIdTopK): DataFrame = {
     val profiles = LangProfiles // stable capture for the closure
     val classify = udf { (t: String) =>
-      val s = " " + t.toLowerCase.replaceAll("[^\\p{L}]+", " ").trim + " "
+      val s = " " + t.toLowerCase.replaceAll(LangIdNormPattern, " ").trim + " "
       val counts = scala.collection.mutable.HashMap.empty[String, Int]
       var i = 0
       while (i + 3 <= s.length) {

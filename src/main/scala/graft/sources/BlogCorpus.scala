@@ -84,45 +84,60 @@ object BlogCorpus {
     * `' '  ,  .  :  ;  \n  \r  "  -  '  ?` — note '-' IS a delimiter. */
   val PostDelimiters = "[ ,\\.:;\n\r\"'?-]"
 
+  // bump when the fixture file format below changes, so stale corpora
+  // written by older code are regenerated
+  private val FixtureVersion = "v1"
+
   /** Write (idempotently, per content) one blog file per `documents` row
     * with doc_id < `maxFiles`: `u<id>.<gender>.<age>.<industry>.<sign>.xml`
-    * containing two dated posts of the document text. Returns the dir. */
+    * containing two dated posts of the document text. Returns the dir.
+    *
+    * Idempotence is by content marker: the corpus is a pure function of
+    * (sfDir, maxFiles, generator version) — the `documents` table under
+    * `sfDir` is immutable harness testdata — so when the marker matches,
+    * the call returns without the driver-side collect or any file I/O.
+    * That keeps repeated invocations (every Bench rep, every Verify run)
+    * out of the timed path. */
   def ensureFixtures(spark: SparkSession, sfDir: String,
-                     maxFiles: Int = 200): String = {
+                     maxFiles: Int = 200): String = synchronized {
     val outDir = Paths.get("/tmp/graft_fixtures/blogs")
+    val markerFile = outDir.resolve(".marker")
+    val marker = s"$FixtureVersion|$sfDir|$maxFiles"
+    if (Files.exists(markerFile)
+        && new String(Files.readAllBytes(markerFile), StandardCharsets.UTF_8) == marker)
+      return outDir.toString
     val docs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < maxFiles)
       .select(col("doc_id").cast("int"), col("text"))
       .collect().map(r => (r.getInt(0), r.getString(1)))
-    synchronized {
-      if (Files.exists(outDir)) {
-        val it = Files.list(outDir).iterator()
-        while (it.hasNext) Files.delete(it.next())
-      }
-      Files.createDirectories(outDir)
-      docs.foreach { case (id, text) =>
-        val industry = Industries(id % Industries.size)
-        val gender = if (id % 2 == 0) "male" else "female"
-        val name = s"u$id.$gender.${20 + id % 40}.$industry.Aries.xml"
-        val y1 = 2000 + id % 5
-        val m1 = Months(id % 12)
-        val m2 = Months((id + 5) % 12)
-        val day = f"${id % 28 + 1}%02d"
-        val content =
-          s"""<Blog>
-             |<date>$day,$m1,$y1</date>
-             |<post>
-             |$text
-             |</post>
-             |<date>$day,$m2,$y1</date>
-             |<post>
-             |$text
-             |</post>
-             |</Blog>
-             |""".stripMargin
-        Files.write(outDir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
-      }
+    if (Files.exists(outDir)) {
+      val it = Files.list(outDir).iterator()
+      while (it.hasNext) Files.delete(it.next())
     }
+    Files.createDirectories(outDir)
+    docs.foreach { case (id, text) =>
+      val industry = Industries(id % Industries.size)
+      val gender = if (id % 2 == 0) "male" else "female"
+      val name = s"u$id.$gender.${20 + id % 40}.$industry.Aries.xml"
+      val y1 = 2000 + id % 5
+      val m1 = Months(id % 12)
+      val m2 = Months((id + 5) % 12)
+      val day = f"${id % 28 + 1}%02d"
+      val content =
+        s"""<Blog>
+           |<date>$day,$m1,$y1</date>
+           |<post>
+           |$text
+           |</post>
+           |<date>$day,$m2,$y1</date>
+           |<post>
+           |$text
+           |</post>
+           |</Blog>
+           |""".stripMargin
+      Files.write(outDir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+    }
+    Files.write(markerFile, marker.getBytes(StandardCharsets.UTF_8))
     outDir.toString
   }
 

@@ -66,9 +66,21 @@ object ZipImages {
     * Images 2i and 2i+1 share a base pattern with a tiny diagonal
     * perturbation — planted near-duplicate pairs for the LSH pipeline.
     * Driver-side by design (test scaffolding, not an operator). */
+  // bump when the fixture byte format below changes
+  private val FixtureVersion = "v1"
+
   def ensureFixtures(n: Int = 6, rows: Int = 100, cols: Int = 100): String = {
     val outDir = Paths.get("/tmp/graft_fixtures/images")
     synchronized {
+      // content-marker idempotence: the corpus is a pure function of
+      // (n, rows, cols, generator version), so a matching marker means the
+      // bytes on disk are already exactly what this call would write —
+      // repeated invocations (every Bench rep) cost one small file read
+      val markerFile = outDir.resolve(".marker")
+      val marker = s"$FixtureVersion|$n|$rows|$cols"
+      if (Files.exists(markerFile) && new String(
+          Files.readAllBytes(markerFile), java.nio.charset.StandardCharsets.UTF_8) == marker)
+        return outDir.toString
       if (Files.exists(outDir)) {
         val it = Files.list(outDir).iterator()
         while (it.hasNext) Files.delete(it.next())
@@ -108,6 +120,7 @@ object ZipImages {
           zos.closeEntry()
         } finally zos.close()
       }
+      Files.write(markerFile, marker.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     outDir.toString
   }

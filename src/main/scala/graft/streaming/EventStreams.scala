@@ -92,12 +92,15 @@ object EventStreams {
 
   /** Streaming exact dedup for a document stream: content-hash the payload
     * and keep the first arrival, dropping later duplicates that arrive
-    * within the watermark horizon (state is bounded by the watermark —
+    * within `horizon` of each other (state is bounded by the watermark —
     * the streaming twin of [[graft.ops.Dedup.exact]]). Spark's
     * `dropDuplicatesWithinWatermark` supplies the bounded-state engine;
-    * this operator contributes the content-identity key. */
-  def dedupStream(docs: DataFrame, ts: String, payload: String): DataFrame =
+    * this operator contributes the content-identity key and applies the
+    * `ts` watermark itself, so callers need no pre-applied watermark. */
+  def dedupStream(docs: DataFrame, ts: String, payload: String,
+                  horizon: String = "1 hour"): DataFrame =
     docs
+      .withWatermark(ts, horizon)
       .withColumn("content_hash",
         org.apache.spark.sql.functions.md5(col(payload)))
       .dropDuplicatesWithinWatermark("content_hash")
@@ -105,29 +108,60 @@ object EventStreams {
   /** Batch form of [[sessionize]] that also FLUSHES the final open session
     * per user (batch input is complete, so the open session is closed by
     * definition). Matches the batch `sessionize` window query row-for-row.
+    *
+    * Secondary sort, not per-group buffering: events are hash-partitioned
+    * by user and SORTED WITHIN PARTITIONS by (user, ts, event_id) — a
+    * spillable Spark sort — then a single streaming pass detects user and
+    * gap boundaries. Memory per task is O(1), so a hot user with a huge
+    * history cannot blow a heap the way an `it.toArray` per group would.
     */
   def sessionizeBatch(events: Dataset[Event], gapSec: Long = 1800): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
-      .groupByKey(_.user_id)
-      .flatMapGroups { (userId: Long, it: Iterator[Event]) =>
-        val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
-        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-        var sessionId = 0L
-        var n = 0L
-        var startS = 0L
-        var endS = Long.MinValue
-        sorted.foreach { e =>
-          val s = e.ts.getTime / 1000
-          if (n == 0L || s - endS > gapSec) {
-            if (n > 0L) out += Session(userId, sessionId, n, startS, endS)
-            sessionId += 1; n = 1L; startS = s; endS = s
-          } else {
-            n += 1; endS = math.max(endS, s)
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        new Iterator[Session] {
+          private var curUser = 0L
+          private var hasOpen = false
+          private var sessionId = 0L
+          private var n = 0L
+          private var startS = 0L
+          private var endS = 0L
+          private var pending: Session = null
+          private var exhausted = false
+
+          private def closeOpen(): Session =
+            Session(curUser, sessionId, n, startS, endS)
+
+          private def advance(): Unit = {
+            while (pending == null && !exhausted) {
+              if (it.hasNext) {
+                val e = it.next()
+                val s = e.ts.getTime / 1000
+                if (!hasOpen || e.user_id != curUser) {
+                  if (hasOpen) pending = closeOpen()
+                  curUser = e.user_id; hasOpen = true
+                  sessionId = 1L; n = 1L; startS = s; endS = s
+                } else if (s - endS > gapSec) {
+                  pending = closeOpen()
+                  sessionId += 1; n = 1L; startS = s; endS = s
+                } else {
+                  n += 1; endS = math.max(endS, s)
+                }
+              } else {
+                exhausted = true
+                if (hasOpen) { pending = closeOpen(); hasOpen = false }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): Session = {
+            advance()
+            val r = pending; pending = null; r
           }
         }
-        if (n > 0L) out += Session(userId, sessionId, n, startS, endS)
-        out.iterator
       }
   }
 }

@@ -69,8 +69,8 @@ class EventStreamsSpec extends SparkSpec {
     val mem = MemoryStream[(Timestamp, String)]
     val base = 86400L * 19005
     val q = EventStreams.dedupStream(
-      mem.toDF().toDF("ts", "text").withWatermark("ts", "1 hour"),
-      ts = "ts", payload = "text")
+      mem.toDF().toDF("ts", "text"),
+      ts = "ts", payload = "text", horizon = "1 hour")
       .select("text")
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()

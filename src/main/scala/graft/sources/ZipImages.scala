@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * - S2: `spark.read.format("binaryFile")` → (path, content) rows — the
   *   idiomatic replacement for `sc.binaryFiles`.
   * - S5: the `ZipInputStream` member scan is REAL JVM code (find the first
-  *   `.tif` entry, read its bytes). The TIFF *codec* is stubbed — no
-  *   imaging library ships in this environment — behind a deterministic
-  *   raw format ([[decodeRawStub]]): 8-byte header (rows, cols int32 BE)
-  *   followed by row-major rows×cols×4 RGBI bytes. A real deployment swaps
-  *   only `decode*`; every operator downstream of the decode is
-  *   codec-independent (they see (rows, cols, bytes)).
+  *   `.tif` entry, read its bytes), and [[decodeTiff]] is a real pure-JVM
+  *   baseline uncompressed-TIFF reader (header + IFD + strip assembly) for
+  *   the 8-bit 4-channel RGBI images the reference processes. Payloads the
+  *   baseline reader rejects (compressed/planar/non-RGBI) fall back to the
+  *   deterministic raw fixture format ([[decodeRawStub]]): 8-byte header
+  *   (rows, cols int32 BE) followed by row-major rows×cols×4 RGBI bytes.
+  *   Every operator downstream of the decode is codec-independent (they
+  *   see (rows, cols, bytes)).
   */
 object ZipImages {
 
@@ -35,18 +37,107 @@ object ZipImages {
     } finally zis.close()
   }
 
-  /** S5 second half (STUB codec): rows/cols int32 BE header + raw RGBI. */
+  /** S5 second half, fixture fallback: rows/cols int32 BE header + raw
+    * RGBI. Kept for the deterministic fixture corpus; real `.tif` payloads
+    * go through [[decodeTiff]]. */
   def decodeRawStub(tiff: Array[Byte]): (Int, Int, Array[Byte]) = {
     if (tiff == null || tiff.length < 8) return null
     val bb = ByteBuffer.wrap(tiff)
     val rows = bb.getInt
     val cols = bb.getInt
-    if (tiff.length < 8 + rows * cols * 4) return null
+    if (rows <= 0 || cols <= 0 || tiff.length < 8 + rows * cols * 4) return null
     (rows, cols, java.util.Arrays.copyOfRange(tiff, 8, 8 + rows * cols * 4))
   }
 
+  /** S5 second half (real codec, minimal): baseline uncompressed-TIFF
+    * reader — header, first IFD, strip assembly. Pure JVM, no imaging
+    * library. Covers what the reference's multispectral ortho tiles need
+    * (`a2_ahuja.py:13–24` reads them with `tifffile`): 8-bit samples,
+    * 4 samples/pixel (RGBI), Compression = 1 (none), chunky layout
+    * (PlanarConfiguration = 1), either byte order, any strip split.
+    * Anything else returns null and the caller falls back to the raw stub.
+    */
+  def decodeTiff(tiff: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (tiff == null || tiff.length < 8) return null
+    val le = tiff(0) == 'I'.toByte && tiff(1) == 'I'.toByte
+    val be = tiff(0) == 'M'.toByte && tiff(1) == 'M'.toByte
+    if (!le && !be) return null
+    val bb = ByteBuffer.wrap(tiff)
+      .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    if (bb.getShort(2) != 42) return null
+    val ifd = bb.getInt(4)
+    if (ifd < 0 || ifd + 2 > tiff.length) return null
+    val nEntries = bb.getShort(ifd) & 0xffff
+    if (ifd + 2 + 12 * nEntries > tiff.length) return null
+
+    // BYTE(1)/SHORT(3)/LONG(4) tag values; inline when they fit in 4 bytes
+    def values(entryOff: Int): Array[Int] = {
+      val typ = bb.getShort(entryOff + 2) & 0xffff
+      val cnt = bb.getInt(entryOff + 4)
+      val sz = typ match { case 1 => 1; case 3 => 2; case 4 => 4; case _ => return null }
+      if (cnt < 0 || cnt > (1 << 24)) return null
+      val total = sz * cnt
+      val base = if (total <= 4) entryOff + 8 else bb.getInt(entryOff + 8)
+      if (base < 0 || base.toLong + total > tiff.length) return null
+      Array.tabulate(cnt) { i =>
+        sz match {
+          case 1 => tiff(base + i) & 0xff
+          case 2 => bb.getShort(base + 2 * i) & 0xffff
+          case 4 => bb.getInt(base + 4 * i)
+        }
+      }
+    }
+
+    var width = -1
+    var height = -1
+    var spp = 1
+    var comp = 1
+    var planar = 1
+    var rowsPerStrip = Int.MaxValue // TIFF default: all rows in one strip
+    var bits: Array[Int] = Array(1)
+    var stripOffsets: Array[Int] = null
+    var stripCounts: Array[Int] = null
+    var e = 0
+    while (e < nEntries) {
+      val off = ifd + 2 + 12 * e
+      val tag = bb.getShort(off) & 0xffff
+      tag match {
+        case 256 => val v = values(off); if (v == null || v.isEmpty) return null; width = v(0)
+        case 257 => val v = values(off); if (v == null || v.isEmpty) return null; height = v(0)
+        case 258 => val v = values(off); if (v == null) return null; bits = v
+        case 259 => val v = values(off); if (v == null || v.isEmpty) return null; comp = v(0)
+        case 273 => stripOffsets = values(off); if (stripOffsets == null) return null
+        case 277 => val v = values(off); if (v == null || v.isEmpty) return null; spp = v(0)
+        case 278 => val v = values(off); if (v == null || v.isEmpty) return null; rowsPerStrip = v(0)
+        case 279 => stripCounts = values(off); if (stripCounts == null) return null
+        case 284 => val v = values(off); if (v == null || v.isEmpty) return null; planar = v(0)
+        case _ => // unknown tags are skipped, per the TIFF baseline contract
+      }
+      e += 1
+    }
+    if (width <= 0 || height <= 0 || comp != 1 || planar != 1 || spp != 4
+        || bits.exists(_ != 8) || stripOffsets == null || stripCounts == null
+        || stripOffsets.length != stripCounts.length
+        || width.toLong * height * spp > (1L << 30)) return null
+    val out = new Array[Byte](width * height * spp)
+    var written = 0
+    var s = 0
+    while (s < stripOffsets.length) {
+      val so = stripOffsets(s)
+      val sc = stripCounts(s)
+      if (so < 0 || sc < 0 || so.toLong + sc > tiff.length
+          || written + sc > out.length) return null
+      System.arraycopy(tiff, so, out, written, sc)
+      written += sc
+      s += 1
+    }
+    if (written != out.length) return null
+    (height, width, out)
+  }
+
   private val decodeUdf = udf((zipBytes: Array[Byte]) =>
-    Option(extractTiffMember(zipBytes)).flatMap(t => Option(decodeRawStub(t))))
+    Option(extractTiffMember(zipBytes)).flatMap(t =>
+      Option(decodeTiff(t)).orElse(Option(decodeRawStub(t)))))
 
   /** S2+S5+P9: zip dir → (name, rows, cols, img) one row per decodable
     * image, name = basename of the file path (a2:27–29). */

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, VectorOps}
+
+/** Scale probe (dev tool, like [[Explain]]): multiplies the sf corpus
+  * ×1/×2/×4/×8 and times the dedup/ANN family at each scale, so a
+  * quadratic regression shows up as a super-linear wall-time ratio long
+  * before a real cluster would hit it.
+  *
+  * The corpus is grown with DISTINCT content — every copy prefixes each
+  * token with a copy tag, and embedding copies rotate dimensions — because
+  * a plain self-union makes all copies exact duplicates of each other: the
+  * dup-pair OUTPUT itself is then Θ(copies²) and no implementation could
+  * look linear. With distinct copies the planted dup structure (and so the
+  * output size) stays ∝ corpus size, which is what dedup sees at 100 TB.
+  *
+  * Also reports the largest LSH bucket and the number of over-cap buckets
+  * per scale (computed directly from the public kernels), verifying the
+  * skew cap is NOT silently truncating results as the corpus grows.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Probe"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,2,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").cache()
+    val embs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").cache()
+    docs.count(); embs.count() // warm the cache outside the timings
+
+    /** m distinct-content copies: copy k prefixes every token with `ck`,
+      * so shingle sets across copies are disjoint (dup pairs stay within
+      * each copy) while total volume grows ×m. */
+    def docsTimes(m: Int): DataFrame =
+      (0 until m).map { k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"c$k$$1").as("text"))
+      }.reduce(_ union _)
+
+    /** m copies with dimensions rotated by k — random-ish vectors rotate to
+      * background cosine, so copies are not near-dups of each other. */
+    def embsTimes(m: Int): DataFrame =
+      (0 until m).map { k =>
+        val d = 64
+        val rot = k % d
+        val v =
+          if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, d - rot),
+            slice(col("embedding"), 1, rot))
+        embs.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          v.as("embedding"))
+      }.reduce(_ union _)
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    /** Largest bucket and over-cap bucket count for the minhash banding. */
+    def minhashBucketStats(df: DataFrame, cap: Int): (Long, Long) = {
+      val sizes = df
+        .select(posexplode(Dedup.minhashBandBuckets(
+          Dedup.shingleHashes64(col("text"), 3), 64, 4)).as(Seq("band", "bucket")))
+        .groupBy("band", "bucket").count()
+      val r = sizes.agg(max("count"), sum(when(col("count") > cap, 1L).otherwise(0L)))
+        .collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    scales.foreach { m =>
+      val d = docsTimes(m).cache()
+      val e = embsTimes(m).cache()
+      val nDocs = d.count()
+      val nVecs = e.count()
+      val (tMin, cMin) = timed(Dedup.minhashDupPairs(d, col("doc_id"), col("text")).count())
+      val (tSim, cSim) = timed(Dedup.simhashDupPairs(d, col("doc_id"), col("text")).count())
+      val (tEmb, cEmb) = timed(Dedup.embeddingNearDupLsh(
+        e, col("vec_id"), col("embedding"), planes = 16, bands = 2,
+        cosineThreshold = 0.99).count())
+      val (tAnn, cAnn) = timed(VectorOps.annLshTopK(
+        e, e.filter(col("vec_id") < 5), 10).count())
+      val (maxB, overCap) = minhashBucketStats(d, 1000)
+      println(s"""{"scale":$m,"docs":$nDocs,"vecs":$nVecs,""" +
+        s""""minhash_s":$tMin,"minhash_pairs":$cMin,""" +
+        s""""simhash_s":$tSim,"simhash_pairs":$cSim,""" +
+        s""""embdup_s":$tEmb,"embdup_pairs":$cEmb,""" +
+        s""""ann_s":$tAnn,"ann_rows":$cAnn,""" +
+        s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap}""")
+      d.unpersist(); e.unpersist()
+    }
+    spark.stop()
+  }
+}

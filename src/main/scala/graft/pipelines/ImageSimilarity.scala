@@ -72,12 +72,12 @@ object ImageSimilarity {
         .select(col("query_id"), col("candidate_id"),
           round(VectorOps.euclidean(col("qv"), col("cv")), 6).as("dist_r"))
         .orderBy(col("query_id"), col("dist_r"), col("candidate_id"))
-      // The distance set is ≤ |queries|·30 rows (the reference computes it
-      // on the driver outright, a2:299–319) — materialize it while `feats`
-      // is still cached, then release the cache; callers get a local-backed
-      // DataFrame instead of a plan that would recompute the whole DAG.
-      val rows = result.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      // The distance set is ≤ |queries|·30 rows — eagerly local-checkpoint
+      // it while `feats` is still cached, then release the cache. The
+      // result stays a genuine distributed DataFrame (no driver collect /
+      // re-parallelize round-trip) whose lineage is cut, so later actions
+      // cannot recompute the whole DAG against the unpersisted stage.
+      result.localCheckpoint(true)
     } finally feats.unpersist(blocking = false)
   }
 }

@@ -115,41 +115,82 @@ object TextAnalytics {
     * penalty (Cavnar–Trenkle "out of place" maximum). */
   val LangIdTopK = 40
 
+  private val langIdNormRegex =
+    java.util.regex.Pattern.compile(LangIdNormPattern)
+
+  /** Packs a trigram into a 21-bit int, 7 bits per char. Normalized text
+    * is only `[a-z ]` (all < 128), so packed ascending order is exactly
+    * String ascending order for equal-length trigrams — the deterministic
+    * tie-break is preserved bit-for-bit. Profile trigrams containing a
+    * non-ASCII char (e.g. "ión") can never occur in normalized text, so
+    * they pack to -1 and always take the out-of-list penalty, same as the
+    * string lookup they replace. */
+  private def packTri(g: String): Int = {
+    val c0 = g.charAt(0); val c1 = g.charAt(1); val c2 = g.charAt(2)
+    if (c0 >= 128 || c1 >= 128 || c2 >= 128) -1
+    else (c0 << 14) | (c1 << 7) | c2
+  }
+
   /** Rank-distance ("out of place") language ID over character trigrams —
     * the n-gram heuristic complement of the stopword [[languageId]].
-    * Pure per-row work; returns the best profile and its distance. */
+    * Pure per-row work; returns the best profile and its distance.
+    *
+    * Kernel notes (semantics identical to the naive form the DuckDB
+    * oracle reproduces, only the constants differ): trigram counting uses
+    * packed ints in a primitive-keyed map (no per-trigram String), and the
+    * deterministic top-K (count desc, trigram asc) is one
+    * `Arrays.sort(Long[])` over composite keys
+    * `(maxCount - count) << 21 | packedTrigram` — ascending order of the
+    * composite is exactly the required ordering. */
   def langIdNgram(df: DataFrame, id: Column, text: Column,
                   topK: Int = LangIdTopK): DataFrame = {
-    val profiles = LangProfiles // stable capture for the closure
+    // stable capture for the closure; langs pre-sorted so "first strict
+    // min wins" reproduces the (distance, lang) tie-break
+    val packedProfiles: Array[(String, Array[Int])] =
+      LangProfiles.toSeq.sortBy(_._1)
+        .map { case (lang, prof) => (lang, prof.map(packTri).toArray) }
+        .toArray
     val classify = udf { (t: String) =>
-      val s = " " + t.toLowerCase.replaceAll(LangIdNormPattern, " ").trim + " "
-      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      val s = " " + langIdNormRegex.matcher(t.toLowerCase).replaceAll(" ").trim + " "
+      val counts = scala.collection.mutable.LongMap.empty[Int]
+      val n = s.length
       var i = 0
-      while (i + 3 <= s.length) {
-        val g = s.substring(i, i + 3)
-        counts(g) = counts.getOrElse(g, 0) + 1
+      while (i + 3 <= n) {
+        val p = (s.charAt(i) << 14) | (s.charAt(i + 1) << 7) | s.charAt(i + 2)
+        counts(p.toLong) = counts.getOrElse(p.toLong, 0) + 1
         i += 1
       }
       // deterministic top-K: by count desc, then trigram asc
-      val top = counts.toSeq.sortBy { case (g, c) => (-c, g) }
-        .take(topK).map(_._1).zipWithIndex.toMap
-      val scored = profiles.toSeq.map { case (lang, prof) =>
-        val maxPenalty = topK
-        val d = prof.zipWithIndex.map { case (g, r) =>
-          top.get(g) match {
-            case Some(dr) => math.abs(dr - r)
-            case None => maxPenalty
-          }
-        }.sum
-        (lang, d)
+      val keys = new Array[Long](counts.size)
+      var k = 0
+      counts.foreachEntry { (p, c) =>
+        keys(k) = ((Int.MaxValue - c).toLong << 21) | p; k += 1
       }
-      val best = scored.minBy { case (lang, d) => (d, lang) }
-      best._1 + ":" + best._2
+      java.util.Arrays.sort(keys)
+      val kept = math.min(topK, keys.length)
+      val rank = scala.collection.mutable.LongMap.empty[Int]
+      var r = 0
+      while (r < kept) { rank(keys(r) & 0x1FFFFFL) = r; r += 1 }
+      var bestLang = ""; var bestD = Long.MaxValue
+      var li = 0
+      while (li < packedProfiles.length) {
+        val (lang, prof) = packedProfiles(li)
+        var d = 0L; var j = 0
+        while (j < prof.length) {
+          val p = prof(j)
+          val rr = if (p < 0) -1 else rank.getOrElse(p.toLong, -1)
+          d += (if (rr < 0) topK else math.abs(rr - j))
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestLang = lang }
+        li += 1
+      }
+      (bestLang, bestD)
     }
     df.select(id.as("doc_id"), classify(text).as("pred"))
       .select(col("doc_id"),
-        split(col("pred"), ":").getItem(0).as("lang_pred"),
-        split(col("pred"), ":").getItem(1).cast("long").as("distance"))
+        col("pred._1").as("lang_pred"),
+        col("pred._2").as("distance"))
   }
 
   /** Document fingerprint: md5 over the sorted distinct token set —

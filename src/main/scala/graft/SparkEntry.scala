@@ -27,6 +27,23 @@ object SparkEntry {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Planted-duplicate-cluster ANN corpus shared by `ann_lsh_topk` and
+    * `ann_ivf_topk`: 10 positively-scaled copies of each query vector, so
+    * the true top-10 is margin-separated (cos 1.0 vs background <= 0.42)
+    * and candidate recall 1 is a geometric guarantee for both index types
+    * (hyperplane sign bits and argmax-dot cells are both invariant under
+    * positive scaling). Returns (corpus, queries). */
+  private def plantedAnnCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+    val copies = (1 to 10).map { j =>
+      queries.select((col("vec_id") + lit(1000000L * j)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0 + j / 1000.0)).as("embedding"))
+    }.reduce(_ union _)
+    (e.union(copies), queries)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- A1/A2/A3/P1/P6: word count (a1p2a:20) --------------------------
@@ -277,14 +294,18 @@ object SparkEntry {
     // cos 1.0 vs ≤ 0.42 here.) The ranking/scoring path on non-planted data
     // is oracle-checked by `knn_topk`, which shares the scoring code.
     "ann_lsh_topk" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val queries = e.filter(col("vec_id") < 5)
-      val copies = (1 to 10).map { j =>
-        queries.select((col("vec_id") + lit(1000000L * j)).as("vec_id"),
-          transform(col("embedding"), x => x * lit(1.0 + j / 1000.0)).as("embedding"))
-      }.reduce(_ union _)
-      VectorOps.annLshTopK(e.union(copies), queries, 10)
+      val (corpus, queries) = plantedAnnCorpus(s, dir)
+      VectorOps.annLshTopK(corpus, queries, 10)
+    }),
+
+    // ---- ANN scale path #2: IVF-flat (inverted-file k-means cells) ------
+    // Same planted corpus and brute-force oracle as `ann_lsh_topk`; here
+    // the recall-1 geometry is scale-invariance of the argmax-dot cell
+    // assignment — a positively-scaled copy shares the query's direction,
+    // hence its cell, which nProbe >= 1 always probes (Ivf.scala scaladoc).
+    "ann_ivf_topk" -> ((s, dir) => {
+      val (corpus, queries) = plantedAnnCorpus(s, dir)
+      Ivf.ivfTopK(corpus, queries, 10)
     }),
 
     // ---- kNN with ranking window (ANN baseline, top-k form) -------------

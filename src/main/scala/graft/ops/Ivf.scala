@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-flat approximate nearest neighbour — the inverted-file scale path
+  * for embedding similarity search, complementing the LSH-bucketed
+  * [[VectorOps.annLshTopK]] (training-data-pipeline similarity operators;
+  * brute-force baseline at [[VectorOps.knnCosine]]).
+  *
+  * Shape (FAISS IVF-flat, distributed):
+  *   1. Train a spherical k-means coarse quantizer. Centroids live on the
+  *      driver as O(nCells·d) doubles — the same bounded-driver-state class
+  *      as the Gram aggregator's O(d²) — and ride to executors inside the
+  *      UDF closure (an implicit broadcast of a few KB).
+  *   2. Assign every corpus vector to its argmax-dot cell: one narrow map,
+  *      no shuffle.
+  *   3. Each query probes its nProbe nearest cells; candidates are the
+  *      corpus rows in probed cells via a broadcast equi-join on cell id.
+  *      The corpus is scanned, never cross-joined: at 100 TB the scored
+  *      pair space is |corpus ∩ probed cells| ≈ (nProbe/nCells)·|corpus|
+  *      per query, not |queries|×|corpus|.
+  *   4. Exact cosine on the candidates, window top-k per query — the same
+  *      scoring/ranking tail as [[VectorOps.knnCosine]], so the ranking
+  *      path is oracle-checked there on non-planted data.
+  *
+  * Determinism: row vectors need no normalization for assignment (‖v‖
+  * scales every centroid dot equally, so the argmax — ties to the lowest
+  * cell — is scale-invariant). That same invariance is the recall
+  * guarantee the registered query's oracle relies on: a positively-scaled
+  * copy of a query has the query's direction, hence the query's argmax
+  * cell, which nProbe ≥ 1 always probes.
+  */
+object Ivf {
+
+  /** Spherical k-means coarse quantizer, trained distributed.
+    *
+    * Init is deterministic (the nCells lowest-id vectors, unit-normalized);
+    * each Lloyd iteration is one corpus pass whose shuffle carries at most
+    * nCells·d rows (per-cell per-dimension sums), collected to the driver
+    * and re-normalized. Empty cells keep their previous centroid. At real
+    * scale, train on a deterministic sample instead of the full corpus —
+    * the quantizer only needs the density shape, not every row.
+    */
+  def trainCentroids(corpus: DataFrame, id: Column, vec: Column,
+                     nCells: Int, maxIter: Int): Array[Array[Double]] = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    require(maxIter >= 0, s"maxIter must be >= 0, got $maxIter")
+    val rows = corpus.select(id.as("id"), vec.cast("array<double>").as("v"))
+      .persist()
+    try {
+      val init = rows.orderBy("id").limit(nCells)
+        .select("v").collect()
+        .map(r => unit(r.getSeq[Double](0).toArray))
+      require(init.nonEmpty, "corpus is empty — cannot train centroids")
+      var centroids = init
+      var iter = 0
+      while (iter < maxIter) {
+        val assign = cellUdf(centroids)
+        val sums = rows
+          .select(assign(col("v")).as("cell"),
+            posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(sum(col("x")).as("s"))
+          .collect()
+        val d = centroids(0).length
+        val acc = Array.fill(centroids.length)(new Array[Double](d))
+        val seen = new Array[Boolean](centroids.length)
+        sums.foreach { r =>
+          val cell = r.getInt(0)
+          acc(cell)(r.getInt(1)) = r.getDouble(2)
+          seen(cell) = true
+        }
+        centroids = Array.tabulate(centroids.length) { c =>
+          if (seen(c)) unit(acc(c)) else centroids(c)
+        }
+        iter += 1
+      }
+      centroids
+    } finally rows.unpersist(blocking = false)
+  }
+
+  private def unit(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v.clone() else v.map(_ / n)
+  }
+
+  /** argmax over centroids of dot(centroid, v); ties to the lowest cell. */
+  private def cellUdf(centroids: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      val n = math.min(ctr.length, v.length)
+      var d = 0.0; var i = 0
+      while (i < n) { d += ctr(i) * v(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nProbe cells nearest to v, by dot desc then cell asc. */
+  private def probeUdf(centroids: Array[Array[Double]], nProbe: Int) =
+    udf { (v: Seq[Double]) =>
+      val dots = Array.tabulate(centroids.length) { c =>
+        val ctr = centroids(c)
+        val n = math.min(ctr.length, v.length)
+        var d = 0.0; var i = 0
+        while (i < n) { d += ctr(i) * v(i); i += 1 }
+        (c, d)
+      }
+      dots.sortBy { case (c, d) => (-d, c) }.take(nProbe).map(_._1).toSeq
+    }
+
+  /** IVF-flat approximate top-k by cosine. Queries must be small (their
+    * probe table is broadcast); the corpus side is one assignment map plus
+    * one equi-join on cell id. Output schema and tie-breaks match
+    * [[VectorOps.knnCosine]] exactly. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 2, maxIter: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe > 0 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells=$nCells], got $nProbe")
+    val centroids =
+      trainCentroids(corpus, col("vec_id"), col("embedding"), nCells, maxIter)
+    val assign = cellUdf(centroids)
+    val probe = probeUdf(centroids, nProbe)
+    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("cv"),
+      assign(col("embedding").cast("array<double>")).as("cell"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      explode(probe(col("embedding").cast("array<double>"))).as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(VectorOps.cosine(col("qv"), col("cv")), 4).as("cos_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+}

@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * (status "error:<class>") instead of being swallowed as normal timings.
   *
   * Noise control: each query runs `SPARK_GRAFT_BENCH_REPS` times (default
-  * 3); the reported per-query number is the MEDIAN and `"spread"` carries
-  * [min, max] per query, so a single multi-tenant-box hiccup is visible
-  * instead of masquerading as a regression.
+  * 3); the reported per-query number is the MEDIAN and a SEPARATE
+  * `{"detail":...}` line (printed first) carries [min, max] per query, so a
+  * single multi-tenant-box hiccup is visible instead of masquerading as a
+  * regression.
+  *
+  * Output-size contract: the harness keeps only the LAST ~2000 chars of
+  * stdout and parses the one JSON line it finds there, so the final
+  * `{"metric":...}` line must stay comfortably under that budget — medians
+  * are rounded to 3 decimals and the spread detail goes on its own earlier
+  * line, never inside the final line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,6 +29,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // optional comma-separated query-name filter for targeted local runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,7 +49,9 @@ object Bench {
     // hit the content marker and return immediately)
     graft.sources.BlogCorpus.ensureFixtures(spark, sfDir)
     graft.sources.ZipImages.ensureFixtures()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var status = "ok"
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var rep = 0
@@ -60,16 +72,23 @@ object Bench {
       val median = measured.sorted.apply((measured.size - 1) / 2)
       (name, median, measured.min, measured.max, status)
     }
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + med }
+    def r3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, lo, hi, _) =>
-      "\"" + k + "\":[" + lo + "," + hi + "]"
+      "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, _, s) if s != "ok" =>
       "\"" + k + "\":\"" + s + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    // spread detail first (may be cut by the harness tail window — fine),
+    // compact machine-readable line LAST so it survives the tail intact
+    println(s"""{"detail":"spread","reps":$reps,"spread":$spread}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    require(line.length < 1900,
+      s"bench JSON line ${line.length} chars — exceeds the harness 2000-char stdout tail")
+    println(line)
     spark.stop()
   }
 }

@@ -37,10 +37,14 @@ object SparkEntry {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val queries = e.filter(col("vec_id") < 5)
-    val copies = (1 to 10).map { j =>
-      queries.select((col("vec_id") + lit(1000000L * j)).as("vec_id"),
-        transform(col("embedding"), x => x * lit(1.0 + j / 1000.0)).as("embedding"))
-    }.reduce(_ union _)
+    // one explode, not 10 unions: a single parquet scan produces all copies
+    // (j/1000.0 is the same IEEE double division in Spark and in the oracle)
+    val copies = queries
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(1), lit(10))).as("j"))
+      .select((col("vec_id") + lit(1000000L) * col("j")).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0) + col("j") / lit(1000.0))).as("embedding"))
     (e.union(copies), queries)
   }
 
@@ -401,6 +405,25 @@ object SparkEntry {
         .orderBy("tile_name")
     }))
 
+  /** Shared brute-force oracle for both ANN index types (`ann_lsh_topk`,
+    * `ann_ivf_topk`): exact top-10 by cosine over the planted corpus of
+    * [[plantedAnnCorpus]], reconstructed independently in DuckDB. */
+  private val PlantedAnnBruteForceSql =
+    """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM base WHERE vec_id < 5),
+      |copies AS (SELECT q.vec_id + 1000000 * j AS vec_id,
+      |                  list_transform(q.v, x -> x * (1.0 + j / 1000.0)) AS v
+      |           FROM q CROSS JOIN (SELECT unnest(range(1, 11)) AS j)),
+      |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+      |        round(list_dot_product(q.v, c.v)
+      |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_r
+      |      FROM q, corpus c WHERE c.vec_id <> q.vec_id)
+      |SELECT query_id, nbr_id, cos_r, rank FROM (
+      |  SELECT query_id, nbr_id, cos_r,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id) AS rank
+      |  FROM s) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB oracle SQL — identical column names/order semantics. */
   def oracleSql: Map[String, String] = Map(
 
@@ -672,21 +695,13 @@ object SparkEntry {
     // Spark query builds (scale factors 1 + j/1000 are IEEE-identical in
     // both engines); the LSH path must return exactly this because positive
     // scaling guarantees bucket collision with the original (recall 1).
-    "ann_lsh_topk" ->
-      """WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |q AS (SELECT vec_id, v FROM base WHERE vec_id < 5),
-        |copies AS (SELECT q.vec_id + 1000000 * j AS vec_id,
-        |                  list_transform(q.v, x -> x * (1.0 + j / 1000.0)) AS v
-        |           FROM q CROSS JOIN (SELECT unnest(range(1, 11)) AS j)),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
-        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
-        |        round(list_dot_product(q.v, c.v)
-        |          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_r
-        |      FROM q, corpus c WHERE c.vec_id <> q.vec_id)
-        |SELECT query_id, nbr_id, cos_r, rank FROM (
-        |  SELECT query_id, nbr_id, cos_r,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id) AS rank
-        |  FROM s) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_topk" -> PlantedAnnBruteForceSql,
+
+    // Same corpus, same brute-force truth: the IVF path's recall-1 geometry
+    // is scale-invariance of the argmax-dot cell (SparkEntry `ann_ivf_topk`
+    // comment / Ivf.scala scaladoc), and its scoring/tie-breaks are
+    // identical to the LSH path's — so the two index types share one oracle.
+    "ann_ivf_topk" -> PlantedAnnBruteForceSql,
 
     "knn_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -236,6 +236,14 @@ object HyperplaneKernel {
   private val signCache =
     new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Double]]()
 
+  // key packing is exact only for offset/d < 2^24 (planes is bounded to 63
+  // by HyperplaneBucket); out-of-range inputs take the uncached loop below
+  // rather than silently aliasing cache keys. The cache is also capped:
+  // a pathological stream of distinct dims recomputes instead of growing
+  // without bound.
+  private final val KeyRange = 1 << 24
+  private final val MaxCacheEntries = 256
+
   private def signs(planes: Int, offset: Int, d: Int): Array[Double] = {
     val key = java.lang.Long.valueOf(
       (planes.toLong << 48) | (offset.toLong << 24) | d.toLong)
@@ -254,15 +262,38 @@ object HyperplaneKernel {
         }
         p += 1
       }
+      if (signCache.size >= MaxCacheEntries) signCache.clear()
       signCache.putIfAbsent(key, m)
     }
     m
+  }
+
+  /** Identical bucket derivation without the sign-matrix cache — the
+    * correctness path for inputs whose (offset, d) cannot be packed into
+    * the cache key. */
+  private def computeUncached(x: Array[Double], planes: Int, offset: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val hp = XXH64.hashInt(offset + p, Seed)
+      var acc = 0.0
+      var j = 0
+      while (j < x.length) {
+        acc += x(j) * (if (((XXH64.hashInt(j, hp) >> 13) & 1L) == 1L) 1.0 else -1.0)
+        j += 1
+      }
+      bucket = bucket * 2 + (if (acc > 0) 1L else 0L)
+      p += 1
+    }
+    bucket
   }
 
   /** `offset` selects a disjoint plane range [offset, offset+planes) —
     * multi-band LSH uses offset = band * planes. */
   def compute(vec: ArrayData, planes: Int, offset: Int): Long = {
     val x = vec.toDoubleArray()
+    if (offset < 0 || offset >= KeyRange || x.length >= KeyRange)
+      return computeUncached(x, planes, offset)
     val m = signs(planes, offset, x.length)
     var bucket = 0L
     var p = 0

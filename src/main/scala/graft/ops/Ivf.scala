@@ -34,51 +34,72 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Spherical k-means coarse quantizer, trained distributed.
+  /** Spherical k-means coarse quantizer, trained on a bounded deterministic
+    * sample (the `sampleCap` lowest-id vectors).
+    *
+    * The quantizer only needs the corpus density shape, not every row —
+    * the standard IVF practice is to train on a capped sample — so this
+    * costs ONE narrow collect (orderBy + limit, no wide shuffle) plus pure
+    * driver arithmetic: O(sampleCap·nCells·d·maxIter) flops against
+    * O(sampleCap·d) driver memory, the same bounded-driver-state class as
+    * the Gram aggregator's O(d²). At 100 TB the sample collect is still a
+    * top-k over ids; nothing scales with corpus size.
     *
     * Init is deterministic (the nCells lowest-id vectors, unit-normalized);
-    * each Lloyd iteration is one corpus pass whose shuffle carries at most
-    * nCells·d rows (per-cell per-dimension sums), collected to the driver
-    * and re-normalized. Empty cells keep their previous centroid. At real
-    * scale, train on a deterministic sample instead of the full corpus —
-    * the quantizer only needs the density shape, not every row.
+    * each Lloyd iteration reassigns the sample to its argmax-dot cell
+    * (ties to the lowest cell) and re-normalizes per-cell sums. Empty
+    * cells keep their previous centroid.
     */
   def trainCentroids(corpus: DataFrame, id: Column, vec: Column,
-                     nCells: Int, maxIter: Int): Array[Array[Double]] = {
+                     nCells: Int, maxIter: Int,
+                     sampleCap: Int = 4096): Array[Array[Double]] = {
     require(nCells > 0, s"nCells must be positive, got $nCells")
     require(maxIter >= 0, s"maxIter must be >= 0, got $maxIter")
-    val rows = corpus.select(id.as("id"), vec.cast("array<double>").as("v"))
-      .persist()
-    try {
-      val init = rows.orderBy("id").limit(nCells)
-        .select("v").collect()
-        .map(r => unit(r.getSeq[Double](0).toArray))
-      require(init.nonEmpty, "corpus is empty — cannot train centroids")
-      var centroids = init
-      var iter = 0
-      while (iter < maxIter) {
-        val assign = cellUdf(centroids)
-        val sums = rows
-          .select(assign(col("v")).as("cell"),
-            posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim")
-          .agg(sum(col("x")).as("s"))
-          .collect()
-        val d = centroids(0).length
-        val acc = Array.fill(centroids.length)(new Array[Double](d))
-        val seen = new Array[Boolean](centroids.length)
-        sums.foreach { r =>
-          val cell = r.getInt(0)
-          acc(cell)(r.getInt(1)) = r.getDouble(2)
-          seen(cell) = true
-        }
-        centroids = Array.tabulate(centroids.length) { c =>
-          if (seen(c)) unit(acc(c)) else centroids(c)
-        }
-        iter += 1
+    require(sampleCap >= nCells,
+      s"sampleCap=$sampleCap must be >= nCells=$nCells")
+    val sample = corpus.select(id.as("id"), vec.cast("array<double>").as("v"))
+      .orderBy("id").limit(sampleCap)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "corpus is empty — cannot train centroids")
+    val d = sample(0).length
+    sample.foreach { v =>
+      require(v.length == d,
+        s"inconsistent embedding dimensions: expected $d, found ${v.length}")
+    }
+    var centroids = sample.take(nCells).map(unit)
+    var iter = 0
+    while (iter < maxIter) {
+      val acc = Array.fill(centroids.length)(new Array[Double](d))
+      val cnt = new Array[Boolean](centroids.length)
+      sample.foreach { v =>
+        val c = argmaxDot(centroids, v)
+        val a = acc(c)
+        var i = 0
+        while (i < d) { a(i) += v(i); i += 1 }
+        cnt(c) = true
       }
-      centroids
-    } finally rows.unpersist(blocking = false)
+      centroids = Array.tabulate(centroids.length) { c =>
+        if (cnt(c)) unit(acc(c)) else centroids(c)
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** argmax over centroids of dot(centroid, v); ties to the lowest cell. */
+  private def argmaxDot(centroids: Array[Array[Double]], v: Seq[Double]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      val n = math.min(ctr.length, v.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += ctr(i) * v(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
   }
 
   private def unit(v: Array[Double]): Array[Double] = {
@@ -88,19 +109,9 @@ object Ivf {
     if (n == 0.0) v.clone() else v.map(_ / n)
   }
 
-  /** argmax over centroids of dot(centroid, v); ties to the lowest cell. */
+  /** UDF form of [[argmaxDot]] for distributed cell assignment. */
   private def cellUdf(centroids: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
-    var best = 0; var bestDot = Double.NegativeInfinity
-    var c = 0
-    while (c < centroids.length) {
-      val ctr = centroids(c)
-      val n = math.min(ctr.length, v.length)
-      var d = 0.0; var i = 0
-      while (i < n) { d += ctr(i) * v(i); i += 1 }
-      if (d > bestDot) { bestDot = d; best = c }
-      c += 1
-    }
-    best
+    argmaxDot(centroids, v)
   }
 
   /** The nProbe cells nearest to v, by dot desc then cell asc. */

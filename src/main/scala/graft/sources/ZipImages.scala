@@ -45,8 +45,11 @@ object ZipImages {
     val bb = ByteBuffer.wrap(tiff)
     val rows = bb.getInt
     val cols = bb.getInt
-    if (rows <= 0 || cols <= 0 || tiff.length < 8 + rows * cols * 4) return null
-    (rows, cols, java.util.Arrays.copyOfRange(tiff, 8, 8 + rows * cols * 4))
+    // long arithmetic: rows*cols*4 overflows Int for adversarial headers,
+    // which would let the guard pass on garbage and copyOfRange throw
+    val expected = 8L + rows.toLong * cols * 4
+    if (rows <= 0 || cols <= 0 || tiff.length < expected) return null
+    (rows, cols, java.util.Arrays.copyOfRange(tiff, 8, expected.toInt))
   }
 
   /** S5 second half (real codec, minimal): baseline uncompressed-TIFF
@@ -65,10 +68,12 @@ object ZipImages {
     val bb = ByteBuffer.wrap(tiff)
       .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
     if (bb.getShort(2) != 42) return null
+    // long arithmetic throughout: ifd near Int.MaxValue must fail the
+    // guard, not overflow past it and throw out of the UDF
     val ifd = bb.getInt(4)
-    if (ifd < 0 || ifd + 2 > tiff.length) return null
+    if (ifd < 0 || ifd.toLong + 2 > tiff.length) return null
     val nEntries = bb.getShort(ifd) & 0xffff
-    if (ifd + 2 + 12 * nEntries > tiff.length) return null
+    if (ifd.toLong + 2 + 12L * nEntries > tiff.length) return null
 
     // BYTE(1)/SHORT(3)/LONG(4) tag values; inline when they fit in 4 bytes
     def values(entryOff: Int): Array[Int] = {

@@ -247,6 +247,60 @@ object SparkEntry {
         Tables.events(s, dir), key = "event_type", windowLen = "1 day")
         .orderBy("key", "win_start_s")),
 
+    // ---- as-of (backward) join: last click at-or-before each purchase,
+    // per user — the point-in-time lookup Spark lacks natively, as ONE
+    // shuffle + window (AsOf.scala scaladoc) ------------------------------
+    "asof_purchase_click" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOf.backward(purchases, clicks,
+        leftKey = col("user_id"), rightKey = col("user_id"),
+        leftTs = unix_timestamp(col("ts")), rightTs = unix_timestamp(col("ts")),
+        rightTieBreak = col("event_id"),
+        leftCols = Seq("user_id" -> col("user_id"),
+          "p_event_id" -> col("event_id"),
+          "p_ts_s" -> unix_timestamp(col("ts"))),
+        rightCols = Seq("c_event_id" -> col("event_id"),
+          "c_ts_s" -> unix_timestamp(col("ts"))))
+        .orderBy("p_event_id")
+    }),
+
+    // ---- binned range join (no equi-key): events within ±300 s of each
+    // error event — equi-join on time bins, not a cartesian product -------
+    "events_near_errors" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("event_type"))
+      val errors = ev.filter(col("event_type") === "error")
+      RangeJoin.countWithin(errors, ev,
+        col("event_id"), col("ts_s"), col("event_id"), col("ts_s"), 300L)
+        .select(col("left_id").as("event_id"), col("cnt"))
+        .orderBy("event_id")
+    }),
+
+    // ---- latest-snapshot compaction: newest event per user (CDC upsert
+    // log → current state) ------------------------------------------------
+    "latest_event_per_user" -> ((s, dir) =>
+      Relational.latestPerKey(Tables.events(s, dir), Seq(col("user_id")),
+        version = unix_timestamp(col("ts")), tieBreak = col("event_id"))
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("event_type"))
+        .orderBy("user_id")),
+
+    // ---- TF-IDF keyword extraction over the documents corpus ------------
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalytics.tfidfTopTerms(Tables.documents(s, dir),
+        col("doc_id"), col("text"), k = 5)),
+
+    // ---- grouped exact percentiles (percentile_cont semantics) ----------
+    "price_percentiles" -> ((s, dir) =>
+      Relational.groupedPercentiles(Tables.orders(s, dir),
+        col("o_orderstatus"), col("o_totalprice"), Seq(0.25, 0.5, 0.9))
+        .select(col("o_orderstatus"), round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
+        .orderBy("o_orderstatus")),
+
     // ---- streaming twin (batch mode): stateful gap sessionization — same
     // oracle as the window-function `sessionize` query ---------------------
     "sessionize_stateful" -> ((s, dir) => {
@@ -785,6 +839,63 @@ object SparkEntry {
         |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_s,
         |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_s
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the independent truth for the
+    // union+window as-of implementation; the right side is pre-reduced to
+    // one row per (user, second) — max event_id — in BOTH engines so the
+    // matched row is unique and the compare deterministic.
+    "asof_purchase_click" ->
+      """WITH r AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_ts_s,
+        |                  max(event_id) AS c_event_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id AS p_event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS p_ts_s
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.p_event_id, p.p_ts_s, r.c_event_id, r.c_ts_s
+        |FROM p ASOF JOIN r ON p.user_id = r.user_id AND p.p_ts_s >= r.c_ts_s
+        |ORDER BY p_event_id""".stripMargin,
+
+    // the oracle states the range join declaratively (DuckDB plans an
+    // IEJoin); the Spark side must produce the same pairs via time-binning
+    "events_near_errors" ->
+      """WITH ev AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+        |            FROM events)
+        |SELECT e.event_id, count(*) AS cnt
+        |FROM ev e JOIN ev x ON abs(e.ts_s - x.ts_s) <= 300 AND e.event_id <> x.event_id
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "latest_event_per_user" ->
+      """SELECT user_id, event_id, ts_s, event_type FROM (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                                     event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // rank ties break on round(tfidf, 6) then term in BOTH engines, so
+    // mathematically-equal scores (tf=1 @ df=N/4 vs tf=2 @ df=N/2) cannot
+    // order differently due to last-ulp ln() differences
+    "tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |pairs AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |d AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT p.doc_id, p.term, p.tf, d.df,
+         |              round(p.tf * ln(n.n / d.df), 6) AS tfidf_r
+         |       FROM pairs p JOIN d USING (term) CROSS JOIN n),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                    ORDER BY tfidf_r DESC, term) AS rank
+         |       FROM sc)
+         |SELECT doc_id, rank, term, tf, df, tfidf_r FROM rk
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "price_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "sessionize" ->
       """WITH g AS (

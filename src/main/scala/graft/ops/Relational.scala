@@ -116,4 +116,36 @@ object Relational {
   /** Same, for a product of 2-dp factors (4 fractional digits preserved). */
   def moneySum4(c: Column): Column =
     sum(c.cast(DecimalType(22, 4))).cast("double")
+
+  /** Latest-snapshot compaction: the single newest row per key by
+    * (version, tie-break) — the CDC/upsert-log → current-state operator
+    * every incrementally-updated training corpus needs. One shuffle on the
+    * key; `row_number` keeps exactly one row per key deterministically
+    * (max_by would too, but the window form also yields rank > 1 history
+    * if callers want it). */
+  def latestPerKey(df: DataFrame, key: Seq[Column],
+                   version: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(version.desc, tieBreak.desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Grouped exact percentiles (linear interpolation — the SQL-standard
+    * percentile_cont semantics). Exact, not a sketch: correct at any
+    * scale via Spark's built-in `percentile` aggregate (partial
+    * aggregation map-side; memory is O(distinct values per group), which
+    * for bounded-domain measures is safe — for unbounded hot groups
+    * switch to `percentile_approx`, same call shape). */
+  def groupedPercentiles(df: DataFrame, key: Column, value: Column,
+                         ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be within [0, 1], got $ps")
+    df.groupBy(key)
+      .agg(percentile(value, lit(ps.head)).as(pName(ps.head)),
+        ps.tail.map(p => percentile(value, lit(p)).as(pName(p))): _*)
+  }
+
+  private def pName(p: Double): String =
+    "p" + math.round(p * 100)
 }

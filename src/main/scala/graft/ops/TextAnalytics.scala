@@ -211,4 +211,45 @@ object TextAnalytics {
       aggregate(split(text, "\\s+"), lit(0L),
         (a, t) => a + ceil(length(t).cast("double") / chunk).cast("long"))
         .as("bpe_tokens"))
+
+  /** TF-IDF keyword extraction: the `k` highest-scoring terms per document
+    * by tf·ln(N/df) — the classic corpus-statistics signal for topical
+    * keywords / quality features in a training-data pipeline.
+    *
+    * Shape: one tokenize pass → per-(doc, term) counts (tf, one shuffle) →
+    * per-term document frequency (df, a second partial-aggregated shuffle
+    * over the much smaller distinct pairs) → broadcast-join df back (the
+    * term dictionary is vocabulary-sized, not corpus-sized) → window top-k
+    * per doc. No driver state; every aggregate is map-side combined.
+    *
+    * Determinism: ties rank by round(tfidf, 6) desc then term asc — the
+    * rounding makes mathematically-equal scores (e.g. tf=1 of a df=N/4
+    * term vs tf=2 of a df=N/2 term) compare equal in any engine before the
+    * lexicographic tie-break, so output is engine- and order-independent.
+    */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
+                    k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // corpus size as a broadcast 1-row frame: keeps the whole operator one
+    // lazy DAG (no separate driver-side count action)
+    val nDocs = df.select(id.as("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = df
+      .select(id.as("doc_id"), explode(tokensCol(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = pairs
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = pairs
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_r",
+        round(col("tf") * log(col("n") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_r").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("tfidf_r"))
+      .orderBy("doc_id", "rank")
+  }
 }

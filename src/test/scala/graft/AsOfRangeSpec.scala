@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AsOf, RangeJoin, Relational}
+
+/** As-of join, binned range join, latest-snapshot compaction — the
+  * temporal operators (point-in-time lookup, non-equi time matching, CDC
+  * compaction). */
+class AsOfRangeSpec extends SparkSpec {
+
+  private def events(rows: Seq[(Long, Long, Long, String)]) =
+    spark.createDataFrame(rows).toDF("event_id", "user_id", "ts_s", "kind")
+
+  test("as-of backward: latest right row at-or-before each left row") {
+    val left = events(Seq((100L, 1L, 50L, "p"), (101L, 1L, 10L, "p"),
+      (102L, 2L, 30L, "p")))
+    val right = events(Seq((1L, 1L, 20L, "c"), (2L, 1L, 50L, "c"),
+      (3L, 1L, 60L, "c"), (4L, 2L, 30L, "c")))
+    val out = AsOf.backward(left, right,
+      leftKey = col("user_id"), rightKey = col("user_id"),
+      leftTs = col("ts_s"), rightTs = col("ts_s"),
+      rightTieBreak = col("event_id"),
+      leftCols = Seq("p_id" -> col("event_id"), "p_ts" -> col("ts_s")),
+      rightCols = Seq("c_id" -> col("event_id"), "c_ts" -> col("ts_s")))
+      .select("p_id", "c_id", "c_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // p100@50 matches c2@50 (at-or-before is INCLUSIVE, beats c1@20);
+    // p101@10 has no prior click and drops; p102@30 matches c4@30 same-ts
+    assert(out == Set((100L, 2L, 50L), (102L, 4L, 30L)))
+  }
+
+  test("as-of: right rows sharing (key, ts) dedupe to max tie-break") {
+    val left = events(Seq((100L, 1L, 50L, "p")))
+    val right = events(Seq((7L, 1L, 40L, "c"), (9L, 1L, 40L, "c"),
+      (8L, 1L, 40L, "c")))
+    val out = AsOf.backward(left, right,
+      col("user_id"), col("user_id"), col("ts_s"), col("ts_s"),
+      col("event_id"),
+      leftCols = Seq("p_id" -> col("event_id")),
+      rightCols = Seq("c_id" -> col("event_id")))
+      .select("c_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(9L))
+  }
+
+  test("range join within ±w: exactly the true pairs, boundaries inclusive") {
+    val l = events(Seq((1L, 0L, 1000L, "e")))
+    val r = events(Seq((2L, 0L, 700L, "x"), (3L, 0L, 701L, "x"),
+      (4L, 0L, 1299L, "x"), (5L, 0L, 1300L, "x"), (6L, 0L, 1301L, "x"),
+      (1L, 0L, 1000L, "x")))
+    val out = RangeJoin.within(l, r, col("event_id"), col("ts_s"),
+      col("event_id"), col("ts_s"), 300L)
+      .select("right_id").collect().map(_.getLong(0)).toSet
+    // 700 is exactly -300 (inclusive), 1300 exactly +300; 1301/699 out;
+    // identical id excluded even at distance 0
+    assert(out == Set(2L, 3L, 4L, 5L))
+  }
+
+  test("range join counts match a brute-force cross join") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, (i % 7).toLong, rng.nextInt(5000).toLong, "x"))
+    val df = events(rows)
+    val errors = df.filter(col("user_id") === 0)
+    val binned = RangeJoin.countWithin(errors, df, col("event_id"),
+      col("ts_s"), col("event_id"), col("ts_s"), 250L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = errors.as("e").crossJoin(df.as("x"))
+      .filter(abs(col("e.ts_s") - col("x.ts_s")) <= 250 &&
+        col("e.event_id") =!= col("x.event_id"))
+      .groupBy(col("e.event_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned == brute)
+  }
+
+  test("latestPerKey keeps exactly the newest row, ties to max tie-break") {
+    val df = events(Seq((1L, 1L, 10L, "a"), (2L, 1L, 30L, "b"),
+      (5L, 1L, 30L, "c"), (3L, 2L, 5L, "d")))
+    val out = Relational.latestPerKey(df, Seq(col("user_id")),
+      version = col("ts_s"), tieBreak = col("event_id"))
+      .select("user_id", "event_id", "kind")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 5L, "c"), (2L, 3L, "d")))
+  }
+}

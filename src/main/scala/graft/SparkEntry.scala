@@ -288,6 +288,36 @@ object SparkEntry {
           unix_timestamp(col("ts")).as("ts_s"), col("event_type"))
         .orderBy("user_id")),
 
+    // ---- pivot: per-user event counts as one column per type ------------
+    "user_event_pivot" -> ((s, dir) =>
+      Relational.pivotCounts(Tables.events(s, dir), "user_id",
+        col("event_type"), EventTypes)
+        .orderBy("user_id")),
+
+    // ---- multi-level rollup: counts at (type, ym), (type), grand --------
+    "event_rollup_levels" -> ((s, dir) =>
+      Relational.rollupCounts(
+        Tables.events(s, dir),
+        Seq("event_type" -> col("event_type"),
+          "ym" -> date_format(col("ts"), "yyyy-MM")))
+        .orderBy("event_type", "ym")),
+
+    // ---- running/trailing window aggregates per user --------------------
+    // value is integer-scaled (×1e4) before summation: window-frame float
+    // accumulation is engine-dependent, exact integer sums are not
+    "user_running_value" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        round(col("value") * 1e4).cast("long").as("vu"))
+      Relational.runningAgg(ev, col("user_id"),
+        Seq(col("ts_s"), col("event_id")), col("vu"), k = 3)
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          (col("cum_v").cast("double") / 1e4).as("cum_value"),
+          (col("trail_v").cast("double") / col("trail_n") / 1e4).as("avg3"))
+        .orderBy("user_id", "ts_s", "event_id")
+    }),
+
     // ---- TF-IDF keyword extraction over the documents corpus ------------
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalytics.tfidfTopTerms(Tables.documents(s, dir),
@@ -458,6 +488,10 @@ object SparkEntry {
           VectorOps.headTailPreview(col("features")).as("preview"))
         .orderBy("tile_name")
     }))
+
+  /** The `events.event_type` domain, pinned for the pivot query (explicit
+    * pivot values keep the plan single-pass; see Relational.pivotCounts). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Shared brute-force oracle for both ANN index types (`ann_lsh_topk`,
     * `ann_ivf_topk`): exact top-10 by cosine over the planted corpus of
@@ -872,6 +906,38 @@ object SparkEntry {
         |                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
         |                                     event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "user_event_pivot" -> {
+      val cols = EventTypes.map(t =>
+        s"count(*) FILTER (event_type = '$t') AS $t").mkString(",\n        |  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "event_rollup_levels" ->
+      """WITH e AS (SELECT event_type, strftime(ts, '%Y-%m') AS ym FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(ym, 'ALL') AS ym, count(*) AS cnt
+        |FROM e GROUP BY ROLLUP(event_type, ym)
+        |ORDER BY event_type, ym""".stripMargin,
+
+    // windowed BIGINT sums come back HUGEINT from DuckDB — cast before the
+    // double division or pandas degrades the column and the hash drifts
+    "user_running_value" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |                  CAST(round(value * 1e4) AS BIGINT) AS vu
+        |           FROM events)
+        |SELECT user_id, event_id, ts_s,
+        |  CAST(CAST(sum(vu) OVER wc AS BIGINT) AS DOUBLE) / 1e4 AS cum_value,
+        |  CAST(CAST(sum(vu) OVER w3 AS BIGINT) AS DOUBLE)
+        |    / (count(*) OVER w3) / 1e4 AS avg3
+        |FROM e
+        |WINDOW wc AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |              ROWS UNBOUNDED PRECEDING),
+        |       w3 AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_s, event_id""".stripMargin,
 
     // rank ties break on round(tfidf, 6) then term in BOTH engines, so
     // mathematically-equal scores (tf=1 @ df=N/4 vs tf=2 @ df=N/2) cannot

@@ -148,4 +148,48 @@ object Relational {
 
   private def pName(p: Double): String =
     "p" + math.round(p * 100)
+
+  /** Pivot: one column per (explicitly listed) pivot value, counting rows.
+    * The value list is REQUIRED, not discovered: Spark's list-less pivot
+    * first runs a driver-side distinct scan (a hidden extra job and a
+    * failure mode when the domain is huge); an explicit domain keeps the
+    * plan a single partial-aggregated shuffle and the schema stable. Counts
+    * are coalesced to 0 so absent combinations are explicit. */
+  def pivotCounts(df: DataFrame, key: String, pivotCol: Column,
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "pivot value list must not be empty")
+    df.groupBy(col(key))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .select(col(key) +:
+        values.map(v => coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
+  }
+
+  /** Multi-level rollup: counts at every prefix level of `groupCols`
+    * (finest → grand total), subtotal rows marked with `ALL` instead of
+    * NULL so results compare exactly across engines. One shuffle; Spark
+    * expands grouping sets map-side. */
+  def rollupCounts(df: DataFrame, groupCols: Seq[(String, Column)]): DataFrame =
+    df.rollup(groupCols.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(groupCols.map { case (n, _) =>
+        coalesce(col(n), lit("ALL")).as(n)
+      } :+ col("cnt"): _*)
+
+  /** O-family running aggregates: cumulative sum plus trailing-k sum/count
+    * per key in one window pass. `value` must be an exact (integer or
+    * decimal) column — floating accumulation over a window is
+    * frame-order-dependent across engines; integer-scale doubles first
+    * (the vec_dim_stats pattern). */
+  def runningAgg(df: DataFrame, key: Column, order: Seq[Column],
+                 value: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("cum_v",
+        sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("trail_v",
+        sum(value).over(w.rowsBetween(-(k - 1).toLong, Window.currentRow)))
+      .withColumn("trail_n",
+        count(lit(1)).over(w.rowsBetween(-(k - 1).toLong, Window.currentRow)))
+  }
 }

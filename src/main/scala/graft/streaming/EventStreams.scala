@@ -105,6 +105,45 @@ object EventStreams {
         org.apache.spark.sql.functions.md5(col(payload)))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream time-interval join: pairs of events within ±`windowS`
+    * seconds of each other — the streaming twin of
+    * [[graft.ops.RangeJoin.within]], using the same time-binning trick.
+    *
+    * A raw time-range-only stream-stream join gives the state store no
+    * key: every task would buffer BOTH streams' full horizon and compare
+    * all-pairs per micro-batch. Binning each side to `windowS`-sized
+    * buckets (left rows replicated to the 3 covering bins) restores an
+    * equi-key, so state is hash-partitioned by bin and each row meets only
+    * its temporal neighborhood — the same linearization the batch operator
+    * gets. Watermarks on both sides bound state: rows age out once the
+    * other stream's watermark passes their bin.
+    *
+    * Both inputs need (`event_id`, `ts`) columns. The range predicate is
+    * on raw event time; the batch query truncates to whole seconds first,
+    * so the two agree on integral-second data (which the oracle fixtures
+    * are).
+    */
+  def nearJoin(left: DataFrame, right: DataFrame, windowS: Long,
+               watermark: String = "1 hour"): DataFrame = {
+    require(windowS > 0, s"window must be positive, got $windowS")
+    val w = make_dt_interval(lit(0), lit(0), lit(0), lit(windowS.toDouble))
+    val l = left.select(col("event_id").as("left_id"), col("ts").as("left_ts"))
+      .withWatermark("left_ts", watermark)
+      .withColumn("_dbin", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_bin",
+        floor(unix_timestamp(col("left_ts")) / windowS) + col("_dbin"))
+      .drop("_dbin")
+    val r = right.select(col("event_id").as("right_id"), col("ts").as("right_ts"))
+      .withWatermark("right_ts", watermark)
+      .withColumn("_rbin", floor(unix_timestamp(col("right_ts")) / windowS))
+    l.join(r,
+        col("_bin") === col("_rbin") &&
+          col("right_ts") >= col("left_ts") - w &&
+          col("right_ts") <= col("left_ts") + w &&
+          col("left_id") =!= col("right_id"))
+      .select("left_id", "left_ts", "right_id", "right_ts")
+  }
+
   /** Batch form of [[sessionize]] that also FLUSHES the final open session
     * per user (batch input is complete, so the open session is closed by
     * definition). Matches the batch `sessionize` window query row-for-row.

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.{Event, Session}
@@ -103,5 +104,50 @@ class EventStreamsSpec extends SparkSpec {
     val out = EventStreams.windowedCounts(df, "event_type", "1 day")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
     assert(out == Set(("a", base, 2L), ("a", base + 86400, 1L)))
+  }
+
+  test("nearJoin under readStream: interval pairs across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp)]
+    val memR = MemoryStream[(Long, Timestamp)]
+    val base = 86400L * 19004
+    val q = EventStreams.nearJoin(
+      memL.toDF().toDF("event_id", "ts"),
+      memR.toDF().toDF("event_id", "ts"),
+      windowS = 300L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("nj_out")
+      .outputMode("append").start()
+    // batch 1: left event; right events straddling the ±300 s boundary
+    memL.addData((1L, ts(base + 1000)))
+    memR.addData((10L, ts(base + 700)), (11L, ts(base + 1299)),
+      (12L, ts(base + 1301)))
+    q.processAllAvailable()
+    // batch 2: a LATE right row still within the watermark joins the
+    // buffered left row — cross-batch matching through the state store
+    memR.addData((13L, ts(base + 1100)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("nj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out == Set((1L, 10L), (1L, 11L), (1L, 13L)))
+  }
+
+  test("nearJoin in batch mode matches the binned batch range join") {
+    import spark.implicits._
+    val base = 86400L * 19005
+    val rows = (0 until 60).map(i =>
+      (i.toLong, ts(base + (i * 137) % 3000)))
+    val df = rows.toDF("event_id", "ts")
+    val stream = EventStreams.nearJoin(df, df, windowS = 300L)
+      .select("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.RangeJoin.within(
+        df.select(col("event_id"), unix_timestamp(col("ts")).as("ts_s")),
+        df.select(col("event_id"), unix_timestamp(col("ts")).as("ts_s")),
+        col("event_id"), col("ts_s"), col("event_id"), col("ts_s"), 300L)
+      .select("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stream == batch && stream.nonEmpty)
   }
 }

@@ -288,6 +288,38 @@ object SparkEntry {
           unix_timestamp(col("ts")).as("ts_s"), col("event_type"))
         .orderBy("user_id")),
 
+    // ---- skew-resilient salted join (same oracle as revenue_per_nation,
+    // the wordcount_salted pattern: identical results, skew-proof plan) ---
+    "revenue_per_nation_salted" -> ((s, dir) => {
+      val co = Relational.saltedJoin(
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        col("o_custkey"), col("c_custkey"), salts = 8)
+      co.join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Relational.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // ---- deterministic content-keyed Bernoulli sample -------------------
+    "doc_sample" -> ((s, dir) =>
+      Sampling.hashSample(Tables.documents(s, dir), col("text"), 0.25)
+        .select(col("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- stratified deterministic sample: k docs per predicted language -
+    "doc_stratified_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val lang = TextAnalytics.languageId(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("lang_pred"))
+      Sampling.stratifiedTopK(d.join(lang, "doc_id"),
+        col("lang_pred"), col("text"), col("doc_id"), k = 3)
+        .select(col("lang_pred"), col("doc_id"))
+        .orderBy("lang_pred", "doc_id")
+    }),
+
     // ---- pivot: per-user event counts as one column per type ------------
     "user_event_pivot" -> ((s, dir) =>
       Relational.pivotCounts(Tables.events(s, dir), "user_id",
@@ -906,6 +938,33 @@ object SparkEntry {
         |                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
         |                                     event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "revenue_per_nation_salted" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // '40' = 0x40 = round(0.25·256); lexicographic < on 2-char lowercase
+    // hex equals the numeric compare, so both engines run the same predicate
+    "doc_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substring(md5(text), 1, 2) < '40' ORDER BY doc_id""".stripMargin,
+
+    "doc_stratified_sample" -> {
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |l AS (SELECT doc_id, text,
+         |        CASE WHEN CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)
+         |               / greatest(len(toks), 1) >= 0.10 THEN 'en' ELSE 'other' END AS lang_pred
+         |      FROM t),
+         |rk AS (SELECT lang_pred, doc_id,
+         |         row_number() OVER (PARTITION BY lang_pred
+         |                            ORDER BY md5(text), doc_id) AS rn
+         |       FROM l)
+         |SELECT lang_pred, doc_id FROM rk WHERE rn <= 3
+         |ORDER BY lang_pred, doc_id""".stripMargin
+    },
 
     "user_event_pivot" -> {
       val cols = EventTypes.map(t =>

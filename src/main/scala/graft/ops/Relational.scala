@@ -95,6 +95,30 @@ object Relational {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("_partial")).as(alias))
 
+  /** Skew-resilient equi-join: salt the (large, possibly skewed) left side
+    * into `salts` sub-keys and replicate each right row once per salt, so
+    * a hot join key spreads over `salts` reducers instead of melting one.
+    * Results are identical to `left.join(right, leftKey === rightKey)` for
+    * any inputs — replication only multiplies the match space by exactly
+    * the salt that each left row carries.
+    *
+    * This is the explicit form of what AQE skew-join does adaptively; use
+    * it when skew is known ahead of time (power-law keys in training-data
+    * pipelines) or when AQE's post-shuffle split cannot help (e.g. the
+    * skewed side feeds a window). Cost: right side shuffled ×salts — keep
+    * `salts` small and the right side the thinner one. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column,
+                 salts: Int = 8): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val l = left.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val r = right.withColumn("_salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    l.join(r, leftKey === rightKey && l("_salt") === r("_salt"))
+      .drop("_salt")
+  }
+
   /** Bucketed table write: pre-shuffle a fact table ONCE by its join key
     * so that every later equi-join or aggregation on that key runs with no
     * exchange at all (the 100 TB pattern for repeatedly-joined tables:

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Relational, Sampling}
+
+/** Deterministic sampling and the skew-resilient salted join. */
+class SamplingSpec extends SparkSpec {
+
+  private def docs(n: Int) =
+    spark.createDataFrame((0 until n).map(i => (i.toLong, s"doc body $i")))
+      .toDF("doc_id", "text")
+
+  test("hashSample: deterministic, partitioning-independent, ~fraction") {
+    val d = docs(2000)
+    val a = Sampling.hashSample(d, col("text"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(d.repartition(13), col("text"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // md5 is uniform: 25% ± a loose tolerance
+    assert(a.size > 2000 * 0.18 && a.size < 2000 * 0.32, s"got ${a.size}")
+    // fraction 1 keeps everything
+    assert(Sampling.hashSample(d, col("text"), 1.0).count() == 2000)
+  }
+
+  test("hashSample: nested fractions — the 12.5% sample is inside the 25%") {
+    val d = docs(1000)
+    val small = Sampling.hashSample(d, col("text"), 0.125)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(d, col("text"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big) && small.nonEmpty)
+  }
+
+  test("stratifiedTopK: k per stratum, hash-ordered, deterministic") {
+    val d = docs(100).withColumn("stratum", pmod(col("doc_id"), lit(4)))
+    val out = Sampling.stratifiedTopK(d, col("stratum"), col("text"),
+      col("doc_id"), k = 5)
+    val counts = out.groupBy("stratum").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0L -> 5L, 1L -> 5L, 2L -> 5L, 3L -> 5L))
+    val again = Sampling.stratifiedTopK(d.repartition(7), col("stratum"),
+      col("text"), col("doc_id"), k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("saltedJoin equals the plain join, including skewed keys") {
+    val rng = new scala.util.Random(5)
+    // 80% of left rows share one hot key
+    val left = spark.createDataFrame((0 until 500).map { i =>
+      (i.toLong, if (rng.nextDouble() < 0.8) 7L else rng.nextInt(20).toLong)
+    }).toDF("row_id", "k")
+    val right = spark.createDataFrame((0 until 20).map(i =>
+      (i.toLong, s"dim$i"))).toDF("rk", "name")
+    val salted = Relational.saltedJoin(left, right, col("k"), col("rk"), salts = 4)
+      .select("row_id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("row_id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain && salted.size == 500)
+  }
+}

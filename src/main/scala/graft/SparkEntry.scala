@@ -383,6 +383,17 @@ object SparkEntry {
       Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
     }),
 
+    // ---- dedup clusters: similarity pairs → connected components → keep
+    // list (min-id representative per cluster; Graph.scala scaladoc) ------
+    "dedup_components" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      Graph.dedupClusters(
+        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
+        col("id_a"), col("id_b"))
+        .orderBy("id")
+    }),
+
     // ---- SimHash near-dup ----------------------------------------------
     "simhash_dup_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -524,6 +535,26 @@ object SparkEntry {
   /** The `events.event_type` domain, pinned for the pivot query (explicit
     * pivot values keep the plan single-pass; see Relational.pivotCounts). */
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Shared CTE chain: all-pairs shingle-Jaccard over the self-unioned
+    * documents corpus (the brute-force truth behind `minhash_dup_pairs`,
+    * reused as the edge list for `dedup_components`). Ends at CTE `p`
+    * with (id_a, id_b, inter, na, nb). */
+  private val MinhashAllPairsCtes =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+      |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM docs),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(len(toks) - 2),
+      |               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      |             ELSE [array_to_string(toks, ' ')] END AS sh
+      |      FROM t),
+      |x AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      |      FROM x a JOIN x b USING (g) WHERE a.doc_id < b.doc_id
+      |      GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
   /** Shared brute-force oracle for both ANN index types (`ann_lsh_topk`,
     * `ann_ivf_topk`): exact top-10 by cosine over the planted corpus of
@@ -840,23 +871,26 @@ object SparkEntry {
     // the threshold), the output EQUALS the brute-force answer, which
     // DuckDB can compute directly. Verified: counts match at sf0.01/0.001.
     "minhash_dup_pairs" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
-         |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM docs),
-         |s AS (SELECT doc_id,
-         |        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(len(toks) - 2),
-         |               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-         |             ELSE [array_to_string(toks, ' ')] END AS sh
-         |      FROM t),
-         |x AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |        count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
-         |      FROM x a JOIN x b USING (g) WHERE a.doc_id < b.doc_id
-         |      GROUP BY a.doc_id, b.doc_id)
+      s"""WITH $MinhashAllPairsCtes
          |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // recursive-CTE reachability closure is the independent truth for the
+    // iterative min-label-propagation components (tiny per-component
+    // closures here; the Spark side is the one that must scale)
+    "dedup_components" ->
+      s"""WITH RECURSIVE $MinhashAllPairsCtes,
+         |pairs AS (SELECT id_a, id_b FROM p
+         |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM sym
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id)
+         |SELECT id, min(r) AS comp, (min(r) = id) AS keep FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin,
 
     "embedding_neardup" ->
       """WITH e AS (

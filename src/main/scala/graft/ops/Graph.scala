@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph operators over edge lists — the step that turns pairwise
+  * similarity output (minhash/simhash/embedding dup PAIRS) into usable
+  * dedup CLUSTERS: connected components with a canonical representative
+  * (min id) per component, from which a keep/drop list is one filter.
+  *
+  * Algorithm: iterative min-label propagation (each round every node
+  * adopts the smallest label in its closed neighborhood) with a
+  * convergence check — Pregel semantics expressed as DataFrame joins.
+  * Rounds needed = eccentricity of the min-id node within its component;
+  * near-dup clusters are near-cliques, so 2–3 rounds in practice. Each
+  * round is one equi-join + one groupBy-min over the edge list — linear
+  * shuffles, no driver-side graph state (the driver sees only a one-row
+  * convergence count per round). For adversarial long-chain graphs the
+  * round count grows with the chain length; the published fix
+  * (alternating large-star/small-star, which contracts paths in
+  * O(log n) rounds) drops into the same loop shape if ever needed.
+  */
+object Graph {
+
+  /** (id, comp) for every node in `edges`, comp = min node id reachable.
+    * Edges are treated as undirected; isolated nodes (absent from the
+    * edge list) are not emitted. */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column,
+                          maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val sym = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .union(edges.select(dst.cast("long").as("a"), src.cast("long").as("b")))
+      .distinct()
+      .persist()
+    // localCheckpoint (eager), NOT persist: each round's plan references the
+    // previous round's labels twice, so an uncut lineage doubles per round —
+    // exponential plan size by round ~20. Checkpointing truncates the plan
+    // to the materialized result, keeping every round's plan constant-size.
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // smallest label among neighbors, per node
+      val nbrMin = sym
+        .join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (col("nbr_comp") < col("comp")).as("_changed"))
+        .localCheckpoint()
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.drop("_changed")
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
+  /** Dedup keep/drop list from similarity pairs: every node labeled with
+    * its cluster representative (min id) and whether it is the keeper. */
+  def dedupClusters(pairs: DataFrame, idA: Column, idB: Column): DataFrame =
+    connectedComponents(pairs, idA, idB)
+      .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
+}

@@ -81,11 +81,29 @@ object Probe {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    /** m copies of the events table with shifted ids/users and a per-copy
+      * time offset of one day — event density per unit time stays constant
+      * per user, total volume grows ×m (the honest temporal-scale shape:
+      * more history, same instantaneous rate). */
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s")).cache()
+    events.count()
+    def eventsTimes(m: Int): DataFrame =
+      (0 until m).map { k =>
+        events.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+          (col("user_id") + lit(k * 1000L)).as("user_id"),
+          col("event_type"),
+          (col("ts_s") + lit(k * 86400L)).as("ts_s"))
+      }.reduce(_ union _)
+
     scales.foreach { m =>
       val d = docsTimes(m).cache()
       val e = embsTimes(m).cache()
+      val ev = eventsTimes(m).cache()
       val nDocs = d.count()
       val nVecs = e.count()
+      val nEv = ev.count()
       val (tMin, cMin) = timed(Dedup.minhashDupPairs(d, col("doc_id"), col("text")).count())
       val (tSim, cSim) = timed(Dedup.simhashDupPairs(d, col("doc_id"), col("text")).count())
       val (tEmb, cEmb) = timed(Dedup.embeddingNearDupLsh(
@@ -93,14 +111,34 @@ object Probe {
         cosineThreshold = 0.99).count())
       val (tAnn, cAnn) = timed(VectorOps.annLshTopK(
         e, e.filter(col("vec_id") < 5), 10).count())
+      val (tCc, cCc) = timed(graft.ops.Graph.dedupClusters(
+        Dedup.minhashDupPairs(d, col("doc_id"), col("text")),
+        col("id_a"), col("id_b")).count())
+      val (tAsof, cAsof) = timed {
+        val p = ev.filter(col("event_type") === "purchase")
+        val c = ev.filter(col("event_type") === "click")
+        graft.ops.AsOf.backward(p, c,
+          col("user_id"), col("user_id"), col("ts_s"), col("ts_s"),
+          col("event_id"),
+          leftCols = Seq("p_event_id" -> col("event_id")),
+          rightCols = Seq("c_event_id" -> col("event_id"))).count()
+      }
+      val (tRange, cRange) = timed {
+        val errs = ev.filter(col("event_type") === "error")
+        graft.ops.RangeJoin.countWithin(errs, ev, col("event_id"),
+          col("ts_s"), col("event_id"), col("ts_s"), 300L).count()
+      }
       val (maxB, overCap) = minhashBucketStats(d, 1000)
-      println(s"""{"scale":$m,"docs":$nDocs,"vecs":$nVecs,""" +
+      println(s"""{"scale":$m,"docs":$nDocs,"vecs":$nVecs,"events":$nEv,""" +
         s""""minhash_s":$tMin,"minhash_pairs":$cMin,""" +
         s""""simhash_s":$tSim,"simhash_pairs":$cSim,""" +
         s""""embdup_s":$tEmb,"embdup_pairs":$cEmb,""" +
         s""""ann_s":$tAnn,"ann_rows":$cAnn,""" +
+        s""""cc_s":$tCc,"cc_nodes":$cCc,""" +
+        s""""asof_s":$tAsof,"asof_rows":$cAsof,""" +
+        s""""range_s":$tRange,"range_rows":$cRange,""" +
         s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap}""")
-      d.unpersist(); e.unpersist()
+      d.unpersist(); e.unpersist(); ev.unpersist()
     }
     spark.stop()
   }

@@ -350,6 +350,13 @@ object SparkEntry {
         .orderBy("user_id", "ts_s", "event_id")
     }),
 
+    // ---- quality FILTER: keep/drop verdict from repetition + stopword +
+    // length signals (the decision step after doc_stats' scoring) ---------
+    "doc_quality_filter" -> ((s, dir) =>
+      TextAnalytics.qualityFilter(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ---- TF-IDF keyword extraction over the documents corpus ------------
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalytics.tfidfTopTerms(Tables.documents(s, dir),
@@ -1031,6 +1038,25 @@ object SparkEntry {
         |       w3 AS (PARTITION BY user_id ORDER BY ts_s, event_id
         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_s, event_id""".stripMargin,
+
+    // keep/drop compares the RAW exact-integer ratios (identical doubles in
+    // both engines); only the surfaced signal columns are rounded
+    "doc_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)
+         |          / greatest(len(toks), 1) AS stop_ratio
+         |      FROM t),
+         |x AS (SELECT doc_id, unnest(toks) AS tok FROM b),
+         |c AS (SELECT doc_id, tok, count(*) AS cnt FROM x GROUP BY doc_id, tok),
+         |m AS (SELECT doc_id, max(cnt) AS max_cnt FROM c GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  round(CAST(m.max_cnt AS DOUBLE) / b.n_tokens, 6) AS top_token_frac,
+         |  round(b.stop_ratio, 6) AS stop_ratio,
+         |  (b.n_tokens >= 20 AND b.n_tokens <= 100000
+         |    AND CAST(m.max_cnt AS DOUBLE) / b.n_tokens <= 0.12
+         |    AND b.stop_ratio >= 0.02) AS keep
+         |FROM b JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // rank ties break on round(tfidf, 6) then term in BOTH engines, so
     // mathematically-equal scores (tf=1 @ df=N/4 vs tf=2 @ df=N/2) cannot

@@ -212,6 +212,43 @@ object TextAnalytics {
         (a, t) => a + ceil(length(t).cast("double") / chunk).cast("long"))
         .as("bpe_tokens"))
 
+  /** Quality FILTER (the decision step on top of [[docStats]]' scoring):
+    * Gopher/C4-style keep/drop per document from cheap distributional
+    * signals — token-count bounds, max single-token frequency fraction
+    * (repetition), minimum stopword ratio (natural-language-ness). Emits
+    * the signals alongside the verdict so downstream can audit drops.
+    *
+    * Shape: one tokenize pass + one (doc, token) count shuffle for the
+    * repetition signal; everything else is per-row. All signals are exact
+    * integer ratios, so keep/drop decisions are bit-identical on any
+    * engine — no float-threshold flakiness at boundaries. */
+  def qualityFilter(df: DataFrame, id: Column, text: Column,
+                    minTokens: Long = 20, maxTokens: Long = 100000,
+                    maxTopTokenFrac: Double = 0.12,
+                    minStopRatio: Double = 0.02): DataFrame = {
+    val base = df
+      .select(id.as("doc_id"), tokensCol(text).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(filter(col("toks"), t => t.isin(Stopwords.map(lit): _*)))
+          .cast("double") / greatest(size(col("toks")), lit(1))).as("stop_ratio"))
+    val top = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("max_cnt"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("max_cnt").cast("double") / col("n_tokens")).as("top_token_frac"),
+        col("stop_ratio"))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("top_token_frac") <= maxTopTokenFrac &&
+          col("stop_ratio") >= minStopRatio)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_token_frac"), 6).as("top_token_frac"),
+        round(col("stop_ratio"), 6).as("stop_ratio"), col("keep"))
+  }
+
   /** TF-IDF keyword extraction: the `k` highest-scoring terms per document
     * by tf·ln(N/df) — the classic corpus-statistics signal for topical
     * keywords / quality features in a training-data pipeline.

@@ -43,6 +43,20 @@ class TfidfSpec extends SparkSpec {
     assert(out == Seq(1L -> "aaa", 2L -> "zzz"))
   }
 
+  test("qualityFilter: each rule independently drops its violators") {
+    // 40 distinct words + a few stopwords: no rule trips
+    val longText = (1 to 40).map(i => s"word$i").mkString(" ") +
+      " the a of it is and"
+    val df = docs(Seq(
+      (0L, longText),                       // passes everything
+      (1L, "too short but the a of"),       // < 20 tokens
+      (2L, ("spam " * 100) + "the a of it is and normal filler here now ok"), // repetition
+      (3L, (1 to 40).map(i => s"w$i").mkString(" ")))) // no stopwords
+    val out = TextAnalytics.qualityFilter(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> false, 3L -> false))
+  }
+
   test("groupedPercentiles: linear interpolation on a known sequence") {
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toDouble)))
       .toDF("k", "v")

@@ -279,6 +279,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- semi-structured: typed JSON extraction from the props column.
+    // Explicit schema, never inference — schema inference is a full extra
+    // scan of 100 TB before the real query starts ------------------------
+    "props_k_stats" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // ---- latest-snapshot compaction: newest event per user (CDC upsert
     // log → current state) ------------------------------------------------
     "latest_event_per_user" -> ((s, dir) =>
@@ -971,6 +985,14 @@ object SparkEntry {
         |FROM ev e JOIN ev x ON abs(e.ts_s - x.ts_s) <= 300 AND e.event_id <> x.event_id
         |WHERE e.event_type = 'error'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // HUGEINT sum → CAST AS BIGINT so pandas keeps int64 (hash parity)
+    "props_k_stats" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "latest_event_per_user" ->
       """SELECT user_id, event_id, ts_s, event_type FROM (

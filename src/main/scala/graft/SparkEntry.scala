@@ -1073,12 +1073,12 @@ object SparkEntry {
          |c AS (SELECT doc_id, tok, count(*) AS cnt FROM x GROUP BY doc_id, tok),
          |m AS (SELECT doc_id, max(cnt) AS max_cnt FROM c GROUP BY doc_id)
          |SELECT b.doc_id, b.n_tokens,
-         |  round(CAST(m.max_cnt AS DOUBLE) / b.n_tokens, 6) AS top_token_frac,
+         |  round(CAST(coalesce(m.max_cnt, 0) AS DOUBLE) / greatest(b.n_tokens, 1), 6) AS top_token_frac,
          |  round(b.stop_ratio, 6) AS stop_ratio,
          |  (b.n_tokens >= 20 AND b.n_tokens <= 100000
-         |    AND CAST(m.max_cnt AS DOUBLE) / b.n_tokens <= 0.12
+         |    AND CAST(coalesce(m.max_cnt, 0) AS DOUBLE) / greatest(b.n_tokens, 1) <= 0.12
          |    AND b.stop_ratio >= 0.02) AS keep
-         |FROM b JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+         |FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // rank ties break on round(tfidf, 6) then term in BOTH engines, so
     // mathematically-equal scores (tf=1 @ df=N/4 vs tf=2 @ df=N/2) cannot

@@ -236,9 +236,12 @@ object TextAnalytics {
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(max(col("cnt")).as("max_cnt"))
-    base.join(top, "doc_id")
+    // LEFT join: a zero-token document has no (doc, token) rows — it must
+    // surface with keep=false, not silently vanish from the verdict table
+    base.join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        (col("max_cnt").cast("double") / col("n_tokens")).as("top_token_frac"),
+        (coalesce(col("max_cnt"), lit(0L)).cast("double")
+          / greatest(col("n_tokens"), lit(1L))).as("top_token_frac"),
         col("stop_ratio"))
       .withColumn("keep",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&

@@ -59,4 +59,32 @@ class EdgeCaseSpec extends SparkSpec {
     val ds = VectorOps.dimStats(df, col("embedding")).collect()
     assert(ds.length == 3)
   }
+
+  test("qualityFilter: zero-token docs surface with keep=false, not vanish") {
+    val df = docs(0 -> "", 1 -> "...!!!...",
+      2 -> ((1 to 40).map(i => s"w$i").mkString(" ") + " the a of it is"))
+    val out = TextAnalytics.qualityFilter(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(4)).toMap
+    assert(out == Map(0 -> false, 1 -> false, 2 -> true))
+  }
+
+  test("temporal/graph operators survive empty inputs") {
+    val empty = spark.createDataFrame(Seq.empty[(Long, Long, Long)])
+      .toDF("event_id", "user_id", "ts_s")
+    val some = spark.createDataFrame(Seq((1L, 1L, 100L)))
+      .toDF("event_id", "user_id", "ts_s")
+    assert(graft.ops.AsOf.backward(some, empty,
+      col("user_id"), col("user_id"), col("ts_s"), col("ts_s"),
+      col("event_id"),
+      leftCols = Seq("l" -> col("event_id")),
+      rightCols = Seq("r" -> col("event_id"))).isEmpty)
+    assert(graft.ops.RangeJoin.within(empty, some, col("event_id"),
+      col("ts_s"), col("event_id"), col("ts_s"), 60L).isEmpty)
+    assert(graft.ops.Graph.connectedComponents(
+      empty.select(col("event_id").as("a"), col("user_id").as("b")),
+      col("a"), col("b")).isEmpty)
+    // tf-idf on an empty corpus: no rows, no division-by-zero on N
+    assert(TextAnalytics.tfidfTopTerms(docs(), col("doc_id"), col("text"))
+      .isEmpty)
+  }
 }

@@ -90,6 +90,13 @@ object SparkEntry {
         Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey")))
         .orderBy("o_orderkey")),
 
+    // ---- J1 dual: INTERSECT form ---------------------------------------
+    "intersect_orders" -> ((s, dir) =>
+      Relational.setIntersect(
+        Tables.orders(s, dir).select(col("o_orderkey")),
+        Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey")))
+        .orderBy("o_orderkey")),
+
     // ---- J1 keyed anti-join form ---------------------------------------
     "custs_no_p_orders" -> ((s, dir) =>
       Relational.antiJoin(Tables.customer(s, dir),
@@ -278,6 +285,64 @@ object SparkEntry {
         .select(col("left_id").as("event_id"), col("cnt"))
         .orderBy("event_id")
     }),
+
+    // ---- funnel: conditional aggregation to per-user qualified-event
+    // flags (value-thresholded, so the split is non-trivial at any SF),
+    // then count users per flag combination -------------------------------
+    "user_funnel" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          bool_or(col("event_type") === "purchase" && col("value") > 90)
+            .as("big_purchase"),
+          bool_or(col("event_type") === "error" && col("value") > 90)
+            .as("big_error"))
+        .groupBy(col("big_purchase"), col("big_error"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy("big_purchase", "big_error")),
+
+    // ---- time-series gap fill: a calendar spine (sequence of month
+    // indices) cross-joined with the key domain, left-joined with actual
+    // counts — missing months surface as 0, the resample/gap-fill shape ---
+    "ym_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          (year(col("ts")) * 12 + month(col("ts")) - 1).cast("long").as("mi"))
+      val bounds = ev.agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("mi"))
+        .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+      val counts = ev.groupBy(col("event_type"), col("mi"))
+        .agg(count(lit(1)).as("c"))
+      spine.join(counts, Seq("event_type", "mi"), "left")
+        .select(col("event_type"),
+          format_string("%04d-%02d", (col("mi") / 12).cast("int"),
+            (pmod(col("mi"), lit(12)) + 1).cast("int")).as("ym"),
+          coalesce(col("c"), lit(0L)).as("cnt"))
+        .orderBy("event_type", "ym")
+    }),
+
+    // ---- cohort analysis: users bucketed by first-activity week, then
+    // distinct active users per (cohort week, activity week) --------------
+    "user_cohorts" -> ((s, dir) => {
+      val m = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800L).as("wk"))
+        .distinct()
+      val cohort = m.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      m.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), col("wk"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort_wk", "wk")
+    }),
+
+    // ---- sliding windows (2-day window, 1-day slide): each event counts
+    // in exactly two windows ----------------------------------------------
+    "sliding_event_counts" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedCounts(
+        Tables.events(s, dir), key = "event_type", windowLen = "2 days",
+        slide = Some("1 day"))
+        .orderBy("key", "win_start_s")),
 
     // ---- semi-structured: typed JSON extraction from the props column.
     // Explicit schema, never inference — schema inference is a full extra
@@ -623,6 +688,49 @@ object SparkEntry {
 
     "setdiff_orders" ->
       """SELECT o_orderkey FROM orders EXCEPT SELECT l_orderkey AS o_orderkey FROM lineitem ORDER BY o_orderkey""",
+
+    "intersect_orders" ->
+      """SELECT o_orderkey FROM orders INTERSECT SELECT l_orderkey AS o_orderkey FROM lineitem ORDER BY o_orderkey""",
+
+    "user_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |             bool_or(event_type = 'purchase' AND value > 90) AS big_purchase,
+        |             bool_or(event_type = 'error' AND value > 90) AS big_error
+        |           FROM events GROUP BY user_id)
+        |SELECT big_purchase, big_error, count(*) AS users
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ym_gapfill" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS mi FROM events),
+        |b AS (SELECT min(mi) AS lo, max(mi) AS hi FROM e),
+        |spine AS (SELECT t.event_type, s.mi
+        |          FROM (SELECT DISTINCT event_type FROM e) t,
+        |               (SELECT unnest(generate_series(lo, hi)) AS mi FROM b) s),
+        |c AS (SELECT event_type, mi, count(*) AS c FROM e GROUP BY 1, 2)
+        |SELECT spine.event_type,
+        |  printf('%04d-%02d', CAST(spine.mi // 12 AS INT), CAST(spine.mi % 12 + 1 AS INT)) AS ym,
+        |  CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+        |FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.mi = c.mi
+        |ORDER BY 1, 2""".stripMargin,
+
+    "user_cohorts" ->
+      """WITH m AS (SELECT DISTINCT user_id,
+        |             CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM m GROUP BY user_id)
+        |SELECT c.cohort_wk, m.wk, count(*) AS users
+        |FROM m JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 2-day windows sliding by 1 day: every event is in exactly the two
+    // windows starting at its day bucket and one day earlier
+    "sliding_event_counts" ->
+      """WITH d AS (SELECT event_type AS key,
+        |             CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT) AS day_s
+        |           FROM events),
+        |w AS (SELECT key, unnest([day_s, day_s - 86400]) AS win_start_s FROM d)
+        |SELECT key, win_start_s, win_start_s + 172800 AS win_end_s, count(*) AS cnt
+        |FROM w GROUP BY key, win_start_s ORDER BY key, win_start_s""".stripMargin,
 
     "custs_no_p_orders" ->
       """SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN

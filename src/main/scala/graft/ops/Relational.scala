@@ -35,6 +35,9 @@ object Relational {
   /** J1: R − S over whole rows, for any comparable schema. */
   def setDifference(r: DataFrame, s: DataFrame): DataFrame = r.except(s)
 
+  /** J1 dual: R ∩ S over whole rows (set semantics, deduped). */
+  def setIntersect(r: DataFrame, s: DataFrame): DataFrame = r.intersect(s)
+
   /** J1 (keyed form): rows of `r` whose key has no match in `s`.
     * Anti join keeps `r`'s full row width, unlike `except`. */
   def antiJoin(r: DataFrame, s: DataFrame, rKey: Column, sKey: Column): DataFrame =

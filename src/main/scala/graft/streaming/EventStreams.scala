@@ -32,15 +32,20 @@ object EventStreams {
   final case class SessState(nextSessionId: Long, n: Long,
                              startS: Long, endS: Long)
 
-  /** Tumbling-window counts with watermark. `ts` must be an event-time
-    * column named `ts`. Works identically on batch input (watermark is a
-    * no-op there). Output: (key, win_start_s, win_end_s, cnt). */
+  /** Tumbling- or sliding-window counts with watermark. `ts` must be an
+    * event-time column named `ts`. Works identically on batch input
+    * (watermark is a no-op there). A `slide` shorter than `windowLen`
+    * makes windows overlap — each event lands in windowLen/slide windows,
+    * state stays O(keys × open windows).
+    * Output: (key, win_start_s, win_end_s, cnt). */
   def windowedCounts(events: DataFrame, key: String,
                      windowLen: String = "1 day",
-                     watermark: String = "2 days"): DataFrame =
+                     watermark: String = "2 days",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(col(key).as("key"), window(col("ts"), windowLen))
+      .groupBy(col(key).as("key"),
+        window(col("ts"), windowLen, slide.getOrElse(windowLen)))
       .agg(count(lit(1)).as("cnt"))
       .select(col("key"),
         unix_timestamp(col("window.start")).as("win_start_s"),

@@ -84,18 +84,21 @@ object Probe {
     /** m copies of the events table with shifted ids/users and a per-copy
       * time offset of one day — event density per unit time stays constant
       * per user, total volume grows ×m (the honest temporal-scale shape:
-      * more history, same instantaneous rate). */
+      * more history, same instantaneous rate). One explode, not an m-way
+      * union: a 128-branch union plan is exactly the shape
+      * plantedAnnCorpus replaced with explode(sequence). */
     val events = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_timestamp(col("ts")).as("ts_s")).cache()
     events.count()
     def eventsTimes(m: Int): DataFrame =
-      (0 until m).map { k =>
-        events.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
-          (col("user_id") + lit(k * 1000L)).as("user_id"),
+      events
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"),
+          explode(sequence(lit(0L), lit(m - 1L))).as("k"))
+        .select((col("event_id") + lit(10000000L) * col("k")).as("event_id"),
+          (col("user_id") + lit(1000L) * col("k")).as("user_id"),
           col("event_type"),
-          (col("ts_s") + lit(k * 86400L)).as("ts_s"))
-      }.reduce(_ union _)
+          (col("ts_s") + lit(86400L) * col("k")).as("ts_s"))
 
     scales.foreach { m =>
       val d = docsTimes(m).cache()
@@ -140,6 +143,7 @@ object Probe {
         s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap}""")
       d.unpersist(); e.unpersist(); ev.unpersist()
     }
+    docs.unpersist(); embs.unpersist(); events.unpersist()
     spark.stop()
   }
 }

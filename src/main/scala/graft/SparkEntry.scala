@@ -1085,13 +1085,14 @@ object SparkEntry {
         |ORDER BY p_event_id""".stripMargin,
 
     // the oracle states the range join declaratively (DuckDB plans an
-    // IEJoin); the Spark side must produce the same pairs via time-binning
+    // IEJoin); the Spark side must produce the same pairs via time-binning.
+    // LEFT join + count(x.event_id): isolated errors surface with cnt=0
     "events_near_errors" ->
       """WITH ev AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
         |            FROM events)
-        |SELECT e.event_id, count(*) AS cnt
-        |FROM ev e JOIN ev x ON abs(e.ts_s - x.ts_s) <= 300 AND e.event_id <> x.event_id
-        |WHERE e.event_type = 'error'
+        |SELECT e.event_id, count(x.event_id) AS cnt
+        |FROM (SELECT * FROM ev WHERE event_type = 'error') e
+        |LEFT JOIN ev x ON abs(e.ts_s - x.ts_s) <= 300 AND e.event_id <> x.event_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // HUGEINT sum → CAST AS BIGINT so pandas keeps int64 (hash parity)
@@ -1145,10 +1146,14 @@ object SparkEntry {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
 
+    // ALL markers come from GROUPING() — the subtotal-level indicator —
+    // so genuine NULL group values (rendered "NULL") cannot collide
     "event_rollup_levels" ->
       """WITH e AS (SELECT event_type, strftime(ts, '%Y-%m') AS ym FROM events)
-        |SELECT coalesce(event_type, 'ALL') AS event_type,
-        |       coalesce(ym, 'ALL') AS ym, count(*) AS cnt
+        |SELECT CASE WHEN grouping(event_type) = 1 THEN 'ALL'
+        |            ELSE coalesce(event_type, 'NULL') END AS event_type,
+        |       CASE WHEN grouping(ym) = 1 THEN 'ALL'
+        |            ELSE coalesce(ym, 'NULL') END AS ym, count(*) AS cnt
         |FROM e GROUP BY ROLLUP(event_type, ym)
         |ORDER BY event_type, ym""".stripMargin,
 

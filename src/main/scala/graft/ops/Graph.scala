@@ -58,6 +58,12 @@ object Graph {
       iter += 1
     }
     sym.unpersist(blocking = false)
+    // a partial label set is a WRONG answer (one real cluster reported as
+    // several, duplicate keepers downstream) — fail loudly, never return it
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — the graph " +
+        "has a longer path than expected; raise maxIter (or switch this loop " +
+        "to large-star/small-star contraction for adversarial diameters)")
     labels
   }
 

@@ -47,12 +47,18 @@ object RangeJoin {
 
   /** Per-left-row count of right rows within ±window seconds (excluding
     * the row itself when ids collide) — the "events near each error"
-    * aggregation shape. */
+    * aggregation shape. EVERY left row appears, isolated ones with cnt=0
+    * (an inner shape would silently drop exactly the interesting quiet
+    * rows). */
   def countWithin(left: DataFrame, right: DataFrame,
                   leftId: Column, leftTsS: Column,
                   rightId: Column, rightTsS: Column,
-                  windowS: Long): DataFrame =
-    within(left, right, leftId, leftTsS, rightId, rightTsS, windowS)
+                  windowS: Long): DataFrame = {
+    val matched = within(left, right, leftId, leftTsS, rightId, rightTsS, windowS)
       .groupBy(col("left_id"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("_c"))
+    left.select(leftId.as("left_id"))
+      .join(matched, Seq("left_id"), "left")
+      .select(col("left_id"), coalesce(col("_c"), lit(0L)).as("cnt"))
+  }
 }

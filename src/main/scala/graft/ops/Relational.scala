@@ -168,6 +168,9 @@ object Relational {
                          ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       s"percentiles must be within [0, 1], got $ps")
+    require(ps.map(pName).distinct.size == ps.size,
+      s"percentiles $ps collide after integer-percent naming " +
+        s"(${ps.map(pName).mkString(", ")}) — columns would be ambiguous")
     df.groupBy(key)
       .agg(percentile(value, lit(ps.head)).as(pName(ps.head)),
         ps.tail.map(p => percentile(value, lit(p)).as(pName(p))): _*)
@@ -193,15 +196,25 @@ object Relational {
   }
 
   /** Multi-level rollup: counts at every prefix level of `groupCols`
-    * (finest → grand total), subtotal rows marked with `ALL` instead of
-    * NULL so results compare exactly across engines. One shuffle; Spark
-    * expands grouping sets map-side. */
-  def rollupCounts(df: DataFrame, groupCols: Seq[(String, Column)]): DataFrame =
-    df.rollup(groupCols.map { case (n, c) => c.as(n) }: _*)
-      .agg(count(lit(1)).as("cnt"))
+    * (finest → grand total), subtotal rows marked with `ALL`. The marker is
+    * driven by `grouping()` — the rolled-up-level indicator — NOT by value
+    * nullness, so a genuine NULL group value stays distinguishable (it
+    * renders as "NULL") instead of colliding with the subtotal rows. One
+    * shuffle; Spark expands grouping sets map-side. */
+  def rollupCounts(df: DataFrame, groupCols: Seq[(String, Column)]): DataFrame = {
+    // grouping() only resolves against the literal rollup columns, so the
+    // group expressions are projected (and named) FIRST, and the level
+    // flags are surfaced inside the aggregation itself
+    val aggs = count(lit(1)).as("cnt") +:
+      groupCols.map { case (n, _) => grouping(col(n)).as(s"_lvl_$n") }
+    df.select(groupCols.map { case (n, c) => c.as(n) }: _*)
+      .rollup(groupCols.map { case (n, _) => col(n) }: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(groupCols.map { case (n, _) =>
-        coalesce(col(n), lit("ALL")).as(n)
+        when(col(s"_lvl_$n") === 1, lit("ALL"))
+          .otherwise(coalesce(col(n), lit("NULL"))).as(n)
       } :+ col("cnt"): _*)
+  }
 
   /** O-family running aggregates: cumulative sum plus trailing-k sum/count
     * per key in one window pass. `value` must be an exact (integer or

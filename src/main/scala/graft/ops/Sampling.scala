@@ -24,6 +24,9 @@ object Sampling {
     require(fraction > 0 && fraction <= 1,
       s"fraction must be in (0, 1], got $fraction")
     val cutoff = math.round(fraction * 256).toInt
+    require(cutoff >= 1,
+      s"fraction $fraction is below the 1/256 granularity — it would " +
+        "silently select nothing; use a coarser fraction or a wider hash prefix")
     if (cutoff >= 256) df
     else df.filter(substring(md5(keyText), 1, 2) < f"$cutoff%02x")
   }

@@ -278,8 +278,11 @@ object TextAnalytics {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docFreq = pairs
       .groupBy("term").agg(count(lit(1)).as("df"))
+    // docFreq is vocabulary-sized — unbounded at corpus scale (Heaps' law),
+    // so no broadcast hint: pairs is already term-keyed and AQE may still
+    // choose broadcast when the dictionary is actually small
     val scored = pairs
-      .join(broadcast(docFreq), "term")
+      .join(docFreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf_r",
         round(col("tf") * log(col("n") / col("df")), 6))

@@ -55,10 +55,12 @@ class AsOfRangeSpec extends SparkSpec {
     assert(out == Set(2L, 3L, 4L, 5L))
   }
 
-  test("range join counts match a brute-force cross join") {
+  test("range join counts match a brute-force cross join; isolated left " +
+    "rows surface with cnt=0") {
     val rng = new scala.util.Random(11)
     val rows = (0 until 300).map(i =>
-      (i.toLong, (i % 7).toLong, rng.nextInt(5000).toLong, "x"))
+      (i.toLong, (i % 7).toLong, rng.nextInt(5000).toLong, "x")) :+
+      (999L, 0L, 1000000L, "x") // far from everything: must appear as 0
     val df = events(rows)
     val errors = df.filter(col("user_id") === 0)
     val binned = RangeJoin.countWithin(errors, df, col("event_id"),
@@ -69,7 +71,10 @@ class AsOfRangeSpec extends SparkSpec {
         col("e.event_id") =!= col("x.event_id"))
       .groupBy(col("e.event_id")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(binned == brute)
+    assert(binned(999L) == 0L)
+    assert(binned.filter(_._2 > 0L) == brute)
+    // EVERY left row has a verdict
+    assert(binned.keySet == errors.collect().map(_.getLong(0)).toSet)
   }
 
   test("latestPerKey keeps exactly the newest row, ties to max tie-break") {

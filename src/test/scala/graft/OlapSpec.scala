@@ -26,6 +26,46 @@ class OlapSpec extends SparkSpec {
       ("x", "ALL", 3L), ("y", "ALL", 1L), ("ALL", "ALL", 4L)))
   }
 
+  test("rollupCounts: genuine NULL group values stay distinct from ALL subtotals") {
+    val df = spark.createDataFrame(Seq(
+      (Option("x"), "m1"), (Option.empty[String], "m1"),
+      (Option.empty[String], "m2"))).toDF("a", "b")
+    val out = Relational.rollupCounts(df,
+      Seq("a" -> col("a"), "b" -> col("b")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the NULL-keyed data rows are "NULL", the rolled-up level is "ALL" —
+    // no collision even though the underlying rollup emits NULL for both
+    assert(out == Set(
+      ("x", "m1", 1L), ("NULL", "m1", 1L), ("NULL", "m2", 1L),
+      ("x", "ALL", 1L), ("NULL", "ALL", 2L), ("ALL", "ALL", 3L)))
+  }
+
+  test("groupedPercentiles rejects colliding integer-percent names") {
+    val df = spark.createDataFrame(Seq(("g", 1.0))).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Relational.groupedPercentiles(df, col("k"), col("v"), Seq(0.055, 0.06))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("percentile_approx (the unbounded-domain scale path) stays within " +
+    "its accuracy bound of the exact percentile") {
+    val rng = new scala.util.Random(17)
+    val df = spark.createDataFrame(
+      (0 until 20000).map(i => ("g", rng.nextGaussian() * 100)))
+      .toDF("k", "v")
+    val exact = Relational.groupedPercentiles(df, col("k"), col("v"), Seq(0.5, 0.9))
+      .collect().head
+    val approx = df.groupBy("k")
+      .agg(percentile_approx(col("v"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("v"), lit(0.9), lit(10000)).as("p90"))
+      .collect().head
+    // GK-sketch rank error <= n/accuracy = 2 ranks here; on a smooth
+    // distribution that is a tiny value band — assert a loose envelope
+    assert(math.abs(exact.getDouble(1) - approx.getDouble(1)) < 2.0)
+    assert(math.abs(exact.getDouble(2) - approx.getDouble(2)) < 2.0)
+  }
+
   test("runningAgg: cumulative and trailing-k sums per key") {
     val df = spark.createDataFrame(Seq(
       (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), (1L, 4L, 40L),

@@ -21,6 +21,11 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > 2000 * 0.18 && a.size < 2000 * 0.32, s"got ${a.size}")
     // fraction 1 keeps everything
     assert(Sampling.hashSample(d, col("text"), 1.0).count() == 2000)
+    // below-granularity fractions fail fast instead of selecting nothing
+    val e = intercept[IllegalArgumentException] {
+      Sampling.hashSample(d, col("text"), 0.001)
+    }
+    assert(e.getMessage.contains("granularity"))
   }
 
   test("hashSample: nested fractions — the 12.5% sample is inside the 25%") {

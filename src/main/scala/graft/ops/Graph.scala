@@ -28,33 +28,43 @@ object Graph {
   def connectedComponents(edges: DataFrame, src: Column, dst: Column,
                           maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
-    val sym = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+    // closed neighborhood via explicit self-loops: each round is then ONE
+    // equi-join + ONE groupBy-min (no per-round left join to merge the
+    // node's own label back in)
+    val undirected = edges
+      .select(src.cast("long").as("a"), dst.cast("long").as("b"))
       .union(edges.select(dst.cast("long").as("a"), src.cast("long").as("b")))
+    val sym = undirected
+      .union(undirected.select(col("a"), col("a")))
       .distinct()
       .persist()
     // localCheckpoint (eager), NOT persist: each round's plan references the
-    // previous round's labels twice, so an uncut lineage doubles per round —
+    // previous round's labels, so an uncut lineage grows per round —
     // exponential plan size by round ~20. Checkpointing truncates the plan
     // to the materialized result, keeping every round's plan constant-size.
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // labels only ever decrease, so an unchanged exact SUM of labels ⇔ no
+    // label changed — one scalar aggregate per round instead of a compare
+    // join (decimal: a long sum overflows at ~1e6 nodes with 1e15 ids)
+    def labelSum(l: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      l.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // smallest label among neighbors, per node
-      val nbrMin = sym
+      val next = sym
         .join(labels, sym("b") === labels("id"))
-        .groupBy(sym("a").as("nid"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (col("nbr_comp") < col("comp")).as("_changed"))
+        .groupBy(sym("a").as("id"))
+        .agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      converged = next.filter(col("_changed")).isEmpty
-      labels = next.drop("_changed")
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
       iter += 1
     }
     sym.unpersist(blocking = false)

@@ -144,6 +144,17 @@ object Relational {
   def moneySum4(c: Column): Column =
     sum(c.cast(DecimalType(22, 4))).cast("double")
 
+  /** CDC upsert apply: fold an updates log into a base snapshot — for
+    * every key, the row with the highest (version, tie-break) across both
+    * inputs wins. `MERGE INTO` semantics composed from union +
+    * [[latestPerKey]]: one shuffle on the key, works on plain parquet
+    * (no table format required), and the same call applies N accumulated
+    * update batches at once (union them first — the compaction is
+    * associative). */
+  def upsert(base: DataFrame, updates: DataFrame, key: Seq[Column],
+             version: Column, tieBreak: Column): DataFrame =
+    latestPerKey(base.unionByName(updates), key, version, tieBreak)
+
   /** Latest-snapshot compaction: the single newest row per key by
     * (version, tie-break) — the CDC/upsert-log → current-state operator
     * every incrementally-updated training corpus needs. One shuffle on the

@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: key-less |Δts| <= w joins become binned equi-joins
+    // (BinTemporalRangeJoin scaladoc) instead of nested-loop products
+    ext.injectOptimizerRule(_ => graft.plans.BinTemporalRangeJoin)
+
     def info(name: String, usage: String) = {
       val _ = usage // shown via SQL DESCRIBE only with the extended ctor
       new ExpressionInfo("graft.functions.HashFunctions", name)

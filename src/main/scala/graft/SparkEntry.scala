@@ -83,6 +83,45 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ---- TPC-H Q3 shape: selective 3-table join + top-k by aggregate ----
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cutoff = "1998-06-15"
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < to_timestamp(lit(cutoff))),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > to_timestamp(lit(cutoff))),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate_s"),
+          col("o_orderpriority"))
+        .agg(Relational.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5 shape: 6-table join, two broadcast dims, local-supplier
+    // constraint (customer and supplier share a nation) -------------------
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val asiaNations = Relational.broadcastSemiJoin(
+        Tables.nation(s, dir),
+        Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey"), col("r_regionkey"))
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Relational.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ---- J1 set difference (a1p1:224–239, a1p2a:34): EXCEPT form --------
     "setdiff_orders" -> ((s, dir) =>
       Relational.setDifference(
@@ -685,6 +724,29 @@ object SparkEntry {
         |  sum(l_quantity) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "setdiff_orders" ->
       """SELECT o_orderkey FROM orders EXCEPT SELECT l_orderkey AS o_orderkey FROM lineitem ORDER BY o_orderkey""",

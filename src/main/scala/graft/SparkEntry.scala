@@ -203,6 +203,21 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // ---- the SQL facade: same engine through spark.sql over registered
+    // views — shares revenue_per_nation's oracle (identical result proves
+    // the two entry points are one engine) --------------------------------
+    "sql_revenue_per_nation" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")
+    }),
+
     // ---- text quality scoring (training-data pipeline) ------------------
     "doc_stats" -> ((s, dir) =>
       TextAnalytics.docStats(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -831,6 +846,13 @@ object SparkEntry {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "revenue_per_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey AND c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "sql_revenue_per_nation" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, nation

@@ -35,4 +35,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql("...")` is a
+    * first-class entry point beside the DataFrame API — same loaders
+    * (including the events nanos fix), so both surfaces see identical
+    * data. Idempotent; views are session-scoped. */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "events" -> events _)
+    all.foreach { name =>
+      loaders.getOrElse(name, (ss: SparkSession, dd: String) => load(ss, dd, name))
+        .apply(s, d).createOrReplaceTempView(name)
+    }
+  }
 }

@@ -865,9 +865,11 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
-         |  CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(toks) AS stopword_ratio,
-         |  CAST(n_digit AS DOUBLE) / n_char AS digit_ratio
+         |  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+         |    / greatest(len(toks), 1) AS avg_token_len,
+         |  CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)
+         |    / greatest(len(toks), 1) AS stopword_ratio,
+         |  CAST(n_digit AS DOUBLE) / greatest(n_char, 1) AS digit_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->

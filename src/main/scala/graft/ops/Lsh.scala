@@ -53,8 +53,11 @@ object Lsh {
     sb.toString
   }
 
-  /** M5: signature → band buckets (reference's binary-parsed-as-hex). */
+  /** M5: signature → band buckets (reference's binary-parsed-as-hex).
+    * An empty signature (zero-length feature vector) yields zero bands —
+    * BigInteger("") would throw out of the UDF and fail the job. */
   def buckets(sig: String, bandwidth: Int): Array[Long] = {
+    if (sig == null || sig.isEmpty) return Array.empty[Long]
     val bits = new java.math.BigInteger(sig, 16).toString(2)
     val full = "0" * (4 * sig.length - bits.length) + bits
     val bands = full.length / bandwidth

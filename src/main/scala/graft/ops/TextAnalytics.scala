@@ -151,6 +151,18 @@ object TextAnalytics {
         .map { case (lang, prof) => (lang, prof.map(packTri).toArray) }
         .toArray
     val classify = udf { (t: String) =>
+      // null text degrades like the other text operators (null row),
+      // never an NPE that fails the whole job
+      if (t == null) null
+      else classifyText(t, packedProfiles, topK)
+    }
+    df.select(id.as("doc_id"), classify(text).as("r"))
+      .select(col("doc_id"), col("r._1").as("lang_pred"),
+        col("r._2").as("distance"))
+  }
+
+  private def classifyText(t: String, packedProfiles: Array[(String, Array[Int])],
+                           topK: Int): (String, Long) = {
       val s = " " + langIdNormRegex.matcher(t.toLowerCase).replaceAll(" ").trim + " "
       val counts = scala.collection.mutable.LongMap.empty[Int]
       val n = s.length
@@ -186,11 +198,6 @@ object TextAnalytics {
         li += 1
       }
       (bestLang, bestD)
-    }
-    df.select(id.as("doc_id"), classify(text).as("pred"))
-      .select(col("doc_id"),
-        col("pred._1").as("lang_pred"),
-        col("pred._2").as("distance"))
   }
 
   /** Document fingerprint: md5 over the sorted distinct token set —

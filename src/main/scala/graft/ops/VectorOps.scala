@@ -57,9 +57,12 @@ object VectorOps {
   /** A7/A8: per-dimension mean and population variance across all rows.
     *
     * Cross-row float sums are order-dependent in IEEE double; instead each
-    * value is scaled to an exact integer number of millionths and summed as
-    * BIGINT (associative ⇒ plan- and partition-order-independent). The
-    * shuffle carries `dim` rows total regardless of input size.
+    * value is scaled to an exact integer number of millionths and summed
+    * EXACTLY (associative ⇒ plan- and partition-order-independent). The
+    * squared term is ~1e12 per unit-scale row, so both sums accumulate in
+    * DECIMAL(38,0) — a BIGINT sum of squares would wrap silently past
+    * ~9 million rows. The shuffle carries `dim` rows total regardless of
+    * input size.
     */
   def dimStats(df: DataFrame, vec: Column): DataFrame = {
     val micro = round(col("v").cast("double") * 1e6).cast("long")
@@ -68,8 +71,11 @@ object VectorOps {
       .groupBy("dim")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("vu")).cast("double").as("s1"),
-        sum(col("vu") * col("vu")).cast("double").as("s2"))
+        sum(col("vu").cast("decimal(38,0)")).cast("double").as("s1"),
+        // cast BEFORE multiplying: the long×long product itself would
+        // overflow first for |value| > ~3e3 (|vu| > ~3e9)
+        sum(col("vu").cast("decimal(19,0)") * col("vu").cast("decimal(19,0)"))
+          .cast("double").as("s2"))
       .select(
         col("dim"),
         col("n"),

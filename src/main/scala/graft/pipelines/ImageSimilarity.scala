@@ -46,8 +46,10 @@ object ImageSimilarity {
       // predicate inside the plan (no driver round-trip for the id list)
       val banded = Lsh.withSignatureBuckets(feats, col("tile_name"),
         col("features"), sigIdx, bandwidth)
+      // tile ids are "<image name>-<tile index>": strip the LAST -<digits>
+      // suffix, so image names containing hyphens still match
       val cands = Lsh.candidatesWhere(banded,
-        element_at(split(col("item_id"), "-"), 1).isin(queryImages: _*))
+        regexp_extract(col("item_id"), "^(.*)-\\d+$", 1).isin(queryImages: _*))
 
       // M6 RP: d → ⌊√d⌋, broadcast matmul; M7+M8 fit over ALL projected
       // tiles, then project only the rows the distance stage needs.

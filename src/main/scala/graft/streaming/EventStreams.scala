@@ -68,9 +68,15 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            // watermark passed the open session's gap horizon: close it
+            // watermark passed the open session's gap horizon: close it,
+            // but KEEP the per-user counter (n = 0 marks "no open
+            // session") — removing state would restart session_id at 1 on
+            // the user's next activity and collide (user, session) keys
+            // already emitted in append mode. An idle user holds a few
+            // bytes of counter state until their next event; no further
+            // timeout is scheduled while nothing is open.
             val st = state.get
-            state.remove()
+            state.update(SessState(st.nextSessionId, 0L, Long.MinValue, Long.MinValue))
             Iterator.single(Session(userId, st.nextSessionId, st.n, st.startS, st.endS))
           } else {
             val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
@@ -89,7 +95,14 @@ object EventStreams {
               }
             }
             state.update(st)
-            state.setTimeoutTimestamp((st.endS + gapSec) * 1000 + 1)
+            // clamp to the watermark: a batch of only-late events leaves
+            // endS + gap behind it, and setTimeoutTimestamp THROWS for a
+            // non-future timestamp — one replayed stale event must not
+            // kill the query
+            val horizon = (st.endS + gapSec) * 1000 + 1
+            val wm = try state.getCurrentWatermarkMs()
+                     catch { case _: UnsupportedOperationException => Long.MinValue }
+            state.setTimeoutTimestamp(math.max(horizon, wm + 1))
             out.iterator
           }
       }

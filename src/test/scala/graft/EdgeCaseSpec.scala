@@ -68,6 +68,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out == Map(0 -> false, 1 -> false, 2 -> true))
   }
 
+  test("dimStats survives large magnitudes: exact decimal sum of squares") {
+    // |value| = 3000 → scaled vu = 3e9, vu² = 9e18 ≈ Long.MaxValue: TWO
+    // rows overflow a BIGINT sum of squares; the decimal path stays exact
+    val df = spark.createDataFrame(
+      Seq.fill(3)(Tuple1(Array(3000f))).zipWithIndex.map { case (v, i) => (i, v._1) })
+      .toDF("vec_id", "embedding")
+    val r = VectorOps.dimStats(df, col("embedding")).collect().head
+    assert(r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 3000.0) < 1e-6) // mean
+    assert(math.abs(r.getDouble(3)) < 1e-6)          // var_pop of constants = 0
+  }
+
+  test("langIdNgram: null text yields a null row, not an NPE") {
+    val df = spark.createDataFrame(Seq(
+      (0, "the quick brown fox and the lazy dog"), (1, null: String)))
+      .toDF("doc_id", "text")
+    val out = TextAnalytics.langIdNgram(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getInt(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(0 -> false, 1 -> true))
+  }
+
+  test("Lsh.buckets: empty signature yields zero bands, not an exception") {
+    assert(graft.ops.Lsh.buckets("", 13).isEmpty)
+    assert(graft.ops.Lsh.buckets(null, 13).isEmpty)
+  }
+
   test("temporal/graph operators survive empty inputs") {
     val empty = spark.createDataFrame(Seq.empty[(Long, Long, Long)])
       .toDF("event_id", "user_id", "ts_s")

@@ -57,11 +57,29 @@ class EventStreamsSpec extends SparkSpec {
     // session's gap horizon -> timeout fires and closes it
     mem.addData(Event(2L, 9L, ts(base + 86400)))
     q.processAllAvailable()
+    // batch 3: user 1 returns after the timeout — the per-user counter
+    // must survive the close (session_id continues at 3, not restart at 1)
+    mem.addData(Event(1L, 10L, ts(base + 86400 + 100)))
+    q.processAllAvailable()
+    // batch 4: a LATE event (event-time far behind the watermark) for an
+    // existing user must not kill the query via a stale timeout timestamp
+    mem.addData(Event(1L, 11L, ts(base + 6000)))
+    q.processAllAvailable()
+    mem.addData(Event(2L, 12L, ts(base + 86400 * 3)))
+    q.processAllAvailable()
     q.stop()
     val out = spark.table("sess_out").as[Session].collect()
       .map(s => (s.user_id, s.session_id, s.n_events, s.start_s, s.end_s)).toSet
     assert(out.contains((1L, 1L, 2L, base, base + 60)))       // closed by gap
     assert(out.contains((1L, 2L, 1L, base + 5000, base + 5000))) // closed by timeout
+    // counter survived the timeout close: post-timeout sessions number 3+,
+    // and no (user, session_id) key is ever emitted twice
+    val user1Ids = spark.table("sess_out").as[Session].collect()
+      .filter(_.user_id == 1L).map(_.session_id)
+    assert(user1Ids.distinct.length == user1Ids.length,
+      s"duplicate session ids for user 1: ${user1Ids.toSeq}")
+    assert(user1Ids.exists(_ >= 3L),
+      s"expected a post-timeout session id >= 3, got ${user1Ids.toSeq}")
   }
 
   test("streaming exact dedup drops within-watermark duplicates across batches") {

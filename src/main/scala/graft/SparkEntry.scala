@@ -301,6 +301,20 @@ object SparkEntry {
         col("doc_id"), col("text"))
     }),
 
+    // ---- containment (asymmetric Jaccard): quote/subset detection — how
+    // much of each query doc appears inside each corpus doc --------------
+    "containment_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.containmentPairs(d, d.filter(col("doc_id") < 5),
+        col("doc_id"), col("text"))
+    }),
+
+    // ---- canonicalized exact-dedup key (lowercase + NFC + whitespace) ---
+    "doc_canonical_key" -> ((s, dir) =>
+      TextAnalytics.canonicalKey(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ---- streaming twin (batch mode): watermarked tumbling-window counts
     // (the same operator runs under readStream; see EventStreamsSpec) -----
     "windowed_event_counts" -> ((s, dir) =>
@@ -1130,6 +1144,22 @@ object SparkEntry {
          |      FROM s q, s c WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id)
          |SELECT query_id, doc_id, jaccard FROM p WHERE jaccard >= 0.01
          |ORDER BY query_id, doc_id""".stripMargin,
+
+    "containment_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+         |      FROM t WHERE len(toks) >= 3),
+         |p AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         |        CAST(len(list_intersect(q.sh, c.sh)) AS DOUBLE) / len(q.sh) AS containment
+         |      FROM s q, s c WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id)
+         |SELECT query_id, doc_id, containment FROM p WHERE containment >= 0.01
+         |ORDER BY query_id, doc_id""".stripMargin,
+
+    "doc_canonical_key" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g'))) AS canon_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "windowed_event_counts" ->
       """SELECT event_type AS key,

@@ -188,6 +188,35 @@ object Dedup {
       .orderBy("query_id", "doc_id")
   }
 
+  /** Containment (asymmetric Jaccard): |Q ∩ C| / |Q| — how much of the
+    * QUERY document appears inside each corpus document. The
+    * quote/subset-detection twin of [[ngramJaccardPairs]]: a short passage
+    * fully quoted inside a long document scores containment 1.0 while its
+    * symmetric Jaccard is tiny (the union is dominated by the long side).
+    * Same inverted-index shape — one corpus scan, shingle-hash equi-join,
+    * no cross join. */
+  def containmentPairs(corpus: DataFrame, queries: DataFrame,
+                       id: Column, text: Column,
+                       n: Int = 3, threshold: Double = 0.01): DataFrame = {
+    require(threshold > 0.0,
+      "inverted-index containment never materializes zero-overlap pairs")
+    def sh(df: DataFrame, idAs: String) = df
+      .filter(size(TextAnalytics.tokensCol(text)) >= n)
+      .select(id.as(idAs), shingleHashes64(text, n).as("sh"))
+    val c = sh(corpus, "doc_id")
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val q = sh(queries, "query_id")
+      .select(col("query_id"), size(col("sh")).as("n_q"), explode(col("sh")).as("g"))
+    c.join(broadcast(q), "g")
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"), first(col("n_q")).as("n_q"))
+      .select(col("query_id"), col("doc_id"),
+        (col("inter").cast("double") / col("n_q")).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("query_id", "doc_id")
+  }
+
   /** 64-bit SimHash as a single long — native codegen kernel
     * ([[graft.functions.SimHash64]]): per token, xxhash64 contributes ±1 to
     * each bit position; final bit = sign of the sum. */

@@ -200,6 +200,24 @@ object TextAnalytics {
       (bestLang, bestD)
   }
 
+  /** Canonical text form for dedup keys: lowercase → Unicode NFC →
+    * collapse whitespace runs → trim. Exact dedup on raw bytes misses
+    * trivially-different duplicates (composed vs decomposed accents, case,
+    * spacing); canonicalization first is the standard fix. Per-row, no
+    * shuffle; NFC via the JVM's built-in `java.text.Normalizer`. */
+  def canonicalize(text: Column): Column = {
+    val nfc = udf { (t: String) =>
+      if (t == null) null
+      else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+    }
+    trim(regexp_replace(nfc(lower(text)), "\\s+", " "))
+  }
+
+  /** (id, md5 of canonical form) — the exact-dedup key after
+    * canonicalization. */
+  def canonicalKey(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), md5(canonicalize(text)).as("canon_key"))
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * order-insensitive content identity (bag-of-words dedup key). */
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =

@@ -57,6 +57,36 @@ class TfidfSpec extends SparkSpec {
     assert(out == Map(0L -> true, 1L -> false, 2L -> false, 3L -> false))
   }
 
+  test("containment: a fully-quoted passage scores 1.0 where Jaccard is small") {
+    val passage = "the quick brown fox jumps over the lazy dog"
+    // DISTINCT filler words: repeated filler would dedupe to ~3 shingles
+    // and leave the union passage-dominated
+    val long = (1 to 60).map(i => s"pad$i").mkString(" ") +
+      s" $passage " + (61 to 120).map(i => s"pad$i").mkString(" ")
+    val df = docs(Seq((0L, passage), (1L, long), (2L, "unrelated text here")))
+    val out = graft.ops.Dedup.containmentPairs(df, df.filter(col("doc_id") === 0),
+      col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == 1.0, s"quoted passage must be fully contained: $out")
+    assert(!out.contains(2L))
+    val jac = graft.ops.Dedup.ngramJaccardPairs(df, df.filter(col("doc_id") === 0),
+      col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(jac(1L) < 0.2, s"symmetric jaccard should be small: $jac")
+  }
+
+  test("canonicalize: case, NFC form and whitespace runs collapse to one key") {
+    val df = docs(Seq(
+      (0L, "Café  du   Monde"),          // composed é, multi-space
+      (1L, "cafe\u0301 du monde"),  // decomposed e + combining acute
+      (2L, "  CAFÉ DU MONDE "),          // case + padding
+      (3L, "different text")))
+    val keys = TextAnalytics.canonicalKey(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(0L) == keys(1L) && keys(1L) == keys(2L))
+    assert(keys(3L) != keys(0L))
+  }
+
   test("groupedPercentiles: linear interpolation on a known sequence") {
     val df = spark.createDataFrame((1 to 5).map(i => ("g", i.toDouble)))
       .toDF("k", "v")

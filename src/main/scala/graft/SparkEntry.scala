@@ -467,6 +467,40 @@ object SparkEntry {
         .orderBy("lang_pred", "doc_id")
     }),
 
+    // ---- deterministic train/val/test split (leakage-stable: a doc can
+    // never migrate between splits across re-runs) ------------------------
+    "doc_splits" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Sampling.assignSplit(col("text"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("docs"))
+        .orderBy("split")),
+
+    // ---- data mixture: per-stratum sampling rates (en 50%, other 12.5%)
+    // — the deterministic mixture-construction step of a training corpus -
+    "doc_mixture" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val lang = TextAnalytics.languageId(d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("lang_pred"))
+      val joined = d.join(lang, "doc_id")
+      Sampling.hashSample(joined.filter(col("lang_pred") === "en"),
+          col("text"), 0.5)
+        .unionByName(Sampling.hashSample(
+          joined.filter(col("lang_pred") =!= "en"), col("text"), 0.125))
+        .select(col("lang_pred"), col("doc_id"))
+        .orderBy("lang_pred", "doc_id")
+    }),
+
+    // ---- length-bucketed packing stats: docs and token mass per 32-token
+    // bucket (sequence-packing prep) --------------------------------------
+    "length_buckets" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select((size(TextAnalytics.tokensCol(col("text")))).cast("long").as("n"))
+        .groupBy(floor(col("n") / 32L).as("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("n")).as("tokens"))
+        .orderBy("bucket")),
+
     // ---- pivot: per-user event counts as one column per type ------------
     "user_event_pivot" -> ((s, dir) =>
       Relational.pivotCounts(Tables.events(s, dir), "user_id",
@@ -1253,6 +1287,33 @@ object SparkEntry {
          |SELECT lang_pred, doc_id FROM rk WHERE rn <= 3
          |ORDER BY lang_pred, doc_id""".stripMargin
     },
+
+    // cutoffs: round(0.8·256)=205→'cd', round(0.9·256)=230→'e6', 1.0→all
+    "doc_splits" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents)
+        |SELECT split, count(*) AS docs FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "doc_mixture" -> {
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |l AS (SELECT doc_id, text,
+         |        CASE WHEN CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)
+         |               / greatest(len(toks), 1) >= 0.10 THEN 'en' ELSE 'other' END AS lang_pred
+         |      FROM t)
+         |SELECT lang_pred, doc_id FROM l
+         |WHERE (lang_pred = 'en' AND substring(md5(text), 1, 2) < '80')
+         |   OR (lang_pred <> 'en' AND substring(md5(text), 1, 2) < '20')
+         |ORDER BY lang_pred, doc_id""".stripMargin
+    },
+
+    "length_buckets" ->
+      s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents)
+         |SELECT CAST(n // 32 AS BIGINT) AS bucket, count(*) AS docs,
+         |  CAST(sum(n) AS BIGINT) AS tokens
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "user_event_pivot" -> {
       val cols = EventTypes.map(t =>

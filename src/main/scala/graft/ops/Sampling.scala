@@ -31,6 +31,30 @@ object Sampling {
     else df.filter(substring(md5(keyText), 1, 2) < f"$cutoff%02x")
   }
 
+  /** Deterministic train/val/test split assignment: the md5 first byte
+    * lands each row in the first split whose cumulative 256-scaled cutoff
+    * exceeds it ("rest" beyond the listed fractions). Content-keyed like
+    * [[hashSample]], so the split is stable across runs, clusters and
+    * engines — and a document can never migrate between train and test
+    * when the corpus is re-processed (the leakage-prevention property
+    * random splits lack). Per-row, no shuffle. */
+  def assignSplit(keyText: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), s"fractions must be positive: $splits")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions exceed 1: $splits")
+    val cutoffs = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => math.round(c * 256).toInt)
+    val byte = substring(md5(keyText), 1, 2)
+    splits.zip(cutoffs).foldRight(lit("rest"): Column) {
+      case (((name, _), cut), elseCol) =>
+        // a cumulative cutoff of 256 covers every byte ("100" would break
+        // the 2-char lexicographic compare)
+        val cond = if (cut >= 256) lit(true) else byte < f"$cut%02x"
+        when(cond, lit(name)).otherwise(elseCol)
+    }
+  }
+
   /** Stratified deterministic top-k: `k` rows per stratum, ordered by
     * content hash (uniform within the stratum) with a unique tie-break.
     * One shuffle on the stratum key; rank prunes map-side. */

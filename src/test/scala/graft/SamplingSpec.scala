@@ -50,6 +50,29 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("assignSplit: partition of the corpus, stable, ~requested fractions") {
+    val d = docs(2000)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = d.select(col("doc_id"),
+      graft.ops.Sampling.assignSplit(col("text"), splits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // total partition: every doc in exactly one split, none in "rest"
+    assert(out.length == 2000 && out.forall(x =>
+      Set("train", "val", "test")(x._2)))
+    val counts = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts("train") > 1400 && counts("train") < 1800, counts.toString)
+    assert(counts("val") > 100 && counts("val") < 350, counts.toString)
+    // stability: identical assignment on a repartitioned copy
+    val again = d.repartition(7).select(col("doc_id"),
+      graft.ops.Sampling.assignSplit(col("text"), splits).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out.toMap)
+    // the train split contains the 80% hashSample exactly (nesting)
+    val sample80 = graft.ops.Sampling.hashSample(d, col("text"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.toMap.filter(_._2 == "train").keySet == sample80)
+  }
+
   test("saltedJoin equals the plain join, including skewed keys") {
     val rng = new scala.util.Random(5)
     // 80% of left rows share one hot key

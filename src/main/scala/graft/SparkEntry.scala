@@ -483,20 +483,25 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val lang = TextAnalytics.languageId(d, col("doc_id"), col("text"))
         .select(col("doc_id"), col("lang_pred"))
-      val joined = d.join(lang, "doc_id")
-      Sampling.hashSample(joined.filter(col("lang_pred") === "en"),
-          col("text"), 0.5)
-        .unionByName(Sampling.hashSample(
-          joined.filter(col("lang_pred") =!= "en"), col("text"), 0.125))
+      // ONE pass with a per-stratum predicate — a union of two filtered
+      // branches would re-run the scan+tokenize+join lineage per branch
+      // (Spark does not reuse non-identical exchanges)
+      val byte = substring(md5(col("text")), 1, 2)
+      d.join(lang, "doc_id")
+        .filter((col("lang_pred") === "en" && byte < "80") ||
+          (col("lang_pred") =!= "en" && byte < "20"))
         .select(col("lang_pred"), col("doc_id"))
         .orderBy("lang_pred", "doc_id")
     }),
 
     // ---- length-bucketed packing stats: docs and token mass per 32-token
     // bucket (sequence-packing prep) --------------------------------------
+    // greatest(…, 0): size() of a null array is -1, which would invent a
+    // bucket -1 where the oracle groups nulls separately
     "length_buckets" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select((size(TextAnalytics.tokensCol(col("text")))).cast("long").as("n"))
+        .select(greatest(size(TextAnalytics.tokensCol(col("text"))), lit(0))
+          .cast("long").as("n"))
         .groupBy(floor(col("n") / 32L).as("bucket"))
         .agg(count(lit(1)).as("docs"), sum(col("n")).as("tokens"))
         .orderBy("bucket")),
@@ -1310,7 +1315,7 @@ object SparkEntry {
     },
 
     "length_buckets" ->
-      s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents)
+      s"""WITH t AS (SELECT CAST(coalesce(len($toksSql), 0) AS BIGINT) AS n FROM documents)
          |SELECT CAST(n // 32 AS BIGINT) AS bucket, count(*) AS docs,
          |  CAST(sum(n) AS BIGINT) AS tokens
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,

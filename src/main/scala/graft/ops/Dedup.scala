@@ -166,12 +166,24 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.01): DataFrame = {
     require(threshold > 0.0,
       "inverted-index jaccard never materializes zero-overlap pairs")
+    shingleOverlap(corpus, queries, id, text, n)
+      .select(col("query_id"), col("doc_id"),
+        (col("inter").cast("double")
+          / (col("n_q") + col("n_c") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("query_id", "doc_id")
+  }
+
+  /** Shared inverted-index core for the set-overlap similarity family:
+    * (query_id, doc_id, inter, n_q, n_c) for every query/corpus pair with
+    * at least one common n-gram shingle. Explode shingles, equi-join on
+    * the shingle hash — |∩| arrives as a count, zero-overlap pairs never
+    * exist, and the corpus is scanned once instead of cross-joined. */
+  private def shingleOverlap(corpus: DataFrame, queries: DataFrame,
+                             id: Column, text: Column, n: Int): DataFrame = {
     def sh(df: DataFrame, idAs: String) = df
       .filter(size(TextAnalytics.tokensCol(text)) >= n)
       .select(id.as(idAs), shingleHashes64(text, n).as("sh"))
-    // inverted index: explode shingles, equi-join on the shingle hash —
-    // |∩| arrives as a count and pairs with no overlap never exist, so the
-    // corpus is scanned once instead of cross-joined
     val c = sh(corpus, "doc_id")
       .select(col("doc_id"), size(col("sh")).as("n_c"), explode(col("sh")).as("g"))
     val q = sh(queries, "query_id")
@@ -181,11 +193,6 @@ object Dedup {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("inter"),
         first(col("n_q")).as("n_q"), first(col("n_c")).as("n_c"))
-      .select(col("query_id"), col("doc_id"),
-        (col("inter").cast("double")
-          / (col("n_q") + col("n_c") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("query_id", "doc_id")
   }
 
   /** Containment (asymmetric Jaccard): |Q ∩ C| / |Q| — how much of the
@@ -200,17 +207,7 @@ object Dedup {
                        n: Int = 3, threshold: Double = 0.01): DataFrame = {
     require(threshold > 0.0,
       "inverted-index containment never materializes zero-overlap pairs")
-    def sh(df: DataFrame, idAs: String) = df
-      .filter(size(TextAnalytics.tokensCol(text)) >= n)
-      .select(id.as(idAs), shingleHashes64(text, n).as("sh"))
-    val c = sh(corpus, "doc_id")
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-    val q = sh(queries, "query_id")
-      .select(col("query_id"), size(col("sh")).as("n_q"), explode(col("sh")).as("g"))
-    c.join(broadcast(q), "g")
-      .filter(col("query_id") =!= col("doc_id"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("inter"), first(col("n_q")).as("n_q"))
+    shingleOverlap(corpus, queries, id, text, n)
       .select(col("query_id"), col("doc_id"),
         (col("inter").cast("double") / col("n_q")).as("containment"))
       .filter(col("containment") >= threshold)

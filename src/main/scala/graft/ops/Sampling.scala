@@ -45,6 +45,16 @@ object Sampling {
       s"fractions exceed 1: $splits")
     val cutoffs = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
       .map(c => math.round(c * 256).toInt)
+    // a fraction below the byte granularity collapses its cutoff into the
+    // previous one and the split silently gets ZERO rows — fail fast, the
+    // same contract as hashSample
+    (0 +: cutoffs).sliding(2).zip(splits.iterator).foreach {
+      case (Seq(prev, cut), (name, f)) =>
+        require(cut > prev,
+          s"split '$name' (fraction $f) is below the 1/256 granularity — " +
+            "it would silently receive no rows")
+      case _ =>
+    }
     val byte = substring(md5(keyText), 1, 2)
     splits.zip(cutoffs).foldRight(lit("rest"): Column) {
       case (((name, _), cut), elseCol) =>

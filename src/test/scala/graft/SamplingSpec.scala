@@ -71,6 +71,13 @@ class SamplingSpec extends SparkSpec {
     val sample80 = graft.ops.Sampling.hashSample(d, col("text"), 0.8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out.toMap.filter(_._2 == "train").keySet == sample80)
+    // a split below the byte granularity fails fast instead of silently
+    // receiving zero rows (its cutoff collapses into the previous one)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.assignSplit(col("text"),
+        Seq("train" -> 0.999, "holdout" -> 0.001))
+    }
+    assert(e.getMessage.contains("holdout"))
   }
 
   test("saltedJoin equals the plain join, including skewed keys") {

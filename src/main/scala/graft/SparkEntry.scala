@@ -587,6 +587,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- the curation capstone: canonical exact dedup → quality filter →
+    // near-dup clustering → split assignment, one disposition row per doc.
+    // Corpus: originals ∪ marker-appended copies, so the near-dup stage has
+    // real work (J = (T-2)/(T-1) ≥ 0.89 per pair — inside the probe-verified
+    // recall-1 band) while exact dedup correctly does NOT fire on them ----
+    "corpus_curation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupped = d.union(d.select(col("doc_id") + 100000,
+        concat(col("text"), lit(" dupmarker")).as("text")))
+      graft.pipelines.CorpusCuration.curate(dupped, col("doc_id"), col("text"))
+    }),
+
     // ---- SimHash near-dup ----------------------------------------------
     "simhash_dup_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -1143,6 +1155,71 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the whole curation pipeline reconstructed independently: canonical
+    // md5 dedup → quality CTEs → all-pairs Jaccard on the survivors →
+    // recursive-CTE components → split cutoffs — every fragment is the
+    // same proven oracle piece, composed in the Spark stages' order
+    "corpus_curation" ->
+      s"""WITH RECURSIVE d2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' dupmarker' FROM documents),
+         |ck AS (SELECT doc_id, text,
+         |         md5(trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))) AS ck
+         |       FROM d2),
+         |r1 AS (SELECT doc_id, text, ck,
+         |         row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM ck),
+         |exact_dropped AS (SELECT doc_id FROM r1 WHERE rn > 1),
+         |s1 AS (SELECT doc_id, text FROM r1 WHERE rn = 1),
+         |qt AS (SELECT doc_id, text, $toksSql AS toks FROM s1),
+         |qb AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)
+         |           / greatest(len(toks), 1) AS stop_ratio
+         |       FROM qt),
+         |qx AS (SELECT doc_id, unnest(toks) AS tok FROM qb),
+         |qc AS (SELECT doc_id, tok, count(*) AS cnt FROM qx GROUP BY doc_id, tok),
+         |qm AS (SELECT doc_id, max(cnt) AS max_cnt FROM qc GROUP BY doc_id),
+         |qv AS (SELECT qb.doc_id, qb.text,
+         |         (qb.n_tokens >= 20 AND qb.n_tokens <= 100000
+         |           AND CAST(coalesce(qm.max_cnt, 0) AS DOUBLE) / greatest(qb.n_tokens, 1) <= 0.12
+         |           AND qb.stop_ratio >= 0.02) AS keep
+         |       FROM qb LEFT JOIN qm USING (doc_id)),
+         |low_quality AS (SELECT doc_id FROM qv WHERE NOT keep),
+         |s2 AS (SELECT doc_id, text FROM qv WHERE keep),
+         |mt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM s2),
+         |ms AS (SELECT doc_id,
+         |         CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(len(toks) - 2),
+         |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+         |              ELSE [array_to_string(toks, ' ')] END AS sh
+         |       FROM mt),
+         |mx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM ms),
+         |mp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+         |       FROM mx a JOIN mx b USING (g) WHERE a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT id_a, id_b FROM mp
+         |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM sym
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id),
+         |near_dropped AS (SELECT id AS doc_id FROM reach GROUP BY id
+         |                 HAVING min(r) <> id),
+         |out AS (
+         |  SELECT doc_id, 'exact_dup' AS status, 'none' AS split FROM exact_dropped
+         |  UNION ALL
+         |  SELECT doc_id, 'low_quality', 'none' FROM low_quality
+         |  UNION ALL
+         |  SELECT doc_id, 'near_dup', 'none' FROM near_dropped
+         |  UNION ALL
+         |  SELECT s2.doc_id, 'keep',
+         |    CASE WHEN substring(md5(s2.text), 1, 2) < 'cd' THEN 'train'
+         |         WHEN substring(md5(s2.text), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END
+         |  FROM s2 WHERE s2.doc_id NOT IN (SELECT doc_id FROM near_dropped))
+         |SELECT doc_id, status, split FROM out ORDER BY doc_id""".stripMargin,
 
     // recursive-CTE reachability closure is the independent truth for the
     // iterative min-label-propagation components (tiny per-component

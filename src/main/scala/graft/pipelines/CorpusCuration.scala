@@ -22,25 +22,34 @@ import graft.ops.{Dedup, Graph, Relational, Sampling, TextAnalytics}
   *
   * Every document appears in the output exactly once with its disposition
   * — the audit trail a curation must produce (silently vanishing rows are
-  * how corpora rot). Each stage is the already-verified operator; the
-  * composition is itself oracle-checked end-to-end (`corpus_curation`).
+  * how corpora rot). NULL text is coalesced to empty at entry so such
+  * rows flow to `low_quality` instead of slipping through both sides of a
+  * three-valued-logic filter. Each stage is the already-verified operator;
+  * the composition is itself oracle-checked end-to-end (`corpus_curation`).
   *
   * Scale notes: stages are narrow or key-shuffled exactly like their
   * underlying operators; the only driver state is the components loop's
-  * convergence scalar. At 100 TB, checkpoint between stages so a lost
-  * executor replays one stage, not the whole DAG.
+  * convergence scalar. The stage boundaries here use `localCheckpoint`
+  * (fast, but NOT fault-tolerant: blocks live unreplicated on executors,
+  * so a lost executor fails the query); on a real cluster swap in
+  * reliable `checkpoint()` to an HDFS/object-store dir, which survives
+  * executor loss at the cost of a write per stage.
   */
 object CorpusCuration {
 
   def curate(docs: DataFrame, id: Column, text: Column,
              splits: Seq[(String, Double)] =
                Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
-    val base = docs.select(id.as("doc_id"), text.as("text"))
+    // NULL text → empty string: a NULL keep verdict passes NEITHER filter
+    // branch below and the row would vanish from the audit trail
+    val base = docs.select(id.as("doc_id"),
+      coalesce(text, lit("")).as("text"))
 
     // 1. canonical exact dedup. Stage outputs are eagerly checkpointed:
     // three later branches (drop lists, pair generation, keeper split)
     // each read a stage result, and uncut lineage would re-run the whole
-    // upstream per branch — the same rule the scaladoc states for 100 TB.
+    // upstream per branch (see the scaladoc for the cluster-scale
+    // fault-tolerant variant).
     val keyed = base.withColumn("ck", md5(TextAnalytics.canonicalize(col("text"))))
     val ranked = keyed.withColumn("rn",
       row_number().over(Window.partitionBy(col("ck")).orderBy(col("doc_id"))))

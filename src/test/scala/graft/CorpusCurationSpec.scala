@@ -15,11 +15,13 @@ class CorpusCurationSpec extends SparkSpec {
       (3L, good + " extramarker"),       // near dup of 1 (high jaccard)
       (4L, "too short the a"),           // low quality (< 20 tokens)
       (5L, (1 to 30).map(_ => "spam").mkString(" ")), // low quality (repetition)
-      (6L, (50 to 95).map(i => s"other$i").mkString(" ") + " and the of in on")))
+      (6L, (50 to 95).map(i => s"other$i").mkString(" ") + " and the of in on"),
+      (7L, null.asInstanceOf[String])))  // NULL text must NOT vanish
       .toDF("doc_id", "text")
     val out = CorpusCuration.curate(docs, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    assert(out.length == 6, s"every doc must be dispositioned: ${out.toSeq}")
+    assert(out.length == 7, s"every doc must be dispositioned: ${out.toSeq}")
+    assert(out.find(_._1 == 7L).get._2 == "low_quality")
     val byId = out.map(t => t._1 -> t).toMap
     assert(byId(1L)._2 == "keep")
     assert(byId(2L)._2 == "exact_dup" && byId(2L)._3 == "none")

@@ -11,15 +11,18 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   *
   * Noise control: each query runs `SPARK_GRAFT_BENCH_REPS` times (default
   * 3); the reported per-query number is the MEDIAN and a SEPARATE
-  * `{"detail":...}` line (printed first) carries [min, max] per query, so a
-  * single multi-tenant-box hiccup is visible instead of masquerading as a
-  * regression.
+  * `{"detail":...}` JSON with [min, max] per query is written to
+  * `target/bench_detail.json`, so a single multi-tenant-box hiccup is
+  * visible instead of masquerading as a regression.
   *
   * Output-size contract: the harness keeps only the LAST ~2000 chars of
-  * stdout and parses the one JSON line it finds there, so the final
+  * stdout and parses the one JSON line it finds there, so (a) the final
   * `{"metric":...}` line must stay comfortably under that budget — medians
-  * are rounded to 3 decimals and the spread detail goes on its own earlier
-  * line, never inside the final line.
+  * are rounded to 3 decimals; (b) NOTHING ELSE in the tail window may look
+  * like JSON — the spread detail goes to a file, not stdout; (c) the JSON
+  * must be the literal last line, undecorated — build.sbt sets
+  * `run / outputStrategy := StdoutOutput` (no sbt "[info] " prefix on
+  * forked output) and `showSuccess := false` (no "[success]" trailer).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -88,9 +91,13 @@ object Bench {
                 else allErrs.take(5) :+ s""""_more":${allErrs.size - 5}""")
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // spread detail first (may be cut by the harness tail window — fine),
-    // compact machine-readable line LAST so it survives the tail intact
-    println(s"""{"detail":"spread","reps":$reps,"spread":$spread}""")
+    // spread detail to a FILE: a second JSON blob in the stdout tail could
+    // be what the harness's parser latches onto (truncated mid-object)
+    val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath,
+      s"""{"detail":"spread","reps":$reps,"spread":$spread}\n"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def fullLine(q: String) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q,"errors":$errs,"sf":"$sfDir"}"""
     // degrade rather than die: if the per-query map ever outgrows the tail
@@ -102,7 +109,10 @@ object Bench {
         .mkString("{", ",", ",\"_omitted\":\"rest\"}")))
       .find(_.length < 1900)
       .getOrElse(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"errors":{},"sf":"$sfDir"}""")
-    println(line)
+    // stop BEFORE printing: any Spark shutdown warnings then precede the
+    // JSON, keeping it the literal last line of stdout
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -506,6 +506,86 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"), sum(col("n")).as("tokens"))
         .orderBy("bucket")),
 
+    // ---- intake profile: per-column nulls/cardinality/range in ONE scan
+    // (fractional column profiled as DECIMAL(18,2) so min/max strings are
+    // bit-stable across engines) ------------------------------------------
+    "profile_customer" -> ((s, dir) =>
+      Profiler.profile(Tables.customer(s, dir), Seq(
+        "c_acctbal" -> col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)),
+        "c_custkey" -> col("c_custkey"),
+        "c_mktsegment" -> col("c_mktsegment"),
+        "c_name" -> col("c_name"),
+        "c_nationkey" -> col("c_nationkey")))
+        .orderBy("column")),
+
+    // ---- per-user z-score outliers: exact integer-scaled moments, one
+    // shuffle (window), no join -------------------------------------------
+    "value_outliers" -> ((s, dir) =>
+      Profiler.zscoreOutliers(Tables.events(s, dir),
+        key = col("user_id"), id = col("event_id"), value = col("value"),
+        threshold = 2.5)
+        .select(col("key").as("user_id"), col("id").as("event_id"), col("z_r"))
+        .orderBy("user_id", "event_id")),
+
+    // ---- bloom-prefiltered join: selective dim key set ships as bloom
+    // bits, fact rows that cannot match never shuffle; exact join after
+    // the prefilter removes false positives, so results match the plain
+    // join bit-for-bit ----------------------------------------------------
+    "bloom_join_revenue" -> ((s, dir) => {
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      Relational.bloomPrefilterJoin(
+        Tables.lineitem(s, dir), dim, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          Relational.moneySum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- incremental aggregate maintenance: merge(agg(base), agg(delta))
+    // == agg(base ∪ delta) — the delta batch is aggregated alone and merged
+    // into the snapshot state; the oracle recomputes from scratch ---------
+    "incremental_revenue" -> ((s, dir) => {
+      val cutoff = to_timestamp(lit("1997-01-01"))
+      def aggSide(df: DataFrame) = df
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("rev_state"),
+          count(lit(1)).as("cnt"))
+      val orders = Tables.orders(s, dir)
+      Relational.mergePartialStates(
+        aggSide(orders.filter(col("o_orderdate") < cutoff)),
+        aggSide(orders.filter(col("o_orderdate") >= cutoff)),
+        keys = Seq("o_orderstatus"), states = Seq("rev_state", "cnt"))
+        .select(col("o_orderstatus"),
+          col("rev_state").cast("double").as("revenue"), col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- trending top-k per tumbling window (streaming twin ranks per
+    // closed window in foreachBatch; this batch path is what the oracle
+    // checks) -------------------------------------------------------------
+    "trending_event_types" -> ((s, dir) =>
+      graft.streaming.EventStreams.trendingTopK(
+        Tables.events(s, dir), key = "event_type", k = 2)
+        .select(col("win_start_s"), col("win_end_s"), col("key"),
+          col("cnt"), col("rn").cast("long").as("rn"))
+        .orderBy("win_start_s", "rn")),
+
+    // ---- HLL++ sketch: approximate distinct users per event type. NO
+    // DuckDB oracle by design — DuckDB's approx_count_distinct uses a
+    // different sketch, so the estimates differ; correctness is the
+    // relative-error bound asserted against the exact count in
+    // ProfilerSpec (rows-only row, same rationale class as the
+    // xxhash64-dependent queries) -----------------------------------------
+    "approx_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+        .orderBy("event_type")),
+
     // ---- pivot: per-user event counts as one column per type ------------
     "user_event_pivot" -> ((s, dir) =>
       Relational.pivotCounts(Tables.events(s, dir), "user_id",
@@ -897,6 +977,61 @@ object SparkEntry {
         |           FROM events GROUP BY 1, 2)
         |SELECT key, string_agg(ym || ':' || cnt, ',' ORDER BY ym) AS series
         |FROM m GROUP BY key ORDER BY key""".stripMargin,
+
+    "profile_customer" ->
+      """WITH c AS (SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS acct, c_custkey,
+        |                  c_mktsegment, c_name, c_nationkey FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'c_acctbal' AS "column", count(*) AS n_rows,
+        |         count(*) - count(acct) AS n_null, count(DISTINCT acct) AS n_distinct,
+        |         CAST(min(acct) AS VARCHAR) AS min_str, CAST(max(acct) AS VARCHAR) AS max_str FROM c
+        |  UNION ALL SELECT 'c_custkey', count(*), count(*) - count(c_custkey),
+        |         count(DISTINCT c_custkey), CAST(min(c_custkey) AS VARCHAR), CAST(max(c_custkey) AS VARCHAR) FROM c
+        |  UNION ALL SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+        |         count(DISTINCT c_mktsegment), CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM c
+        |  UNION ALL SELECT 'c_name', count(*), count(*) - count(c_name),
+        |         count(DISTINCT c_name), CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM c
+        |  UNION ALL SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+        |         count(DISTINCT c_nationkey), CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM c)
+        |ORDER BY "column"""".stripMargin,
+
+    // mirrors Profiler.zscoreOutliers float-op order exactly: integer-scaled
+    // exact moments (HUGEINT == Spark's DECIMAL(38,0)), then
+    // mean/variance/z in fixed double arithmetic, rounded last
+    "value_outliers" ->
+      """WITH v AS (SELECT user_id, event_id, CAST(round(value * 1e6) AS BIGINT) AS vs FROM events),
+        |m AS (SELECT user_id, event_id, CAST(vs AS DOUBLE) / 1e6 AS x,
+        |        (CAST(sum(vs) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)) / 1e6 AS mean,
+        |        (CAST(sum(CAST(vs AS HUGEINT) * vs) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)) / 1e12 AS ex2
+        |      FROM v WINDOW w AS (PARTITION BY user_id)),
+        |z AS (SELECT user_id, event_id, x, mean, ex2 - mean * mean AS variance FROM m)
+        |SELECT user_id, event_id, round((x - mean) / sqrt(variance), 4) AS z_r
+        |FROM z WHERE variance > 0 AND abs((x - mean) / sqrt(variance)) > 2.5
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "bloom_join_revenue" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "incremental_revenue" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "trending_event_types" ->
+      """WITH d AS (SELECT event_type AS key,
+        |             CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT) AS win_start_s
+        |           FROM events),
+        |c AS (SELECT key, win_start_s, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |r AS (SELECT key, win_start_s, cnt,
+        |        row_number() OVER (PARTITION BY win_start_s ORDER BY cnt DESC, key) AS rn
+        |      FROM c)
+        |SELECT win_start_s, win_start_s + 86400 AS win_end_s, key, cnt, rn
+        |FROM r WHERE rn <= 2 ORDER BY win_start_s, rn""".stripMargin,
 
     "top3_orders_per_cust" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

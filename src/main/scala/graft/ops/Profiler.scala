@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-profiling and data-quality operators for pipeline intake.
+  *
+  * Before a 100 TB corpus enters a training pipeline the first job run
+  * against it is almost always a profile: per-column null rates,
+  * cardinalities and value ranges (to catch schema drift and broken
+  * upstream extracts), and per-key outlier detection (to catch corrupted
+  * measurements). Both are expressed here as single declarative plans —
+  * one scan each, no driver-side iteration.
+  */
+object Profiler {
+
+  /** Per-column profile in long format: one output row per profiled column
+    * with row/null/distinct counts and min/max rendered as strings (so
+    * heterogeneous column types share one result schema).
+    *
+    * ONE scan: all per-column aggregates run in a single `agg` (Catalyst
+    * plans multiple DISTINCT aggregates via Expand — the exact-cardinality
+    * cost; at extreme scale pass `exact = false` to switch to
+    * HyperLogLog++ `approx_count_distinct`, identical plan shape minus the
+    * Expand). The wide single-row result is then exploded to long format —
+    * driver cost is O(columns), never O(rows).
+    *
+    * Numeric render contract: fractional columns are profiled as
+    * DECIMAL(18,2) strings so the text form is bit-stable across engines
+    * (raw double→string formatting is not). */
+  def profile(df: DataFrame, cols: Seq[(String, Column)],
+              exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("_rows") +: cols.flatMap { case (n, c) => Seq(
+      count(c).as(s"_nn_$n"),
+      (if (exact) count_distinct(c) else approx_count_distinct(c))
+        .as(s"_nd_$n"),
+      min(c).cast("string").as(s"_min_$n"),
+      max(c).cast("string").as(s"_max_$n"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { case (n, _) =>
+        struct(
+          lit(n).as("column"),
+          col("_rows").as("n_rows"),
+          (col("_rows") - col(s"_nn_$n")).as("n_null"),
+          col(s"_nd_$n").as("n_distinct"),
+          col(s"_min_$n").as("min_str"),
+          col(s"_max_$n").as("max_str"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  /** Per-key z-score outliers: events whose measure deviates from their
+    * key's mean by more than `threshold` standard deviations.
+    *
+    * Two logical passes over one shuffle: the per-key moments are window
+    * aggregates over the same partitioning the row-level z-score reads, so
+    * the plan is scan → one exchange on `key` → window → filter. No
+    * collect, no second scan, no join.
+    *
+    * Cross-engine determinism (the dimStats pattern): the measure is
+    * integer-scaled to 1e-6 precision FIRST, moments are accumulated
+    * exactly (BIGINT sum; DECIMAL(38,0) sum of squares — a BIGINT sum of
+    * squares wraps at ~1e18), and only the final mean/variance/z arithmetic
+    * runs in floating point, in a fixed operation order, rounded to 4
+    * places. Identical integers in, identical doubles out. */
+  def zscoreOutliers(df: DataFrame, key: Column, id: Column, value: Column,
+                     threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(key)
+    val vs = round(value * lit(1e6)).cast("long")
+    val x = vs.cast("double") / lit(1e6)
+    val n = count(lit(1)).over(w)
+    val mean = (sum(vs).over(w).cast("double") / n.cast("double")) / lit(1e6)
+    val ex2 = (sum(vs.cast(DecimalType(38, 0)) * vs).over(w).cast("double") /
+      n.cast("double")) / lit(1e12)
+    df.select(
+        key.as("key"), id.as("id"), x.as("x"),
+        mean.as("mean"), (ex2 - mean * mean).as("variance"))
+      .filter(col("variance") > 0)
+      .withColumn("z", (col("x") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > threshold)
+      .select(col("key"), col("id"), round(col("z"), 4).as("z_r"))
+  }
+}

@@ -227,6 +227,71 @@ object Relational {
       } :+ col("cnt"): _*)
   }
 
+  /** Bloom-filter prefiltered equi-join — the explicit runtime-filter
+    * pattern for joining a 100 TB fact table against a selective dimension
+    * that is too large to broadcast as a hash relation but whose KEY SET
+    * fits a few megabytes of bloom bits.
+    *
+    * A bloom filter over the dimension keys is built once (one pass over
+    * the dimension only), shipped to every fact-scan task, and applied
+    * BEFORE the join's exchange — so fact rows that cannot match never
+    * shuffle. False positives (rate `fpp`) pass the prefilter and are
+    * eliminated by the exact join that follows, so the result is
+    * bit-identical to `fact.join(dim, ...)` for any inputs; the bloom only
+    * changes how many rows move.
+    *
+    * This is the manual form of Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter` rewrite — exposed as an
+    * operator so pipelines can apply it where the optimizer's heuristics
+    * (size thresholds, creation-side cost checks) decline to. */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame,
+                         factKey: String, dimKey: String,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // expected-item count sizes the bit array; the dimension is the small
+    // side by contract, so this extra pass is cheap relative to the fact scan
+    val n = dim.select(col(dimKey)).na.drop().distinct().count().max(1L)
+    val bf = dim.stat.bloomFilter(dimKey, n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = new BloomProbe(bytes)
+    val mightContain = udf((k: java.lang.Long) => k != null && probe.contains(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
+  /** One deserialized bloom per executor (transient lazy), shipped as
+    * bytes — `BloomFilter`'s in-memory form is rebuilt lazily on first
+    * probe rather than Java-serialized per task. */
+  private class BloomProbe(bytes: Array[Byte]) extends Serializable {
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    def contains(k: Long): Boolean = bf.mightContainLong(k)
+  }
+
+  /** Incremental aggregate maintenance: merge additively-partial aggregate
+    * states (sums, counts, decimal sums — anything whose merge is SUM)
+    * from a base snapshot and a delta batch into the state the full
+    * recompute would produce.
+    *
+    * This is the materialized-view identity that makes 100 TB rollups
+    * affordable: aggregate only the new partition, then merge states —
+    * `agg(base ∪ delta) == merge(agg(base), agg(delta))` for algebraic
+    * aggregates. The merge itself is a groupBy over |keys| rows, not over
+    * the raw data; at steady state the fact table is never rescanned. */
+  def mergePartialStates(base: DataFrame, delta: DataFrame,
+                         keys: Seq[String], states: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state column to merge")
+    base.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(states.head)).as(states.head),
+        states.tail.map(s => sum(col(s)).as(s)): _*)
+  }
+
   /** O-family running aggregates: cumulative sum plus trailing-k sum/count
     * per key in one window pass. `value` must be an exact (integer or
     * decimal) column — floating accumulation over a window is

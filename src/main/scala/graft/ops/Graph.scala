@@ -82,4 +82,57 @@ object Graph {
   def dedupClusters(pairs: DataFrame, idA: Column, idB: Column): DataFrame =
     connectedComponents(pairs, idA, idB)
       .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
+
+  /** PageRank over a directed edge list, in EXACT integer micro-units —
+    * rank mass is carried as BIGINT millionths so every engine (and every
+    * partitioning) computes bit-identical results: floating-point PageRank
+    * is merge-order-dependent and cannot be oracle-checked.
+    *
+    * Semantics per iteration (damping 0.85, all in integral arithmetic):
+    *   r'(n) = 150000 + (85 * Σ_{(s→n) ∈ E} (r(s) div outdeg(s))) div 100
+    * starting from r = 1_000_000 per node; `iterations` is a fixed count,
+    * not a convergence test, so the oracle can mirror it exactly. Dangling
+    * mass (nodes with no outbound edge) and flooring remainders are
+    * dropped, not redistributed — a documented, deterministic variant.
+    *
+    * Scale shape: each iteration is one equi-join of the rank table
+    * against the (cached) augmented edge list plus one partial-aggregated
+    * groupBy — linear shuffles on the edge count, no driver-side graph
+    * state. Self-loops with weight 0 keep inbound-less nodes in the
+    * iteration without a second recursive reference (the same trick lets
+    * the DuckDB recursive-CTE oracle express it with one `pr` reference).
+    * Lineage is cut per round with an eager localCheckpoint — see
+    * [[connectedComponents]]. */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iterations: Int = 5): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val e = edges
+      .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    // augmented edges: real edges carry the source's outdegree; every node
+    // additionally gets a weight-0 self edge so nodes without inbound
+    // edges still receive their base rank each round
+    val aug = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("d"))
+      .union(nodes.select(col("node"), col("node"),
+        lit(null).cast("long")))
+      .persist()
+    aug.count() // materialize once; every iteration re-reads it
+    var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      ranks = aug.join(ranks, aug("src") === ranks("node"))
+        .select(aug("dst").as("to"),
+          when(col("d").isNotNull, expr("r div d"))
+            .otherwise(lit(0L)).as("c"))
+        .groupBy(col("to").as("node"))
+        .agg(expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
+        .localCheckpoint()
+    }
+    e.unpersist(blocking = false)
+    aug.unpersist(blocking = false)
+    ranks
+  }
 }

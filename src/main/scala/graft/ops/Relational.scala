@@ -212,14 +212,26 @@ object Relational {
     * nullness, so a genuine NULL group value stays distinguishable (it
     * renders as "NULL") instead of colliding with the subtotal rows. One
     * shuffle; Spark expands grouping sets map-side. */
-  def rollupCounts(df: DataFrame, groupCols: Seq[(String, Column)]): DataFrame = {
-    // grouping() only resolves against the literal rollup columns, so the
-    // group expressions are projected (and named) FIRST, and the level
+  def rollupCounts(df: DataFrame, groupCols: Seq[(String, Column)]): DataFrame =
+    groupingSetCounts(df, groupCols, cube = false)
+
+  /** Full-cube counts: every subset of `groupCols` (2^n grouping sets),
+    * not just the rollup prefixes — the OLAP cross-tab. Same `grouping()`
+    * based `ALL` markers as [[rollupCounts]]; one shuffle, sets expanded
+    * map-side (cost grows 2^n — keep the column list short). */
+  def cubeCounts(df: DataFrame, groupCols: Seq[(String, Column)]): DataFrame =
+    groupingSetCounts(df, groupCols, cube = true)
+
+  private def groupingSetCounts(df: DataFrame, groupCols: Seq[(String, Column)],
+                                cube: Boolean): DataFrame = {
+    // grouping() only resolves against the literal rollup/cube columns, so
+    // the group expressions are projected (and named) FIRST, and the level
     // flags are surfaced inside the aggregation itself
     val aggs = count(lit(1)).as("cnt") +:
       groupCols.map { case (n, _) => grouping(col(n)).as(s"_lvl_$n") }
-    df.select(groupCols.map { case (n, c) => c.as(n) }: _*)
-      .rollup(groupCols.map { case (n, _) => col(n) }: _*)
+    val projected = df.select(groupCols.map { case (n, c) => c.as(n) }: _*)
+    val names = groupCols.map { case (n, _) => col(n) }
+    (if (cube) projected.cube(names: _*) else projected.rollup(names: _*))
       .agg(aggs.head, aggs.tail: _*)
       .select(groupCols.map { case (n, _) =>
         when(col(s"_lvl_$n") === 1, lit("ALL"))

@@ -40,6 +40,19 @@ class OlapSpec extends SparkSpec {
       ("x", "ALL", 1L), ("NULL", "ALL", 2L), ("ALL", "ALL", 3L)))
   }
 
+  test("cubeCounts: all 2^n grouping sets, including the rollup-skipped one") {
+    val df = spark.createDataFrame(Seq(
+      ("x", "m1"), ("x", "m1"), ("x", "m2"), ("y", "m1"))).toDF("a", "b")
+    val out = Relational.cubeCounts(df,
+      Seq("a" -> col("a"), "b" -> col("b")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // rollup emits 6 rows; cube adds the (ALL, b) slice
+    assert(out == Set(
+      ("x", "m1", 2L), ("x", "m2", 1L), ("y", "m1", 1L),
+      ("x", "ALL", 3L), ("y", "ALL", 1L), ("ALL", "ALL", 4L),
+      ("ALL", "m1", 3L), ("ALL", "m2", 1L)))
+  }
+
   test("groupedPercentiles rejects colliding integer-percent names") {
     val df = spark.createDataFrame(Seq(("g", 1.0))).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {

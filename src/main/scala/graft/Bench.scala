@@ -53,6 +53,7 @@ object Bench {
     // hit the content marker and return immediately)
     graft.sources.BlogCorpus.ensureFixtures(spark, sfDir)
     graft.sources.ZipImages.ensureFixtures()
+    graft.sources.CsvTables.ensureEventsCsv(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -637,6 +637,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CSV source: explicit-schema read of the events CSV fixture; the
+    // oracle recomputes from parquet, hash-checking the write→parse round
+    // trip (shortest-round-trip doubles included) -------------------------
+    "csv_event_type_stats" -> ((s, dir) => {
+      val path = graft.sources.CsvTables.ensureEventsCsv(s, dir)
+      graft.sources.CsvTables.eventsFromCsv(s, path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_s")).as("first_s"), max(col("ts_s")).as("last_s"),
+          sum(round(col("value") * lit(1e6)).cast("long")).as("value_micro"))
+        .orderBy("event_type")
+    }),
+
     // ---- pivot: per-user event counts as one column per type ------------
     "user_event_pivot" -> ((s, dir) =>
       Relational.pivotCounts(Tables.events(s, dir), "user_id",
@@ -1083,6 +1096,13 @@ object SparkEntry {
         |      FROM c)
         |SELECT win_start_s, win_start_s + 86400 AS win_end_s, key, cnt, rn
         |FROM r WHERE rn <= 2 ORDER BY win_start_s, rn""".stripMargin,
+
+    "csv_event_type_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
+        |  CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "event_value_deltas" ->
       """WITH v AS (SELECT user_id, event_id, ts, CAST(round(value * 1e6) AS BIGINT) AS vs FROM events),

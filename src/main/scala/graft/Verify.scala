@@ -20,6 +20,7 @@ object Verify {
     // in-query ensureFixtures calls then no-op
     graft.sources.BlogCorpus.ensureFixtures(spark, sfDir)
     graft.sources.ZipImages.ensureFixtures()
+    graft.sources.CsvTables.ensureEventsCsv(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

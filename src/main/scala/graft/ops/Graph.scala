@@ -101,11 +101,19 @@ object Graph {
     * state. Self-loops with weight 0 keep inbound-less nodes in the
     * iteration without a second recursive reference (the same trick lets
     * the DuckDB recursive-CTE oracle express it with one `pr` reference).
-    * Lineage is cut per round with an eager localCheckpoint — see
-    * [[connectedComponents]]. */
+    *
+    * Lineage: unlike [[connectedComponents]] (whose convergence check
+    * reads each round's labels TWICE, doubling the plan per round), each
+    * PageRank round references the previous ranks exactly once — the plan
+    * grows linearly, so iterations stay LAZY and fuse into one job.
+    * An eager localCheckpoint every `checkpointInterval` rounds bounds
+    * plan depth for long runs without paying one materialization job per
+    * round. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               iterations: Int = 5): DataFrame = {
+               iterations: Int = 5, checkpointInterval: Int = 10): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(checkpointInterval > 0,
+      s"checkpointInterval must be positive, got $checkpointInterval")
     val e = edges
       .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .distinct().persist()
@@ -115,24 +123,37 @@ object Graph {
     // augmented edges: real edges carry the source's outdegree; every node
     // additionally gets a weight-0 self edge so nodes without inbound
     // edges still receive their base rank each round
+    // pre-partitioned on src BEFORE caching: the per-iteration join key is
+    // src = node, and each iteration's rank table arrives hash-partitioned
+    // on node from the previous groupBy — so a co-partitioned cached edge
+    // list makes every join exchange-free on both sides (only the groupBy
+    // shuffle remains per round)
     val aug = e.join(outdeg, "src")
       .select(col("src"), col("dst"), col("d"))
       .union(nodes.select(col("node"), col("node"),
         lit(null).cast("long")))
+      .repartition(col("src"))
       .persist()
     aug.count() // materialize once; every iteration re-reads it
+    // the initial checkpoint DOES pay: it cuts whatever expensive lineage
+    // produced the edge list (e.g. the minhash pipeline) out of every
+    // iteration's plan
     var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       ranks = aug.join(ranks, aug("src") === ranks("node"))
         .select(aug("dst").as("to"),
           when(col("d").isNotNull, expr("r div d"))
             .otherwise(lit(0L)).as("c"))
         .groupBy(col("to").as("node"))
         .agg(expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
-        .localCheckpoint()
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
+    // materialize BEFORE unpersisting: the loop is lazy, so dropping the
+    // cached edge list first would force every iteration to rebuild it
+    val out = ranks.localCheckpoint()
     e.unpersist(blocking = false)
     aug.unpersist(blocking = false)
-    ranks
+    out
   }
 }

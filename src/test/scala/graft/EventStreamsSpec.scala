@@ -39,6 +39,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.contains(("click", day + 3600, 1L)))
   }
 
+  test("trendingTopK streaming deployment: windowedCounts stream + " +
+    "per-closed-window rank in foreachBatch matches the batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("event_type", "ts")
+    val day = 86400L * 19100
+    val ranked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Int)]
+    // production shape: stream the windowed counts (append fires only for
+    // CLOSED windows), rank inside foreachBatch over each emitted window
+    val q = EventStreams.windowedCounts(df, key = "event_type",
+      windowLen = "1 day", watermark = "1 day")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Relational.topKPerGroup(batch,
+          Seq(col("win_start_s")), Seq(col("cnt").desc, col("key")), k = 2)
+          .collect().foreach(r => ranked.synchronized {
+            ranked += ((r.getAs[Long]("win_start_s"), r.getAs[String]("key"),
+              r.getAs[Long]("cnt"), r.getAs[Int]("rn")))
+          })
+        ()
+      }
+      .start()
+    mem.addData(
+      ("a", ts(day + 10)), ("a", ts(day + 20)), ("a", ts(day + 30)),
+      ("b", ts(day + 40)), ("b", ts(day + 50)), ("c", ts(day + 60)))
+    q.processAllAvailable()
+    // next-day data advances the watermark past day 1 -> window closes
+    mem.addData(("b", ts(day + 2 * 86400 + 10)))
+    q.processAllAvailable()
+    q.stop()
+    val batchTwin = EventStreams.trendingTopK(
+      spark.createDataFrame(Seq(
+        ("a", ts(day + 10)), ("a", ts(day + 20)), ("a", ts(day + 30)),
+        ("b", ts(day + 40)), ("b", ts(day + 50)), ("c", ts(day + 60))))
+        .toDF("event_type", "ts"), "event_type", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(ranked.toSet == batchTwin,
+      s"streaming ${ranked.toSet} != batch $batchTwin")
+  }
+
   test("sessionize under readStream: sessions close on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

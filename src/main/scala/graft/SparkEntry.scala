@@ -650,6 +650,14 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- Markov transition matrix of per-user event-type sequences
+    // (bigram counts + exactly-rounded row-normalized probabilities) ------
+    "event_type_transitions" -> ((s, dir) =>
+      Relational.transitionMatrix(Tables.events(s, dir),
+        key = col("user_id"), order = Seq(col("ts"), col("event_id")),
+        state = col("event_type"))
+        .orderBy("prev_state", "state")),
+
     // ---- pivot: per-user event counts as one column per type ------------
     "user_event_pivot" -> ((s, dir) =>
       Relational.pivotCounts(Tables.events(s, dir), "user_id",
@@ -1096,6 +1104,18 @@ object SparkEntry {
         |      FROM c)
         |SELECT win_start_s, win_start_s + 86400 AS win_end_s, key, cnt, rn
         |FROM r WHERE rn <= 2 ORDER BY win_start_s, rn""".stripMargin,
+
+    "event_type_transitions" ->
+      """WITH b AS (SELECT user_id, event_type,
+        |             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        |           FROM events),
+        |c AS (SELECT prev_state, event_type AS state, count(*) AS cnt
+        |      FROM b WHERE prev_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_state, state, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY prev_state) AS BIGINT) AS total_from FROM c)
+        |SELECT prev_state, state, cnt,
+        |       round(CAST(cnt AS DOUBLE) / CAST(total_from AS DOUBLE), 6) AS prob_r
+        |FROM t ORDER BY prev_state, state""".stripMargin,
 
     "csv_event_type_stats" ->
       """SELECT event_type, count(*) AS n,

@@ -304,6 +304,31 @@ object Relational {
         states.tail.map(s => sum(col(s)).as(s)): _*)
   }
 
+  /** First-order Markov transition matrix over per-key ordered state
+    * sequences — the sequence-modeling prep operator (user journey
+    * analysis, synthetic-session generation, next-event baselines).
+    *
+    * One window pass forms the bigrams (lag over the key's order), one
+    * partial-aggregated groupBy counts them, and a second window
+    * normalizes rows into probabilities. Probabilities are
+    * count/row-total — an exact integer ratio evaluated in one double
+    * division and rounded, so results are engine- and
+    * partitioning-independent. Output: (prev_state, state, cnt, prob_r). */
+  def transitionMatrix(df: DataFrame, key: Column, order: Seq[Column],
+                       state: Column): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(order: _*)
+    df.select(Seq(key.as("_k"), state.as("state")) ++ order: _*)
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNotNull)
+      .groupBy("prev_state", "state")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("_total",
+        sum(col("cnt")).over(Window.partitionBy(col("prev_state"))))
+      .select(col("prev_state"), col("state"), col("cnt"),
+        round(col("cnt").cast("double") / col("_total").cast("double"), 6)
+          .as("prob_r"))
+  }
+
   /** O-family running aggregates: cumulative sum plus trailing-k sum/count
     * per key in one window pass. `value` must be an exact (integer or
     * decimal) column — floating accumulation over a window is

@@ -53,6 +53,19 @@ class OlapSpec extends SparkSpec {
       ("ALL", "m1", 3L), ("ALL", "m2", 1L)))
   }
 
+  test("transitionMatrix: bigram counts and row-normalized probabilities") {
+    // user 1: a→b→a→c ; user 2: a→b  ⇒ from a: b×2 c×1; from b: a×1
+    val df = spark.createDataFrame(Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"))).toDF("u", "seq", "s")
+    val out = Relational.transitionMatrix(df, col("u"), Seq(col("seq")), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out == Set(
+      ("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333),
+      ("b", "a", 1L, 1.0)))
+  }
+
   test("groupedPercentiles rejects colliding integer-percent names") {
     val df = spark.createDataFrame(Seq(("g", 1.0))).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {

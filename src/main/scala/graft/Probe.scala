@@ -117,6 +117,17 @@ object Probe {
       val (tCc, cCc) = timed(graft.ops.Graph.dedupClusters(
         Dedup.minhashDupPairs(d, col("doc_id"), col("text")),
         col("id_a"), col("id_b")).count())
+      val (tPr, cPr) = timed {
+        // pair list checkpointed before the two-branch symmetrization
+        // (same as the doc_pagerank query) — this timing covers one
+        // minhash run plus the graph iterations
+        val pairs = Dedup.minhashDupPairs(d, col("doc_id"), col("text"))
+          .localCheckpoint()
+        val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b"), col("id_a")))
+        graft.ops.Graph.pageRank(sym, col("src"), col("dst"),
+          iterations = 5).count()
+      }
       val (tAsof, cAsof) = timed {
         val p = ev.filter(col("event_type") === "purchase")
         val c = ev.filter(col("event_type") === "click")
@@ -138,6 +149,7 @@ object Probe {
         s""""embdup_s":$tEmb,"embdup_pairs":$cEmb,""" +
         s""""ann_s":$tAnn,"ann_rows":$cAnn,""" +
         s""""cc_s":$tCc,"cc_nodes":$cCc,""" +
+        s""""pagerank_s":$tPr,"pagerank_nodes":$cPr,""" +
         s""""asof_s":$tAsof,"asof_rows":$cAsof,""" +
         s""""range_s":$tRange,"range_rows":$cRange,""" +
         s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap}""")

@@ -629,7 +629,11 @@ object SparkEntry {
     "doc_pagerank" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      // checkpoint before symmetrizing: the pair list feeds BOTH union
+      // branches, and an uncut lineage would run the whole minhash
+      // pipeline twice inside one job
       val pairs = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
+        .localCheckpoint()
       val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b"), col("id_a")))
       Graph.pageRank(sym, col("src"), col("dst"), iterations = 5)

@@ -117,6 +117,11 @@ object Graph {
     val e = edges
       .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .distinct().persist()
+    // materialize BEFORE fan-out: aug references e several times (join
+    // side, outdegree, node self-loops); without an eager fill those
+    // sibling scans race the cold cache and each recompute e's upstream
+    // (e.g. a 10 s minhash pipeline) instead of hitting it
+    e.count()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))

@@ -28,12 +28,18 @@ object Graph {
   def connectedComponents(edges: DataFrame, src: Column, dst: Column,
                           maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    // cut the caller's lineage ONCE before symmetrization: both union
+    // branches reference the edge list, and similarity-pair inputs carry
+    // an expensive pipeline (minhash etc.) that would otherwise run twice
+    // inside the first materialization job
+    val base = edges
+      .select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .localCheckpoint()
     // closed neighborhood via explicit self-loops: each round is then ONE
     // equi-join + ONE groupBy-min (no per-round left join to merge the
     // node's own label back in)
-    val undirected = edges
-      .select(src.cast("long").as("a"), dst.cast("long").as("b"))
-      .union(edges.select(dst.cast("long").as("a"), src.cast("long").as("b")))
+    val undirected = base
+      .union(base.select(col("b").as("a"), col("a").as("b")))
     val sym = undirected
       .union(undirected.select(col("a"), col("a")))
       .distinct()

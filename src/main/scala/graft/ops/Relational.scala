@@ -262,7 +262,10 @@ object Relational {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     // expected-item count sizes the bit array; the dimension is the small
     // side by contract, so this extra pass is cheap relative to the fact scan
-    val n = dim.select(col(dimKey)).na.drop().distinct().count().max(1L)
+    val n = dim.select(col(dimKey)).na.drop().distinct().count()
+    // empty dimension: the inner join is empty regardless — and Spark's
+    // stat.bloomFilter NPEs aggregating zero rows, so don't build one
+    if (n == 0L) return fact.join(dim, col(factKey) === col(dimKey))
     val bf = dim.stat.bloomFilter(dimKey, n, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()

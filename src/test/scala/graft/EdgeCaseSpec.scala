@@ -113,4 +113,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalytics.tfidfTopTerms(docs(), col("doc_id"), col("text"))
       .isEmpty)
   }
+
+  test("round-6 operators survive empty and degenerate inputs") {
+    import graft.ops.{Graph, Profiler, Relational}
+    val empty = spark.createDataFrame(Seq.empty[(Long, Long, Double)])
+      .toDF("k", "id", "v")
+    val one = spark.createDataFrame(Seq((1L, 1L, 5.0))).toDF("k", "id", "v")
+    // pagerank over no edges: no nodes, no rows, no failure
+    assert(Graph.pageRank(
+      empty.select(col("k").as("a"), col("id").as("b")),
+      col("a"), col("b")).isEmpty)
+    // profiler on zero rows: one row per column, zero counts, null min/max
+    val p = Profiler.profile(empty, Seq("k" -> col("k"), "v" -> col("v")))
+      .orderBy("column").collect()
+    assert(p.length == 2 && p.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L
+        && r.isNullAt(4) && r.isNullAt(5)))
+    // z-score: singleton groups have zero variance -> no rows, no ANSI
+    // division error
+    assert(Profiler.zscoreOutliers(one, col("k"), col("id"), col("v"), 2.0)
+      .isEmpty)
+    // transition matrix: one event per key -> no bigrams
+    assert(Relational.transitionMatrix(one, col("k"), Seq(col("id")),
+      col("v").cast("string")).isEmpty)
+    // bloom prefilter join with an EMPTY dimension: empty result
+    assert(Relational.bloomPrefilterJoin(
+      one.select(col("id").as("fk")),
+      empty.select(col("id").as("dk")), "fk", "dk").isEmpty)
+    // state merge where one side is empty == the other side
+    val base = one.groupBy("k").agg(count(lit(1)).as("n"))
+    val merged = Relational.mergePartialStates(
+      base, base.filter(lit(false)), Seq("k"), Seq("n")).collect()
+    assert(merged.length == 1 && merged.head.getLong(1) == 1L)
+  }
 }

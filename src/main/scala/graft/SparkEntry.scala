@@ -654,6 +654,16 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- exact all-pairs Jaccard via PPJoin-style prefix filtering: the
+    // deterministic-recall twin of minhash_dup_pairs (same corpus, same
+    // threshold, same brute-force oracle — but candidate pruning is a
+    // lemma, not an S-curve) ---------------------------------------------
+    "jaccard_prefix_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      Dedup.jaccardPrefixPairs(dupped, col("doc_id"), col("text"))
+    }),
+
     // ---- Markov transition matrix of per-user event-type sequences
     // (bigram counts + exactly-rounded row-normalized probabilities) ------
     "event_type_transitions" -> ((s, dir) =>
@@ -1436,6 +1446,14 @@ object SparkEntry {
     // the threshold), the output EQUALS the brute-force answer, which
     // DuckDB can compute directly. Verified: counts match at sf0.01/0.001.
     "minhash_dup_pairs" ->
+      s"""WITH $MinhashAllPairsCtes
+         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // prefix filtering is exact (lemma, not probability), so the SAME
+    // brute-force all-pairs truth oracles both pair generators
+    "jaccard_prefix_pairs" ->
       s"""WITH $MinhashAllPairsCtes
          |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7

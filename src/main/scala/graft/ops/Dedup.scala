@@ -154,6 +154,55 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** EXACT all-pairs Jaccard self-join via prefix filtering (the
+    * PPJoin-family candidate pruning) — the deterministic-recall
+    * alternative to [[minhashDupPairs]]: no probabilistic S-curve, yet
+    * still no O(n²) pair space.
+    *
+    * Prefix-filter lemma: order every shingle set by a GLOBAL token order
+    * (ascending document frequency, ties by hash — rare tokens first);
+    * if J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A's first
+    * |A| − ⌈t·|A|⌉ + 1 tokens must contain a token of B (pigeonhole) —
+    * and symmetrically — hence two similar sets ALWAYS collide on a
+    * prefix token. Candidates are therefore generated only from prefix
+    * tokens (df-ordering keeps those buckets small: a token shared by
+    * every document is never in anyone's prefix unless the set is tiny),
+    * then each unique pair is verified with one exact Jaccard.
+    *
+    * Plan: one scan → shingle sets (checkpointed once — referenced by the
+    * index build and both verify sides) → doc-frequency aggregation →
+    * per-doc rank window → prefix explode → within-bucket pair generation
+    * ([[bucketPairs]], capped + observed) → verify join. Exact integer
+    * Jaccard → bit-stable across engines. */
+  def jaccardPrefixPairs(docs: DataFrame, id: Column, text: Column,
+                         n: Int = 3, threshold: Double = 0.7,
+                         maxBucket: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val s = docs
+      .filter(size(TextAnalytics.tokensCol(text)) >= n)
+      .select(id.cast("long").as("doc_id"), shingleHashes64(text, n).as("sh"))
+      .localCheckpoint()
+    val tok = s.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = tok.join(dfreq, "g")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("nsh") - ceil(col("nsh") * lit(threshold)).cast("long") + 1)
+      .select(lit(0).as("band"), col("g").as("bucket"), col("doc_id"))
+    bucketPairs(prefix, col("doc_id"), maxBucket)
+      .join(s.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(s.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact n-gram Jaccard similarity of a (small, broadcast) query set
     * against the corpus — the verifiable baseline behind [[minhashDupPairs]]
     * (which is its scale path: bucket first, verify the same Jaccard only

@@ -52,6 +52,35 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("prefix-filtered all-pairs Jaccard: exact recall (lemma) on " +
+    "near-dup, shared-prefix and disjoint docs") {
+    val common = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = spark.createDataFrame(Seq(
+      // near-dup pair (differ by a trailing token): J well above 0.7
+      (1L, common + " one two three four five six seven eight nine ten"),
+      (2L, common + " one two three four five six seven eight nine zz"),
+      // shares the common prefix tokens only: candidate maybe, pair no
+      (3L, common + " uno dos tres cuatro cinco seis siete ocho nueve diez"),
+      (4L, "entirely different content with no overlap whatsoever here")))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardPrefixPairs(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("prefix-filtered pairs == minhash pairs on the real corpus " +
+    "(deterministic recall matches the S-curve path)") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+    val prefix = Dedup.jaccardPrefixPairs(dupped, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val minhash = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == minhash)
+    assert(prefix.nonEmpty)
+  }
+
   test("SimHash64: identical token streams -> hamming 0; near-identical small") {
     val df = spark.createDataFrame(Seq(
       (1, "spark catalyst tungsten codegen shuffle partition broadcast join"),

@@ -203,6 +203,52 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental near-dedup: which INCOMING documents near-duplicate the
+    * EXISTING corpus — the shape every continuously-ingesting training
+    * pipeline runs per batch (dedup the delta against the accumulated
+    * corpus, never re-pair the corpus against itself).
+    *
+    * Same bucket-first skeleton as [[minhashDupPairs]], with the side
+    * (0 = existing, 1 = incoming) carried INSIDE the bucket id struct:
+    * one (band, bucket, (side, id)) shuffle, capped buckets, distinct
+    * pairs — then cross-side pairs only are kept (struct sort order puts
+    * existing before incoming, so the filter is two field tests, and
+    * existing↔existing pairs are never verified, which is the point of
+    * incrementality). At cluster scale the existing side's buckets come
+    * from a precomputed signature table; here both sides are hashed in
+    * the same job for a self-contained operator.
+    *
+    * Output: (existing_id, incoming_id, jaccard ≥ threshold). */
+  def minhashIncremental(existing: DataFrame, incoming: DataFrame,
+                         id: Column, text: Column,
+                         n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+                         jaccardThreshold: Double = 0.7,
+                         maxBucket: Int = 1000): DataFrame = {
+    def side(df: DataFrame, s: Int) = df
+      .select(lit(s).as("side"), id.cast("long").as("doc_id"),
+        shingleHashes64(text, n).as("sh"))
+    val base = side(existing, 0).union(side(incoming, 1))
+    val banded = base
+      .select(struct(col("side"), col("doc_id")).as("sid"),
+        posexplode(minhashBandBuckets(col("sh"), k, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    bucketPairs(banded, col("sid"), maxBucket)
+      .filter(col("id_a.side") === 0 && col("id_b.side") === 1)
+      .select(col("id_a.doc_id").as("existing_id"),
+        col("id_b.doc_id").as("incoming_id"))
+      .join(base.filter(col("side") === 0)
+        .select(col("doc_id").as("existing_id"), col("sh").as("sh_a")),
+        "existing_id")
+      .join(base.filter(col("side") === 1)
+        .select(col("doc_id").as("incoming_id"), col("sh").as("sh_b")),
+        "incoming_id")
+      .select(col("existing_id"), col("incoming_id"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .orderBy("existing_id", "incoming_id")
+  }
+
   /** Exact n-gram Jaccard similarity of a (small, broadcast) query set
     * against the corpus — the verifiable baseline behind [[minhashDupPairs]]
     * (which is its scale path: bucket first, verify the same Jaccard only

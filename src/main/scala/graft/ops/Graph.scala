@@ -167,4 +167,62 @@ object Graph {
     aug.unpersist(blocking = false)
     out
   }
+
+  /** Exact per-node triangle counts over an undirected edge list —
+    * (node, triangles) for every node that appears in an edge, zeros
+    * included.
+    *
+    * Degree-ordered orientation (the standard compact-forward scheme):
+    * every edge is directed from its (degree, id)-smaller endpoint to the
+    * larger, which bounds each node's OUT-degree by O(√m) on any graph —
+    * so the wedge join below generates at most O(m^{3/2}) candidate
+    * wedges instead of Σ deg² (which a hub node makes quadratic). Each
+    * triangle {x ≺ y ≺ z} is then found exactly once, as the wedge
+    * (x→y, x→z) closed by the edge y→z.
+    *
+    * Plan shape: canonicalize + distinct (one shuffle) → degree aggregate
+    * (one shuffle) → oriented edges, checkpointed ONCE (the wedge step is
+    * a self-join, and both sides plus the closing side must reuse the
+    * materialized edges, not re-run the upstream lineage) → wedge
+    * equi-join on the common endpoint → closing equi-join on (y, z) →
+    * corner explode + count. All joins are equi-joins on edge keys;
+    * nothing is ever collected to the driver. */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val und = edges
+      .select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // total order ≺ = (deg, id) packed into one BIGINT (valid for ids and
+    // degrees < 2^31 — ids are keys, degrees are bounded by node count)
+    val ord = deg.select(col("n"),
+      (col("deg") * lit(4294967296L) + col("n")).as("ord"))
+    val oriented = und
+      .join(ord.select(col("n").as("a"), col("ord").as("oa")), "a")
+      .join(ord.select(col("n").as("b"), col("ord").as("ob")), "b")
+      .select(when(col("oa") < col("ob"),
+          struct(col("a").as("u"), col("b").as("v"), col("ob").as("ov")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("oa").as("ov")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.ov").as("ov"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("u"), col("v").as("y"), col("ov").as("oy"))
+      .join(oriented.select(col("u"), col("v").as("z"), col("ov").as("oz")), "u")
+      .filter(col("oy") < col("oz"))
+      .select(col("u").as("x"), col("y"), col("z"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    val corners = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.select(col("n"))
+      .join(corners, Seq("n"), "left")
+      .select(col("n").as("node"), coalesce(col("t"), lit(0L)).as("triangles"))
+      .orderBy("node")
+  }
 }

@@ -53,6 +53,30 @@ object Profiler {
       .select(col("p.*"))
   }
 
+  /** Data-quality rule audit in ONE scan: each rule is a boolean violation
+    * predicate counted via conditional aggregation, so auditing N rules
+    * costs exactly one pass over the data regardless of N — the shape that
+    * matters when the table is 100 TB and the rule list grows with every
+    * incident. Output is long-format (rule, violations, n_rows), one row
+    * per rule, so downstream alerting joins on `rule`.
+    *
+    * Null semantics: a predicate evaluating to NULL (e.g. a range test on
+    * a NULL value) counts as NOT violated — write an explicit `isNull`
+    * rule to audit missingness itself (mirrors SQL `count(*) FILTER`). */
+  def ruleViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "ruleViolations needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val aggs = count(lit(1)).as("_rows") +: rules.map { case (name, cond) =>
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"_v_$name") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(s"_v_$name").as("violations"),
+          col("_rows").as("n_rows")) }: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("rule")
+  }
+
   /** Per-key z-score outliers: events whose measure deviates from their
     * key's mean by more than `threshold` standard deviations.
     *

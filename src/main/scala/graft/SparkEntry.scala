@@ -518,14 +518,26 @@ object SparkEntry {
         "c_nationkey" -> col("c_nationkey")))
         .orderBy("column")),
 
-    // ---- per-user z-score outliers: exact integer-scaled moments, one
-    // shuffle (window), no join -------------------------------------------
+    // ---- per-user z-score outliers: exact integer-scaled moments via
+    // partial-aggregated groupBy + join-back (hot-key safe — a window on
+    // the raw key would put every row of a hot key on one reducer) --------
     "value_outliers" -> ((s, dir) =>
       Profiler.zscoreOutliers(Tables.events(s, dir),
         key = col("user_id"), id = col("event_id"), value = col("value"),
         threshold = 2.5)
         .select(col("key").as("user_id"), col("id").as("event_id"), col("z_r"))
         .orderBy("user_id", "event_id")),
+
+    // ---- data-quality rule audit: N boolean rules counted in ONE scan via
+    // conditional aggregation (long-format output, one row per rule) ------
+    "rule_violations" -> ((s, dir) =>
+      Profiler.ruleViolations(Tables.events(s, dir), Seq(
+        "r1_value_out_of_range" -> (col("value") < 0 || col("value") > 400),
+        "r2_null_user" -> col("user_id").isNull,
+        "r3_unknown_event_type" -> !col("event_type").isin(EventTypes: _*),
+        "r4_error_value_gt_300" ->
+          (col("event_type") === "error" && col("value") > 300),
+        "r5_missing_props" -> (col("props").isNull || col("props") === "")))),
 
     // ---- bloom-prefiltered join: selective dim key set ships as bloom
     // bits, fact rows that cannot match never shuffle; exact join after
@@ -601,17 +613,17 @@ object SparkEntry {
     }),
 
     // ---- ntile deciles over a total order: equi-depth histogram of order
-    // prices (min/max pass through raw — no arithmetic, bit-identical) ----
-    "order_price_deciles" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, dir)
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+    // prices (min/max pass through raw — no arithmetic, bit-identical).
+    // ntileExact = range-shuffle + parallel per-partition rank + offset
+    // merge — NO single-partition global window (the r6 scale-killer) ----
+    "order_price_deciles" -> ((s, dir) =>
+      Relational.ntileExact(
+        Tables.orders(s, dir).select(col("o_totalprice"), col("o_orderkey")),
+        Seq(col("o_totalprice"), col("o_orderkey")), 10, alias = "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
-        .orderBy("decile")
-    }),
+        .orderBy("decile")),
 
     // ---- full cube: counts over every subset of (event_type, dow) — the
     // OLAP cross-tab with ALL markers (rollup's 2^n sibling) --------------
@@ -639,6 +651,26 @@ object SparkEntry {
       Graph.pageRank(sym, col("src"), col("dst"), iterations = 5)
         .select(col("node").as("doc_id"), col("r").as("rank_micro"))
         .orderBy("doc_id")
+    }),
+
+    // ---- exact per-node triangle counts over the same near-dup similarity
+    // graph (degree-ordered orientation bounds wedges at O(m^{3/2}); a
+    // natural near-dup pair plus its two copies forms a K4 → triangles) ---
+    "triangle_counts" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      Graph.triangleCounts(
+        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
+        col("id_a"), col("id_b"))
+    }),
+
+    // ---- incremental near-dedup: the per-batch delta-vs-corpus shape —
+    // existing = documents, incoming = shifted copies; only cross-side
+    // pairs are verified (existing↔existing never re-paired) --------------
+    "minhash_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val incoming = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.minhashIncremental(d, incoming, col("doc_id"), col("text"))
     }),
 
     // ---- CSV source: explicit-schema read of the events CSV fixture; the
@@ -733,9 +765,13 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
-    // ================= rows-only checked (no SQL oracle) =================
+    // ============ composed similarity / multimodal pipelines =============
+    // (mixed checking: most are hash-green against brute-force DuckDB
+    // oracles; the xxhash64/md5/SVD-sign-dependent ones are rows-only with
+    // scalatest parity cover — each query notes which)
 
-    // ---- MinHash+LSH near-dup (self-union guarantees true dup pairs) ----
+    // ---- MinHash+LSH near-dup (self-union guarantees true dup pairs;
+    // hash-green vs the brute-force all-pairs oracle) ----------------------
     "minhash_dup_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
@@ -1095,6 +1131,22 @@ object SparkEntry {
         |FROM z WHERE variance > 0 AND abs((x - mean) / sqrt(variance)) > 2.5
         |ORDER BY user_id, event_id""".stripMargin,
 
+    "rule_violations" ->
+      """WITH v AS (SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE value < 0 OR value > 400) AS r1,
+        |  count(*) FILTER (WHERE user_id IS NULL) AS r2,
+        |  count(*) FILTER (WHERE event_type NOT IN ('click','error','purchase','signup','view')) AS r3,
+        |  count(*) FILTER (WHERE event_type = 'error' AND value > 300) AS r4,
+        |  count(*) FILTER (WHERE props IS NULL OR props = '') AS r5
+        |FROM events)
+        |SELECT * FROM (
+        |  SELECT 'r1_value_out_of_range' AS rule, r1 AS violations, n_rows FROM v
+        |  UNION ALL SELECT 'r2_null_user', r2, n_rows FROM v
+        |  UNION ALL SELECT 'r3_unknown_event_type', r3, n_rows FROM v
+        |  UNION ALL SELECT 'r4_error_value_gt_300', r4, n_rows FROM v
+        |  UNION ALL SELECT 'r5_missing_props', r5, n_rows FROM v)
+        |ORDER BY rule""".stripMargin,
+
     "bloom_join_revenue" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
@@ -1450,6 +1502,35 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
          |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // cross-side subset of the same all-pairs truth: ids < 100000 are the
+    // existing corpus, shifted ids the incoming batch; only existing ×
+    // incoming pairs are in scope (the point of incrementality)
+    "minhash_incremental" ->
+      s"""WITH $MinhashAllPairsCtes
+         |SELECT id_a AS existing_id, id_b AS incoming_id,
+         |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+         |FROM p WHERE id_a < 100000 AND id_b >= 100000
+         |  AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
+         |ORDER BY existing_id, incoming_id""".stripMargin,
+
+    // exact triangle enumeration over the thresholded pair list: each
+    // triangle {x<y<z} found once via two adjacency joins on the canonical
+    // (id_a < id_b) edge list; zero-count nodes kept by the left join
+    "triangle_counts" ->
+      s"""WITH $MinhashAllPairsCtes,
+         |pairs AS (SELECT id_a, id_b FROM p
+         |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
+         |tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+         |        FROM pairs e1
+         |        JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+         |        JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+         |corners AS (SELECT unnest([x, y, z]) AS node FROM tri),
+         |cc AS (SELECT node, count(*) AS t FROM corners GROUP BY node),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs))
+         |SELECT n.node, CAST(coalesce(cc.t, 0) AS BIGINT) AS triangles
+         |FROM nodes n LEFT JOIN cc USING (node) ORDER BY node""".stripMargin,
 
     // prefix filtering is exact (lemma, not probability), so the SAME
     // brute-force all-pairs truth oracles both pair generators

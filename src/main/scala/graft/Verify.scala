@@ -21,7 +21,13 @@ object Verify {
     graft.sources.BlogCorpus.ensureFixtures(spark, sfDir)
     graft.sources.ZipImages.ensureFixtures()
     graft.sources.CsvTables.ensureEventsCsv(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (comma-separated names); driver sets nothing,
+    // so the full registry runs in the gate
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(
+      s => SparkEntry.queries.view.filterKeys(s).toMap)
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -179,8 +179,12 @@ object Dedup {
                          maxBucket: Int = 1000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    // no minimum-size filter: a doc with < n tokens gets the whole-doc
+    // single-shingle fallback (ShingleKernel), whose prefix length is
+    // 1 − ⌈t·1⌉ + 1 = 1 — the lemma covers it, and dropping such docs
+    // would silently miss short-doc duplicate pairs the brute-force
+    // oracle (and minhashDupPairs) report
     val s = docs
-      .filter(size(TextAnalytics.tokensCol(text)) >= n)
       .select(id.cast("long").as("doc_id"), shingleHashes64(text, n).as("sh"))
       .localCheckpoint()
     val tok = s.select(col("doc_id"), size(col("sh")).as("nsh"),

@@ -32,9 +32,8 @@ object Graph {
     // branches reference the edge list, and similarity-pair inputs carry
     // an expensive pipeline (minhash etc.) that would otherwise run twice
     // inside the first materialization job
-    val base = edges
-      .select(src.cast("long").as("a"), dst.cast("long").as("b"))
-      .localCheckpoint()
+    val base = Checkpoints.cut(edges
+      .select(src.cast("long").as("a"), dst.cast("long").as("b")))
     // closed neighborhood via explicit self-loops: each round is then ONE
     // equi-join + ONE groupBy-min (no per-round left join to merge the
     // node's own label back in)
@@ -48,9 +47,8 @@ object Graph {
     // previous round's labels, so an uncut lineage grows per round —
     // exponential plan size by round ~20. Checkpointing truncates the plan
     // to the materialized result, keeping every round's plan constant-size.
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var labels = Checkpoints.cut(sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")))
     // labels only ever decrease, so an unchanged exact SUM of labels ⇔ no
     // label changed — one scalar aggregate per round instead of a compare
     // join (decimal: a long sum overflows at ~1e6 nodes with 1e15 ids)
@@ -62,11 +60,10 @@ object Graph {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = sym
+      val next = Checkpoints.cut(sym
         .join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("id"))
-        .agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .agg(min(col("comp")).as("comp")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -149,7 +146,7 @@ object Graph {
     // the initial checkpoint DOES pay: it cuts whatever expensive lineage
     // produced the edge list (e.g. the minhash pipeline) out of every
     // iteration's plan
-    var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    var ranks = Checkpoints.cut(nodes.withColumn("r", lit(1000000L)))
     for (i <- 1 to iterations) {
       ranks = aug.join(ranks, aug("src") === ranks("node"))
         .select(aug("dst").as("to"),
@@ -158,11 +155,11 @@ object Graph {
         .groupBy(col("to").as("node"))
         .agg(expr("CAST(150000 + (85 * sum(c)) div 100 AS BIGINT)").as("r"))
       if (i % checkpointInterval == 0 && i < iterations)
-        ranks = ranks.localCheckpoint()
+        ranks = Checkpoints.cut(ranks)
     }
     // materialize BEFORE unpersisting: the loop is lazy, so dropping the
     // cached edge list first would force every iteration to rebuild it
-    val out = ranks.localCheckpoint()
+    val out = Checkpoints.cut(ranks)
     e.unpersist(blocking = false)
     aug.unpersist(blocking = false)
     out
@@ -194,13 +191,14 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    // total order ≺ = (deg, id) packed into one BIGINT (valid for ids and
-    // degrees < 2^31 — ids are keys, degrees are bounded by node count)
+    // total order ≺ = (deg, id) as a STRUCT (lexicographic comparison) —
+    // valid for the full long id range; arithmetic packing would silently
+    // mis-orient edges for negative or >= 2^32 ids
     val ord = deg.select(col("n"),
-      (col("deg") * lit(4294967296L) + col("n")).as("ord"))
+      struct(col("deg"), col("n")).as("ord"))
     val oriented = und
       .join(ord.select(col("n").as("a"), col("ord").as("oa")), "a")
       .join(ord.select(col("n").as("b"), col("ord").as("ob")), "b")
@@ -210,7 +208,7 @@ object Graph {
           struct(col("b").as("u"), col("a").as("v"), col("oa").as("ov")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.ov").as("ov"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val wedges = oriented.select(col("u"), col("v").as("y"), col("ov").as("oy"))
       .join(oriented.select(col("u"), col("v").as("z"), col("ov").as("oz")), "u")
       .filter(col("oy") < col("oz"))

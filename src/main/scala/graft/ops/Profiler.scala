@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -80,10 +79,13 @@ object Profiler {
   /** Per-key z-score outliers: events whose measure deviates from their
     * key's mean by more than `threshold` standard deviations.
     *
-    * Two logical passes over one shuffle: the per-key moments are window
-    * aggregates over the same partitioning the row-level z-score reads, so
-    * the plan is scan → one exchange on `key` → window → filter. No
-    * collect, no second scan, no join.
+    * Plan shape: per-key moments are a partial-aggregated `groupBy`
+    * (map-side combine shrinks each key to one state row per task BEFORE
+    * the exchange) joined back to the rows — NOT a window over the key.
+    * A window puts every row of a key on one reducer, so one
+    * pathologically hot key melts a single task; the aggregate+join form
+    * moves only moment states for the hot key, and the join itself can
+    * salt/AQE-split if the probe side skews. No collect, no second scan.
     *
     * Cross-engine determinism (the dimStats pattern): the measure is
     * integer-scaled to 1e-6 precision FIRST, moments are accumulated
@@ -94,15 +96,16 @@ object Profiler {
   def zscoreOutliers(df: DataFrame, key: Column, id: Column, value: Column,
                      threshold: Double): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    val w = Window.partitionBy(key)
     val vs = round(value * lit(1e6)).cast("long")
-    val x = vs.cast("double") / lit(1e6)
-    val n = count(lit(1)).over(w)
-    val mean = (sum(vs).over(w).cast("double") / n.cast("double")) / lit(1e6)
-    val ex2 = (sum(vs.cast(DecimalType(38, 0)) * vs).over(w).cast("double") /
-      n.cast("double")) / lit(1e12)
-    df.select(
-        key.as("key"), id.as("id"), x.as("x"),
+    val rows = df.select(key.as("key"), id.as("id"), vs.as("vs"))
+    val moments = rows.groupBy("key").agg(
+      count(lit(1)).as("n"), sum(col("vs")).as("s1"),
+      sum(col("vs").cast(DecimalType(38, 0)) * col("vs")).as("s2"))
+    val mean = (col("s1").cast("double") / col("n").cast("double")) / lit(1e6)
+    val ex2 = (col("s2").cast("double") / col("n").cast("double")) / lit(1e12)
+    rows.join(moments, "key")
+      .select(col("key"), col("id"),
+        (col("vs").cast("double") / lit(1e6)).as("x"),
         mean.as("mean"), (ex2 - mean * mean).as("variance"))
       .filter(col("variance") > 0)
       .withColumn("z", (col("x") - col("mean")) / sqrt(col("variance")))

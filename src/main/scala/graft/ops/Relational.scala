@@ -332,6 +332,69 @@ object Relational {
           .as("prob_r"))
   }
 
+  /** Global row_number over a TOTAL order without a single-partition sort —
+    * the scale-safe replacement for `Window.orderBy(...)` with no
+    * partitioning (whose physical plan is "move ALL data to one
+    * partition": fine at sf0.1, fatal at 100 TB).
+    *
+    * Range-repartition on the order key (one sampled range shuffle),
+    * rank WITHIN each partition in parallel, then add each partition's
+    * start offset. The only driver state is one (partition, count) row
+    * per shuffle partition — O(partitions), same class as the
+    * convergence scalar in [[Graph.connectedComponents]]. The checkpoint
+    * pins the sampled partition assignment so the offset pass and the
+    * rank pass see identical partitioning (range boundary sampling is
+    * re-run per action otherwise). Callers should pre-project to the
+    * columns they need — the checkpoint materializes the input once.
+    *
+    * Ranks are assigned in ascending NULLS FIRST order of `order`
+    * (matching both `Window.orderBy` and `repartitionByRange` defaults);
+    * pass a tie-breaking key for a deterministic total order. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      alias: String = "rn"): DataFrame =
+    rankedByRange(df, order, alias)._1
+
+  /** Exact `ntile(buckets)` over a total order, built on
+    * [[globalRowNumber]]: identical bucket assignment to the
+    * single-partition window `ntile` (the first `n mod buckets` buckets
+    * take one extra row), with no global sort. Bucket arithmetic is
+    * integer `div` — exact at any row count. */
+  def ntileExact(df: DataFrame, order: Seq[Column], buckets: Int,
+                 alias: String = "tile"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val (ranked, n) = rankedByRange(df, order, "_rn")
+    val q = n / buckets
+    val r = n % buckets
+    val cut = r * (q + 1)
+    // first r buckets have q+1 rows, the rest q; guard max(q,1) keeps the
+    // (unreachable when q = 0) else-branch free of a division by zero
+    val qq = math.max(q, 1L)
+    ranked
+      .withColumn(alias, expr(
+        s"CASE WHEN _rn <= ${cut}L THEN (_rn + ${q}L) div ${q + 1}L " +
+          s"ELSE ${r}L + (_rn - ${cut}L + ${qq - 1}L) div ${qq}L END"))
+      .drop("_rn")
+  }
+
+  private def rankedByRange(df: DataFrame, order: Seq[Column],
+                            alias: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy("_pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val ranked = parted
+      .join(broadcast(offDf), "_pid")
+      .withColumn(alias, row_number().over(w).cast("long") + col("_off"))
+      .drop("_pid", "_off")
+    (ranked, acc)
+  }
+
   /** O-family running aggregates: cumulative sum plus trailing-k sum/count
     * per key in one window pass. `value` must be an exact (integer or
     * decimal) column — floating accumulation over a window is

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Graph, Relational, Sampling, TextAnalytics}
+import graft.ops.{Checkpoints, Dedup, Graph, Relational, Sampling, TextAnalytics}
 
 /** End-to-end training-corpus curation — the capstone composition of the
   * pipeline operators, in the order a production curation runs:
@@ -53,7 +53,7 @@ object CorpusCuration {
     val keyed = base.withColumn("ck", md5(TextAnalytics.canonicalize(col("text"))))
     val ranked = keyed.withColumn("rn",
       row_number().over(Window.partitionBy(col("ck")).orderBy(col("doc_id"))))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     val exactDropped = ranked.filter(col("rn") > 1)
       .select(col("doc_id"), lit("exact_dup").as("status"), lit("none").as("split"))
     val s1 = ranked.filter(col("rn") === 1).select(col("doc_id"), col("text"))
@@ -61,7 +61,7 @@ object CorpusCuration {
     // 2. quality filter
     val verdicts = TextAnalytics.qualityFilter(s1, col("doc_id"), col("text"))
       .select(col("doc_id"), col("keep"))
-    val s1v = s1.join(verdicts, "doc_id").localCheckpoint()
+    val s1v = Checkpoints.cut(s1.join(verdicts, "doc_id"))
     val lowQuality = s1v.filter(!col("keep"))
       .select(col("doc_id"), lit("low_quality").as("status"), lit("none").as("split"))
     val s2 = s1v.filter(col("keep")).select(col("doc_id"), col("text"))

@@ -55,18 +55,29 @@ object CsvTables {
       .coalesce(1)
       .write.mode("overwrite").option("header", "true")
       .csv(stage.toString)
-    val part = Files.list(stage).iterator()
-    var moved = false
-    while (part.hasNext && !moved) {
-      val p = part.next()
-      if (p.getFileName.toString.startsWith("part-")) {
-        Files.createDirectories(outDir)
-        Files.move(p, csvFile,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        moved = true
-      }
-    }
+    // close the directory stream (it holds an fd) and remove the staging
+    // dir with its _SUCCESS/.crc leftovers once the part file is moved out
+    val listing = Files.list(stage)
+    val moved =
+      try {
+        val part = listing.iterator()
+        var done = false
+        while (part.hasNext && !done) {
+          val p = part.next()
+          if (p.getFileName.toString.startsWith("part-")) {
+            Files.createDirectories(outDir)
+            Files.move(p, csvFile,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            done = true
+          }
+        }
+        done
+      } finally listing.close()
     require(moved, s"no part file produced under $stage")
+    val leftovers = Files.list(stage)
+    try leftovers.iterator().forEachRemaining(Files.deleteIfExists(_))
+    finally leftovers.close()
+    Files.deleteIfExists(stage)
     Files.write(markerFile, marker.getBytes(StandardCharsets.UTF_8))
     csvFile.toString
   }

@@ -81,6 +81,50 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty)
   }
 
+  test("minhashIncremental: cross-side pairs only, incl. a doc present on " +
+    "both sides; existing↔existing never re-paired") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely unrelated corpus text about distributed query engines"
+    val t3 = "yet another separate document mentioning streaming watermarks only"
+    // existing docs 1 and 2 are IDENTICAL — a within-corpus dup the
+    // incremental pass must NOT report (that's minhashDupPairs' job)
+    val existing = spark.createDataFrame(Seq((1L, t1), (2L, t1), (3L, t2)))
+      .toDF("doc_id", "text")
+    // incoming doc 10 is t1 again (present on both sides); 11 is fresh
+    val incoming = spark.createDataFrame(Seq((10L, t1), (11L, t3)))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashIncremental(existing, incoming,
+      col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 10L, 1.0), (2L, 10L, 1.0)))
+  }
+
+  test("minhashIncremental on the corpus == cross-side slice of the " +
+    "all-pairs truth (shifted-copy batch)") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val incoming = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val inc = Dedup.minhashIncremental(d, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dupped = d.union(incoming)
+    val cross = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
+      .filter(col("id_a") < 100000 && col("id_b") >= 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == cross)
+    assert(inc.nonEmpty)
+  }
+
+  test("jaccardPrefixPairs: short docs (single-shingle fallback) keep their " +
+    "duplicate pairs — no minimum-size exclusion") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "tiny doc"), (2L, "tiny doc"), // < 3 tokens → whole-doc shingle
+      (3L, "some longer unrelated document with many distinct tokens here"),
+      (4L, "tiny other"))).toDF("doc_id", "text")
+    val out = Dedup.jaccardPrefixPairs(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("SimHash64: identical token streams -> hamming 0; near-identical small") {
     val df = spark.createDataFrame(Seq(
       (1, "spark catalyst tungsten codegen shuffle partition broadcast join"),

@@ -44,6 +44,60 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 1217281L, 2L -> 1054187L, 3L -> 728531L))
   }
 
+  test("triangleCounts: K4 plus a pendant edge — hand-counted") {
+    // K4 on {1,2,3,4}: 4 triangles, every node in exactly 3; the pendant
+    // edge (10,11) contributes zero but both nodes must still be emitted
+    val e = edges(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L)))
+    val out = Graph.triangleCounts(e, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 0L, 11L -> 0L))
+  }
+
+  test("triangleCounts: duplicate, reversed and self-loop edges collapse") {
+    val e = edges(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L)))
+    val out = Graph.triangleCounts(e, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: negative and >2^32 ids orient correctly " +
+    "(struct (deg,id) order, no arithmetic packing)") {
+    val big = 5000000000L
+    val e = edges(Seq((-5L, -4L), (-4L, big), (big, -5L), (-5L, 7L)))
+    val out = Graph.triangleCounts(e, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(-5L -> 1L, -4L -> 1L, big -> 1L, 7L -> 0L))
+  }
+
+  test("triangleCounts: hub star has zero triangles (orientation bounds " +
+    "wedges, result exact)") {
+    val e = edges((1L to 8L).map(i => (0L, i)))
+    val out = Graph.triangleCounts(e, col("a"), col("b"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(out == Set(0L))
+  }
+
+  test("components run with RELIABLE checkpoints when " +
+    "spark.graft.checkpoint.dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.conf.set(graft.ops.Checkpoints.DirConf, dir.toString)
+    try {
+      val e = edges(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      val out = Graph.connectedComponents(e, col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // checkpoint data actually landed under the configured directory
+      val stream = java.nio.file.Files.walk(dir)
+      val nFiles =
+        try stream.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally stream.close()
+      assert(nFiles > 0, s"no reliable checkpoint files under $dir")
+    } finally spark.conf.unset(graft.ops.Checkpoints.DirConf)
+  }
+
   test("pageRank: symmetric pair converges to equal ranks; isolated-in-" +
     "edge-list singleton keeps base-plus-self rank semantics") {
     // 1↔2 symmetric: each sends its whole rank to the other — ranks stay

@@ -66,6 +66,42 @@ class OlapSpec extends SparkSpec {
       ("b", "a", 1L, 1.0)))
   }
 
+  test("ntileExact == window ntile for every (n, buckets) shape, ties included") {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("id"))
+    for ((n, buckets) <- Seq((100, 10), (103, 10), (7, 10), (57, 4), (1, 3))) {
+      // v = id % 13 produces heavy ties straddling bucket boundaries
+      val df = spark.range(n.toLong)
+        .select(col("id"), (col("id") % 13).as("v"))
+      val want = df.withColumn("t", ntile(buckets).over(w).cast("long"))
+        .select("id", "t")
+      val got = Relational.ntileExact(df, Seq(col("v"), col("id")), buckets,
+        alias = "t").select("id", "t")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"n=$n buckets=$buckets")
+    }
+  }
+
+  test("ntileExact plans without a single-partition exchange " +
+    "(the global-window scale-killer)") {
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    val out = Relational.ntileExact(df, Seq(col("v"), col("id")), 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"ntileExact must not move all data to one partition:\n$plan")
+  }
+
+  test("globalRowNumber: dense 1..n ranks in total order") {
+    val df = spark.range(500).select(col("id"),
+      ((col("id") * 7919) % 500).as("v"))
+    val got = Relational.globalRowNumber(df, Seq(col("v"), col("id")))
+      .orderBy("rn").collect().map(r => r.getAs[Long]("rn"))
+    assert(got.toSeq == (1L to 500L))
+    val first = Relational.globalRowNumber(df, Seq(col("v"), col("id")))
+      .filter(col("rn") === 1).select("v").head().getLong(0)
+    assert(first == 0L)
+  }
+
   test("groupedPercentiles rejects colliding integer-percent names") {
     val df = spark.createDataFrame(Seq(("g", 1.0))).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {

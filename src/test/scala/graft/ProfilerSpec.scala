@@ -39,6 +39,39 @@ class ProfilerSpec extends SparkSpec {
     assert(approx == 10L)
   }
 
+  test("ruleViolations: conditional counts in one scan; NULL predicate " +
+    "counts as NOT violated") {
+    val df = spark.createDataFrame(Seq(
+      (1L, java.lang.Double.valueOf(5.0)),
+      (2L, java.lang.Double.valueOf(-1.0)),
+      (3L, null.asInstanceOf[java.lang.Double]), // v<0 is NULL → not violated
+      (4L, java.lang.Double.valueOf(500.0)))).toDF("id", "v")
+    val out = Profiler.ruleViolations(df, Seq(
+      "neg" -> (col("v") < 0),
+      "big" -> (col("v") > 400),
+      "missing" -> col("v").isNull))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("big", 1L, 4L), ("missing", 1L, 4L), ("neg", 1L, 4L)))
+  }
+
+  test("ruleViolations: empty input yields zero counts, not an error") {
+    val df = spark.createDataFrame(Seq.empty[(Long, Double)]).toDF("id", "v")
+    val out = Profiler.ruleViolations(df, Seq("neg" -> (col("v") < 0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("neg", 0L, 0L)))
+  }
+
+  test("ruleViolations rejects duplicate rule names and empty rule lists") {
+    val df = spark.range(1).toDF()
+    intercept[IllegalArgumentException] {
+      Profiler.ruleViolations(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.ruleViolations(df, Seq.empty)
+    }
+  }
+
   test("zscore outliers: flags exactly the planted deviant") {
     // key 1: nine 10.0s and one 100.0 — z(100) = 9*sqrt(..)/.. > 2.5
     // key 2: constant values — zero variance, no output rows at all

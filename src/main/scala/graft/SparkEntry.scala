@@ -866,6 +866,25 @@ object SparkEntry {
           concat_ws(",", col("candidates")).as("candidates"))
     }),
 
+    // Hash-checked twin of `lsh_candidates`: identical kernel chain (chunked
+    // md5 over little-endian int32 bytes → hex digit 1 → base-16 band parse
+    // → any-band candidate join), but quantized to {0,1,2} so every int32's
+    // LE byte pattern is (v,0,0,0) — valid UTF-8, which lets DuckDB 1.0's
+    // md5(VARCHAR) recompute the EXACT reference digests (md5-of-BLOB is
+    // unavailable there; this closes the J3/J4/M4/M5 oracle gap flagged in
+    // round 6 without touching the byte-level semantics being verified).
+    "lsh_candidates_md5" -> ((s, dir) => {
+      val feats = Tables.embeddings(s, dir).select(col("vec_id").as("item_id"),
+        flatten(array_repeat(
+          transform(col("embedding"),
+            x => when(x < -0.05, 0).when(x > 0.05, 2).otherwise(1)), 77))
+          .as("features"))
+      val banded = Lsh.withSignatureBuckets(feats, col("item_id"), col("features"))
+      Lsh.candidateLists(banded, Seq(0, 1, 2, 3))
+        .select(col("query_id"), col("n_candidates"),
+          concat_ws(",", col("candidates")).as("candidates"))
+    }),
+
     // ---- M7 standardize (z-scores) over embeddings, (id, dim, z) rows ---
     "vec_standardize" -> ((s, dir) =>
       VectorOps.standardizeLong(Tables.embeddings(s, dir),
@@ -1480,6 +1499,53 @@ object SparkEntry {
     // comment / Ivf.scala scaladoc), and its scoring/tie-breaks are
     // identical to the LSH path's — so the two index types share one oracle.
     "ann_ivf_topk" -> PlantedAnnBruteForceSql,
+
+    // Full independent recomputation of the reference LSH stack (a2:99–170
+    // semantics): rebuild each doc's chunk byte stream as a VARCHAR of
+    // (v,0,0,0) little-endian int32 bytes (values are 0..2, so every byte is
+    // valid UTF-8 and md5(VARCHAR) hashes the exact reference buffer), take
+    // hex digit 1 per chunk digest, expand the 128-hex signature to 512 bits,
+    // parse 13-bit bands as base-16 (the reference quirk — digits are 0/1),
+    // then the any-band-shared-bucket candidate join with self-pairs kept.
+    "lsh_candidates_md5" ->
+      """WITH feats AS (
+        |  SELECT vec_id AS item_id,
+        |    flatten(list_transform(range(77), r ->
+        |      list_transform(embedding, x ->
+        |        CASE WHEN x < CAST(-0.05 AS DOUBLE) THEN 0
+        |             WHEN x > CAST(0.05 AS DOUBLE) THEN 2 ELSE 1 END))) AS f
+        |  FROM embeddings),
+        |elems AS (
+        |  SELECT item_id, f, len(f) AS n, unnest(range(len(f))) AS p FROM feats),
+        |e2 AS (
+        |  SELECT item_id, p, f[p+1] AS v,
+        |    CASE WHEN p < (n % 128) * (n // 128 + 1)
+        |         THEN p // (n // 128 + 1)
+        |         ELSE (n % 128) + (p - (n % 128) * (n // 128 + 1)) // (n // 128) END AS ci
+        |  FROM elems),
+        |chunks AS (
+        |  SELECT item_id, ci,
+        |    substring(md5(string_agg(chr(v) || chr(0) || chr(0) || chr(0), '' ORDER BY p)), 2, 1) AS h
+        |  FROM e2 GROUP BY item_id, ci),
+        |sigs AS (
+        |  SELECT item_id, string_agg(h, '' ORDER BY ci) AS sig FROM chunks GROUP BY item_id),
+        |bits AS (
+        |  SELECT item_id, b, t,
+        |    (strpos('0123456789abcdef', substring(sig, (b*13+t)//4 + 1, 1)) - 1
+        |      >> (3 - (b*13+t)%4)) & 1 AS bit
+        |  FROM sigs,
+        |       (SELECT unnest(range(39)) AS b) bs,
+        |       (SELECT unnest(range(13)) AS t) ts),
+        |bkts AS (
+        |  SELECT item_id, b AS band,
+        |    sum(CAST(bit AS BIGINT) << (4*(12 - t))) AS bucket
+        |  FROM bits GROUP BY item_id, b),
+        |q AS (SELECT item_id AS query_id, band, bucket FROM bkts WHERE item_id IN (0,1,2,3)),
+        |cand AS (SELECT DISTINCT q.query_id, c.item_id AS candidate_id
+        |         FROM q JOIN bkts c USING (band, bucket))
+        |SELECT query_id, count(*) AS n_candidates,
+        |       string_agg(candidate_id, ',' ORDER BY candidate_id) AS candidates
+        |FROM cand GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "knn_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

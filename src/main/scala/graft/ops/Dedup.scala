@@ -101,12 +101,15 @@ object Dedup {
   private[ops] def bucketPairs(banded: DataFrame, idCol: Column,
                                maxBucket: Int): DataFrame = {
     CapMetrics.ensureListener(banded.sparkSession)
-    val grouped = banded.groupBy("band", "bucket")
+    val observeCaps = !sys.env.contains("SPARK_GRAFT_NO_CAP_OBSERVE")
+    val aggregated = banded.groupBy("band", "bucket")
       .agg(array_sort(collect_list(idCol)).as("ids"))
-      .observe(s"${CapMetrics.MetricPrefix}_${capObsId.incrementAndGet()}",
-        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
-          .as("capped_buckets"),
-        max(size(col("ids"))).as("max_bucket"))
+    val grouped = (if (!observeCaps) aggregated
+      else aggregated
+        .observe(s"${CapMetrics.MetricPrefix}_${capObsId.incrementAndGet()}",
+          sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+            .as("capped_buckets"),
+          max(size(col("ids"))).as("max_bucket")))
       .filter(size(col("ids")).between(2, maxBucket))
     grouped
       .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2),

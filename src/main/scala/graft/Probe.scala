@@ -142,6 +142,8 @@ object Probe {
         graft.ops.RangeJoin.countWithin(errs, ev, col("event_id"),
           col("ts_s"), col("event_id"), col("ts_s"), 300L).count()
       }
+      val (tKm, cKm) = timed(graft.ops.Clustering.kmeansExact(
+        e, col("vec_id"), col("embedding"), k = 5, iters = 4).count())
       val (maxB, overCap) = minhashBucketStats(d, 1000)
       println(s"""{"scale":$m,"docs":$nDocs,"vecs":$nVecs,"events":$nEv,""" +
         s""""minhash_s":$tMin,"minhash_pairs":$cMin,""" +
@@ -152,6 +154,7 @@ object Probe {
         s""""pagerank_s":$tPr,"pagerank_nodes":$cPr,""" +
         s""""asof_s":$tAsof,"asof_rows":$cAsof,""" +
         s""""range_s":$tRange,"range_rows":$cRange,""" +
+        s""""kmeans_s":$tKm,"kmeans_rows":$cKm,""" +
         s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap}""")
       d.unpersist(); e.unpersist(); ev.unpersist()
     }

@@ -808,6 +808,15 @@ object SparkEntry {
       Dedup.simhashDupPairs(dupped, col("doc_id"), col("text"))
     }),
 
+    // Hash-checked twin: same banding/pigeonhole/Hamming pipeline but token
+    // bits from md5, which DuckDB can recompute digest-for-digest (the
+    // xxhash64 variant above stays rows-only — that kernel is Spark-internal)
+    "simhash_md5_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      Dedup.simhashMd5DupPairs(dupped, col("doc_id"), col("text"))
+    }),
+
     // ---- embedding near-dup via random-hyperplane LSH -------------------
     "embedding_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -817,6 +826,18 @@ object SparkEntry {
       Dedup.embeddingNearDupLsh(dupped, col("vec_id"), col("embedding"),
         planes = 16, bands = 2, cosineThreshold = 0.99)
     }),
+
+    // ---- distributed k-means over embeddings (semantic clustering for
+    // dedup-by-meaning / diversity-stratified sampling): integer-exact
+    // Lloyd's — quantize once to shifted micro-units, then BIGINT distances
+    // and floor-division centroid means, so the whole run is a
+    // deterministic function of the input and the DuckDB oracle replays it
+    // move for move (unrolled iteration CTEs) ---------------------------
+    "kmeans_clusters" -> ((s, dir) =>
+      Clustering.kmeansExact(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), k = 5, iters = 4)
+        .select(col("item_id").as("vec_id"), col("cluster"), col("dist2"))
+        .orderBy("vec_id")),
 
     // ---- ANN scale path: LSH-bucketed approximate top-k -----------------
     // Verified exactly against a brute-force DuckDB oracle on a corpus with
@@ -1000,6 +1021,50 @@ object SparkEntry {
       |  SELECT query_id, nbr_id, cos_r,
       |         row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id) AS rank
       |  FROM s) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Unrolled-iteration DuckDB replay of [[Clustering.kmeansExact]]
+    * (k-means is integer-exact end to end, so the oracle reproduces every
+    * assignment and centroid bit for bit): quantize → `iters` rounds of
+    * (exact BIGINT argmin assignment with lowest-cluster ties, per-dim
+    * integer-sum centroids with floor division, empty clusters keeping
+    * their centroid) → final assignment. One CTE block per round — plain
+    * SQL, no recursion needed since the iteration count is fixed. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (
+         |  SELECT vec_id AS item_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor((CAST(x AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY item_id) - 1 AS cluster, q AS c
+         |       FROM (SELECT item_id, q FROM q ORDER BY item_id LIMIT $k)),
+         |""".stripMargin)
+    for (i <- 0 to iters) {
+      sb.append(
+        s"""d$i AS (SELECT t.item_id, t.q, c.cluster,
+           |  CAST(list_sum(list_transform(range(len(t.q)),
+           |    j -> (t.q[j+1] - c.c[j+1]) * (t.q[j+1] - c.c[j+1]))) AS BIGINT) AS dist2
+           |  FROM q t, c$i c),
+           |a$i AS (SELECT item_id, q, cluster, dist2 FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY dist2, cluster) AS rn FROM d$i)
+           |  WHERE rn = 1),
+           |""".stripMargin)
+      if (i < iters) sb.append(
+        s"""e$i AS (SELECT cluster, q, unnest(range(len(q))) AS dim FROM a$i),
+           |u$i AS (SELECT cluster, dim, sum(q[dim+1]) AS sv, count(*) AS n
+           |        FROM e$i GROUP BY cluster, dim),
+           |c${i + 1} AS (SELECT p.cluster,
+           |  CASE WHEN count(u.dim) = 0 THEN any_value(p.c)
+           |       ELSE list(CAST(u.sv // u.n AS BIGINT) ORDER BY u.dim) END AS c
+           |  FROM c$i p LEFT JOIN u$i u USING (cluster) GROUP BY p.cluster),
+           |""".stripMargin)
+    }
+    // trailing comma of the last a-block is consumed by rewriting the tail
+    sb.setLength(sb.length - 2)
+    sb.append(s"\nSELECT item_id AS vec_id, cluster, dist2 FROM a$iters ORDER BY vec_id")
+    sb.toString
+  }
 
   /** DuckDB oracle SQL — identical column names/order semantics. */
   def oracleSql: Map[String, String] = Map(
@@ -1686,6 +1751,40 @@ object SparkEntry {
          |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id)
          |SELECT id, min(r) AS comp, (min(r) = id) AS keep FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
+
+    "kmeans_clusters" -> kmeansOracleSql(5, 4),
+
+    // Digest-for-digest replay of the md5-bit SimHash pipeline: token bit
+    // matrix from md5 hex (bit 0 = LSB of the leading-16-hex-char value,
+    // i.e. bit b lives in nibble 15 - b/4 at in-nibble position b%4),
+    // ±1 vote sums per (doc, bit), sign bits, 16-bit band buckets,
+    // pigeonhole candidate join, Hamming count over the full 64 bits.
+    "simhash_md5_pairs" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |              UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |t AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS tok
+        |      FROM docs),
+        |hx AS (SELECT doc_id, md5(tok) AS hex FROM t),
+        |bt AS (SELECT doc_id, b,
+        |         (strpos('0123456789abcdef', substring(hex, 16 - b//4, 1)) - 1
+        |           >> (b % 4)) & 1 AS bit
+        |       FROM hx, (SELECT unnest(range(64)) AS b) bs),
+        |sg AS (SELECT doc_id, b, (sum(2*bit - 1) > 0) AS v FROM bt GROUP BY doc_id, b),
+        |bkt AS (SELECT doc_id, b // 16 AS band,
+        |          sum(CASE WHEN v THEN CAST(1 AS BIGINT) << (b % 16) ELSE 0 END) AS bucket
+        |        FROM sg GROUP BY doc_id, band),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |         FROM bkt a JOIN bkt c USING (band, bucket)
+        |         WHERE a.doc_id < c.doc_id),
+        |ham AS (SELECT cand.id_a, cand.id_b,
+        |          sum(CASE WHEN x.v <> y.v THEN 1 ELSE 0 END) AS hamming
+        |        FROM cand
+        |          JOIN sg x ON x.doc_id = cand.id_a
+        |          JOIN sg y ON y.doc_id = cand.id_b AND y.b = x.b
+        |        GROUP BY cand.id_a, cand.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "embedding_neardup" ->
       """WITH e AS (

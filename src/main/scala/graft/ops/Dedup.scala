@@ -334,7 +334,15 @@ object Dedup {
     * shuffle, no joins at all. */
   def simhashDupPairs(df: DataFrame, id: Column, text: Column,
                       bands: Int = 4, maxHamming: Int = 3,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000): DataFrame =
+    simhashBandedPairs(
+      df.select(id.as("doc_id"), simhash64(text).as("sim")),
+      bands, maxHamming, maxBucket)
+
+  /** Banding + pigeonhole + Hamming-verify tail shared by [[simhashDupPairs]]
+    * and [[simhashMd5DupPairs]]; `sims` is (doc_id, sim: long). */
+  private def simhashBandedPairs(sims: DataFrame, bands: Int, maxHamming: Int,
+                                 maxBucket: Int): DataFrame = {
     // bands must tile the 64-bit simhash exactly: a non-divisor leaves the
     // top 64 % bands bits unbanded (voiding the hamming <= bands-1
     // pigeonhole guarantee), and bands = 1 would need a 64-bit mask that
@@ -342,8 +350,8 @@ object Dedup {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must be >= 2 and divide 64, got $bands")
     val bandLen = 64 / bands
-    val banded = df
-      .select(struct(id.as("doc_id"), simhash64(text).as("sim")).as("ds"))
+    val banded = sims
+      .select(struct(col("doc_id"), col("sim")).as("ds"))
       .select(col("ds"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -357,6 +365,46 @@ object Dedup {
         hamming64(col("id_a.sim"), col("id_b.sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Cross-engine-recomputable SimHash twin of [[simhashDupPairs]]: token
+    * bits come from md5 (the digest's leading 16 hex chars read as a 64-bit
+    * value, bit 0 = least significant) instead of the Spark-internal
+    * xxhash64, so an independent SQL oracle can replay the WHOLE pipeline —
+    * token bit matrix, ±1 vote sums, sign bits, 16-bit banding, pigeonhole
+    * candidates, Hamming verify — digest for digest. Same operator shape
+    * as the xxhash64 variant (one scan + the one bucketPairs shuffle); the
+    * extra cost is md5 per distinct (doc, token) and a 64-way per-token
+    * vote explode, partially aggregated map-side into ≤ docs×64 rows per
+    * partition before the (doc_id, bit) shuffle.
+    *
+    * Simhash bit b = [Σ_tokens (2·bit_b(md5(token)) − 1) > 0] over each
+    * doc's DISTINCT token set (set semantics match the oracle's
+    * list_distinct; ties at 0 are a 0 bit). */
+  def simhashMd5DupPairs(df: DataFrame, id: Column, text: Column,
+                         maxHamming: Int = 3,
+                         maxBucket: Int = 1000000): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+        explode(array_distinct(TextAnalytics.tokensCol(text))).as("tok"))
+      .select(col("doc_id"), md5(encode(col("tok"), "UTF-8")).as("hex"))
+      // 64-bit value from hex chars 1..16: hi 8 chars << 32 | lo 8 chars
+      // (each half < 2^32 so conv()'s unsigned-string → long cast is exact;
+      // the final << 32 is a bit op — wrap into the sign bit is intended)
+      .select(col("doc_id"),
+        shiftleft(conv(substring(col("hex"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("hex"), 9, 8), 16, 10).cast("long"))
+          .as("h64"))
+    val contrib = toks.select(col("doc_id"),
+      posexplode(array((0 until 64).map(b =>
+        shiftrightunsigned(col("h64"), b).bitwiseAND(lit(1L)) * 2 - 1): _*))
+        .as(Seq("bit", "c")))
+    val sims = contrib.groupBy("doc_id", "bit").agg(sum(col("c")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("sim"))
+    simhashBandedPairs(sims, bands = 4, maxHamming, maxBucket)
+      // bit_count yields int; long for cross-engine dtype stability
+      .withColumn("hamming", col("hamming").cast("long"))
   }
 
   /** Per-band random-hyperplane buckets: array of `bands` structs

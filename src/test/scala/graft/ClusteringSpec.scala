@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Clustering
+
+/** Integer-exact distributed k-means (Clustering.kmeansExact). */
+class ClusteringSpec extends SparkSpec {
+
+  private def vecs(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("two well-separated blobs split into their own clusters") {
+    val df = vecs(Seq(
+      0L -> Seq(0.1, 0.0), 1L -> Seq(5.0, 5.1), 2L -> Seq(0.0, 0.2),
+      3L -> Seq(-0.1, 0.1), 4L -> Seq(5.2, 4.9), 5L -> Seq(4.9, 5.0)))
+    val out = Clustering.kmeansExact(df, col("id"), col("v"), k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // init = ids 0,1 → blob around origin lands with centroid 0, the
+    // 5-ish blob with centroid 1, and Lloyd iterations keep them there
+    assert(out == Map(0L -> 0L, 2L -> 0L, 3L -> 0L, 1L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("deterministic: identical assignment and dist2 across two runs") {
+    val df = vecs((0L until 40L).map(i =>
+      i -> Seq(math.sin(i.toDouble), math.cos(i.toDouble * 0.7), (i % 7) * 0.3)))
+    def run() = Clustering.kmeansExact(df, col("id"), col("v"), k = 4, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(run() == run())
+  }
+
+  test("duplicate init point: emptied cluster keeps its centroid, no crash") {
+    // ids 0,1 are identical → init centroids 0 and 1 coincide; ties go to
+    // the lowest index, but the retained cluster-1 centroid stays at the
+    // exact origin while cluster 0's mean drifts toward id 3 — so the
+    // origin points may legally re-acquire cluster 1 (Lloyd's semantics);
+    // the invariants are: no crash, identical points cluster together,
+    // and the far blob keeps its own cluster
+    val df = vecs(Seq(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(0.0, 0.0), 2L -> Seq(6.0, 6.0),
+      3L -> Seq(0.1, 0.0), 4L -> Seq(6.1, 5.9)))
+    val out = Clustering.kmeansExact(df, col("id"), col("v"), k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == out(1L) && out(0L) <= 1L)
+    assert(out(2L) == 2L && out(4L) == 2L)
+  }
+
+  test("singleton centroid distance is zero and exact") {
+    val df = vecs(Seq(0L -> Seq(1.25, -2.5), 1L -> Seq(1.25, -2.5)))
+    val out = Clustering.kmeansExact(df, col("id"), col("v"), k = 1, iters = 2)
+      .collect()
+    assert(out.forall(_.getLong(2) == 0L))
+  }
+
+  test("coordinate outside the quantization range raises, not clamps") {
+    val df = vecs(Seq(0L -> Seq(0.0, 9.5)))
+    val e = intercept[Exception] {
+      Clustering.kmeansExact(df, col("id"), col("v"), k = 1, iters = 0)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("iters = 0 assigns against the raw init centroids") {
+    val df = vecs(Seq(0L -> Seq(0.0), 1L -> Seq(1.0), 2L -> Seq(0.4)))
+    val out = Clustering.kmeansExact(df, col("id"), col("v"), k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+  }
+}

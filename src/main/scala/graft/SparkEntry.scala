@@ -243,6 +243,19 @@ object SparkEntry {
       TextAnalytics.tokenBudget(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- context-window chunking: 32-token windows, stride 16 (small
+    // enough that the fixture corpus — ~54 tokens/doc — genuinely
+    // exercises multi-chunk docs and short tail chunks) ------------------
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalytics.chunkTokens(Tables.documents(s, dir),
+        col("doc_id"), col("text"), window = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ---- sequence packing at a 1024-token context budget ----------------
+    "token_packing" -> ((s, dir) =>
+      TextAnalytics.packSequences(Tables.documents(s, dir),
+        col("doc_id"), col("text"), budget = 1024L)),
+
     // ---- P7/P9/P10/S3/S4 + J2 + A10: the reference blog pipeline --------
     // (a1p2b_ahuja.py end-to-end: wholetext files → malformed-XML parse →
     // industry vocabulary from filenames → mention counts per year-month)
@@ -1416,6 +1429,38 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    // chunk count = max(1, ceil((n-32)/16)+1); tail chunks may be short;
+    // DuckDB list slices are 1-based inclusive and clamp like Spark slice
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks,
+         |        CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 15) // 16 + 1 END AS k
+         |      FROM n),
+         |x AS (SELECT doc_id, toks, unnest(range(k)) AS i FROM c),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |         toks[i*16 + 1 : i*16 + 32] AS chunk FROM x)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  array_to_string(chunk, ' ') AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the oracle's single-window cumsum is the semantic truth the
+    // distributed prefixSumByRange (range shuffle + broadcast offsets)
+    // must reproduce exactly
+    "token_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |        CAST(coalesce(len($toksSql), 0) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          - n_tokens AS st
+         |      FROM t)
+         |SELECT doc_id, n_tokens, st // 1024 AS pack,
+         |       st - (st // 1024) * 1024 AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // The oracle reconstructs the expected result straight from the
     // documents table: the blog fixture corpus is a deterministic function
     // of it (same Scala constants interpolated below, so Spark fixtures and
@@ -1757,13 +1802,13 @@ object SparkEntry {
     // Digest-for-digest replay of the md5-bit SimHash pipeline: token bit
     // matrix from md5 hex (bit 0 = LSB of the leading-16-hex-char value,
     // i.e. bit b lives in nibble 15 - b/4 at in-nibble position b%4),
-    // ±1 vote sums per (doc, bit), sign bits, 16-bit band buckets,
-    // pigeonhole candidate join, Hamming count over the full 64 bits.
+    // multiplicity-weighted ±1 vote sums per (doc, bit), sign bits, 16-bit
+    // band buckets, pigeonhole candidate join, full-64-bit Hamming count.
     "simhash_md5_pairs" ->
       """WITH docs AS (SELECT doc_id, text FROM documents
         |              UNION ALL SELECT doc_id + 100000, text FROM documents),
-        |t AS (SELECT doc_id, unnest(list_distinct(list_filter(
-        |        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS tok
+        |t AS (SELECT doc_id, unnest(list_filter(
+        |        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
         |      FROM docs),
         |hx AS (SELECT doc_id, md5(tok) AS hex FROM t),
         |bt AS (SELECT doc_id, b,

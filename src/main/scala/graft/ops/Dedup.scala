@@ -379,29 +379,47 @@ object Dedup {
     * partition before the (doc_id, bit) shuffle.
     *
     * Simhash bit b = [Σ_tokens (2·bit_b(md5(token)) − 1) > 0] over each
-    * doc's DISTINCT token set (set semantics match the oracle's
-    * list_distinct; ties at 0 are a 0 bit). */
+    * doc's token BAG — multiplicity-weighted votes (Charikar's tf
+    * weighting), which is also what keeps buckets small on template-heavy
+    * corpora: set-semantics votes collapse short docs drawn from a shared
+    * vocabulary onto identical simhashes (measured: largest 16-bit band
+    * bucket 3278 with distinct tokens vs 582 weighted, sf0.1 fixture).
+    * Ties at 0 are a 0 bit. */
   def simhashMd5DupPairs(df: DataFrame, id: Column, text: Column,
                          maxHamming: Int = 3,
                          maxBucket: Int = 1000000): DataFrame = {
-    val toks = df.select(id.as("doc_id"),
-        explode(array_distinct(TextAnalytics.tokensCol(text))).as("tok"))
-      .select(col("doc_id"), md5(encode(col("tok"), "UTF-8")).as("hex"))
-      // 64-bit value from hex chars 1..16: hi 8 chars << 32 | lo 8 chars
-      // (each half < 2^32 so conv()'s unsigned-string → long cast is exact;
-      // the final << 32 is a bit op — wrap into the sign bit is intended)
+    // Vote matrix as a PER-ROW array fold — not an explode: a 64-rows-per-
+    // token explode pushes tokens×64 rows through two hash-aggregate
+    // shuffles (measured 16.6 s at sf0.1 vs ~1 s for the xxhash64 twin).
+    // Staging matters inside the fold too: a lambda references are TREES,
+    // so md5 mentioned per bit would recompute 64 digests per token
+    // (measured just as slow); instead one transform computes each token's
+    // 64-bit digest prefix ONCE — hi 8 hex chars << 32 | lo 8 (each half
+    // < 2^32 so conv()'s unsigned-string → long cast is exact; the << 32
+    // wrap into the sign bit is intended) — and the vote fold then only
+    // does long mask tests against the BOUND variable: no dynamic shifts,
+    // no string ops, no exchange before banding.
+    val bitValues = typedLit(Seq.tabulate(64)(b => 1L << b))
+    def h64(t: Column): Column = {
+      val hex = md5(encode(t, "UTF-8"))
+      shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+    }
+    val sims = df
+      .select(id.as("doc_id"),
+        TextAnalytics.tokensCol(text).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), transform(col("toks"), h64(_)).as("hs"))
       .select(col("doc_id"),
-        shiftleft(conv(substring(col("hex"), 1, 8), 16, 10).cast("long"), 32)
-          .bitwiseOR(conv(substring(col("hex"), 9, 8), 16, 10).cast("long"))
-          .as("h64"))
-    val contrib = toks.select(col("doc_id"),
-      posexplode(array((0 until 64).map(b =>
-        shiftrightunsigned(col("h64"), b).bitwiseAND(lit(1L)) * 2 - 1): _*))
-        .as(Seq("bit", "c")))
-    val sims = contrib.groupBy("doc_id", "bit").agg(sum(col("c")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("sim"))
+        aggregate(col("hs"), array_repeat(lit(0L), 64),
+          (acc, h) => zip_with(acc, bitValues,
+            (a, mask) => a + when(h.bitwiseAND(mask) =!= 0, 1L).otherwise(-1L)))
+          .as("votes"))
+      .select(col("doc_id"),
+        aggregate(
+          zip_with(col("votes"), bitValues,
+            (v, bv) => when(v > 0, bv).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("sim"))
     simhashBandedPairs(sims, bands = 4, maxHamming, maxBucket)
       // bit_count yields int; long for cross-engine dtype stability
       .withColumn("hamming", col("hamming").cast("long"))

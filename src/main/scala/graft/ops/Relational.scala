@@ -376,6 +376,34 @@ object Relational {
       .drop("_rn")
   }
 
+  /** Global INCLUSIVE prefix sum of `value` (an exact integer/decimal
+    * column) in `order` order, without a single-partition window — the
+    * [[ntileExact]] machinery generalized from row counts to sums: range
+    * shuffle on the order keys, per-partition running sums in parallel,
+    * then each partition's start offset (the cumsum of whole-partition
+    * totals — O(partitions) driver rows) broadcast back and added. Output
+    * column `alias`; all input columns retained. */
+  def prefixSumByRange(df: DataFrame, order: Seq[Column], value: Column,
+                       alias: String): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value)
+      .localCheckpoint()
+    val totals = parted.groupBy("_pid").agg(sum(col("_v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    parted
+      .join(broadcast(offDf), "_pid")
+      .withColumn(alias,
+        sum(col("_v")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) + col("_off"))
+      .drop("_pid", "_off", "_v")
+  }
+
   private def rankedByRange(df: DataFrame, order: Seq[Column],
                             alias: String): (DataFrame, Long) = {
     val spark = df.sparkSession

@@ -320,4 +320,52 @@ object TextAnalytics {
         col("df"), col("tfidf_r"))
       .orderBy("doc_id", "rank")
   }
+
+  /** Context-window chunking (LLM training-data prep): split each doc's
+    * token stream into `window`-token chunks advancing by `stride` tokens
+    * (overlap = window − stride). Chunk count is
+    * `max(1, ceil((n − window)/stride) + 1)` — the tail chunk may be short,
+    * and a doc at or under `window` tokens yields exactly one chunk (no
+    * redundant suffix fragments). Pure per-row row generation (P6-class):
+    * a narrow map with no shuffle at any corpus size. */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    df.select(id.as("doc_id"), tokensCol(text).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_k", expr(s"CAST(CASE WHEN _n <= $window THEN 1L " +
+        s"ELSE (_n - $window + ${stride - 1}) div $stride + 1 END AS INT)"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("_k") - 1),
+          i => slice(col("_toks"), i * stride + 1, lit(window))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Offset-based sequence packing: assign every document the training
+    * batch ("pack") its first token falls into when the corpus is
+    * concatenated in `doc_id` order at a fixed `budget`-token context —
+    * pack = floor(cumulative-tokens-before / budget), plus the in-pack
+    * start offset a packed-dataset writer needs. The global running sum
+    * uses [[Relational.prefixSumByRange]] (range shuffle + parallel
+    * per-partition sums + broadcast offsets), NOT a single-partition
+    * window — the decile lesson applied to cumulative sums. */
+  def packSequences(df: DataFrame, id: Column, text: Column,
+                    budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val rows = df.select(id.as("doc_id"),
+      coalesce(size(tokensCol(text)), lit(0)).cast("long").as("n_tokens"))
+    Relational.prefixSumByRange(rows, Seq(col("doc_id")), col("n_tokens"),
+        "_cum")
+      .withColumn("_start", col("_cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"_start div ${budget}L").as("pack"),
+        expr(s"_start - (_start div ${budget}L) * ${budget}L").as("pack_offset"))
+      .orderBy("doc_id")
+  }
 }

@@ -146,4 +146,38 @@ class EdgeCaseSpec extends SparkSpec {
       base, base.filter(lit(false)), Seq("k"), Seq("n")).collect()
     assert(merged.length == 1 && merged.head.getLong(1) == 1L)
   }
+
+  test("round-7 operators survive empty and degenerate inputs") {
+    import graft.ops.{Clustering, Relational}
+    val emptyDocs = docs()
+    // chunking: stride == window (no overlap) still covers every token
+    val ch = TextAnalytics.chunkTokens(docs(1 -> "a b c d e"),
+      col("doc_id"), col("text"), window = 2, stride = 2)
+      .collect().map(r => (r.getLong(1), r.getString(3)))
+    assert(ch.toSeq == Seq((0L, "a b"), (1L, "c d"), (2L, "e")))
+    // chunking and packing over an empty corpus: no rows, no failure
+    assert(TextAnalytics.chunkTokens(emptyDocs, col("doc_id"), col("text"),
+      window = 4, stride = 2).isEmpty)
+    assert(TextAnalytics.packSequences(emptyDocs, col("doc_id"), col("text"),
+      budget = 8L).isEmpty)
+    // packing at budget 1: every doc starts its own offset run
+    val pk = TextAnalytics.packSequences(
+      docs(1 -> "a b", 2 -> "c"), col("doc_id"), col("text"), budget = 1L)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(pk.toSeq == Seq((1, 0L, 0L), (2, 2L, 0L)))
+    // prefix sum over an empty frame: no rows, no driver failure
+    assert(Relational.prefixSumByRange(
+      emptyDocs.select(col("doc_id"), lit(1L).as("v")),
+      Seq(col("doc_id")), col("v"), "cum").isEmpty)
+    // k-means wants k rows: fail fast with the contract message
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeansExact(
+        spark.createDataFrame(Seq((1L, Seq(0.0)))).toDF("id", "v"),
+        col("id"), col("v"), k = 3, iters = 1)
+    }
+    assert(e.getMessage.contains("k-means needs"))
+    // simhash md5 twin: empty corpus yields no pairs, not a failure
+    assert(Dedup.simhashMd5DupPairs(emptyDocs, col("doc_id"), col("text"))
+      .isEmpty)
+  }
 }

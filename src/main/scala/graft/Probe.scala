@@ -70,16 +70,30 @@ object Probe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    /** Largest bucket and over-cap bucket count for the minhash banding. */
-    def minhashBucketStats(df: DataFrame, cap: Int): (Long, Long) = {
-      val sizes = df
-        .select(posexplode(Dedup.minhashBandBuckets(
-          Dedup.shingleHashes64(col("text"), 3), 64, 4)).as(Seq("band", "bucket")))
-        .groupBy("band", "bucket").count()
+    /** Largest bucket and over-cap bucket count of a (band, bucket, …)
+      * candidate frame — the skew-cap health check. */
+    def bucketStats(banded: DataFrame, cap: Int): (Long, Long) = {
+      val sizes = banded.groupBy("band", "bucket").count()
       val r = sizes.agg(max("count"), sum(when(col("count") > cap, 1L).otherwise(0L)))
         .collect().head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+
+    /** Largest bucket and over-cap bucket count for the minhash banding. */
+    def minhashBucketStats(df: DataFrame, cap: Int): (Long, Long) =
+      bucketStats(df.select(posexplode(Dedup.minhashBandBuckets(
+          Dedup.shingleHashes64(col("text"), 3), 64, 4)).as(Seq("band", "bucket"))),
+        cap)
+
+    /** Same health check for the PPJoin df-ordered prefix buckets — the
+      * distribution that could silently go quadratic on a boilerplate-
+      * heavy corpus, measured from the production code path. */
+    def jaccardPrefixBucketStats(df: DataFrame, cap: Int): (Long, Long) =
+      bucketStats(Dedup.jaccardPrefixBuckets(
+          df.select(col("doc_id").cast("long").as("doc_id"),
+            Dedup.shingleHashes64(col("text"), 3).as("sh")),
+          threshold = 0.7),
+        cap)
 
     /** m copies of the events table with shifted ids/users and a per-copy
       * time offset of one day — event density per unit time stays constant
@@ -144,7 +158,18 @@ object Probe {
       }
       val (tKm, cKm) = timed(graft.ops.Clustering.kmeansExact(
         e, col("vec_id"), col("embedding"), k = 5, iters = 4).count())
+      val (tJac, cJac) = timed(Dedup.jaccardPrefixPairs(
+        d, col("doc_id"), col("text")).count())
+      val (tBloom, cBloom) = timed {
+        // ~1% of users as the dimension — the selective-dim shape the
+        // bloom prefilter exists for
+        val dim = ev.select(col("user_id").as("uid")).distinct()
+          .filter(col("uid") % 97 === 0)
+        graft.ops.Relational.bloomPrefilterJoin(ev, dim, "user_id", "uid")
+          .count()
+      }
       val (maxB, overCap) = minhashBucketStats(d, 1000)
+      val (maxP, overCapP) = jaccardPrefixBucketStats(d, 1000)
       println(s"""{"scale":$m,"docs":$nDocs,"vecs":$nVecs,"events":$nEv,""" +
         s""""minhash_s":$tMin,"minhash_pairs":$cMin,""" +
         s""""simhash_s":$tSim,"simhash_pairs":$cSim,""" +
@@ -155,7 +180,10 @@ object Probe {
         s""""asof_s":$tAsof,"asof_rows":$cAsof,""" +
         s""""range_s":$tRange,"range_rows":$cRange,""" +
         s""""kmeans_s":$tKm,"kmeans_rows":$cKm,""" +
-        s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap}""")
+        s""""jaccard_s":$tJac,"jaccard_pairs":$cJac,""" +
+        s""""bloomjoin_s":$tBloom,"bloomjoin_rows":$cBloom,""" +
+        s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap,""" +
+        s""""max_prefix_bucket":$maxP,"prefix_over_cap":$overCapP}""")
       d.unpersist(); e.unpersist(); ev.unpersist()
     }
     docs.unpersist(); embs.unpersist(); events.unpersist()

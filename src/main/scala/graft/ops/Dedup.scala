@@ -190,16 +190,7 @@ object Dedup {
     val s = docs
       .select(id.cast("long").as("doc_id"), shingleHashes64(text, n).as("sh"))
       .localCheckpoint()
-    val tok = s.select(col("doc_id"), size(col("sh")).as("nsh"),
-      explode(col("sh")).as("g"))
-    val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val prefix = tok.join(dfreq, "g")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("nsh") - ceil(col("nsh") * lit(threshold)).cast("long") + 1)
-      .select(lit(0).as("band"), col("g").as("bucket"), col("doc_id"))
+    val prefix = jaccardPrefixBuckets(s, threshold)
     bucketPairs(prefix, col("doc_id"), maxBucket)
       .join(s.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(s.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -208,6 +199,26 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The prefix-token candidate buckets behind [[jaccardPrefixPairs]], as
+    * a (band, bucket, doc_id) frame compatible with [[bucketPairs]] —
+    * exposed so the scale probe can measure the ACTUAL bucket-size
+    * distribution of the production code path (the df-ordered prefix is
+    * exactly the thing that could go quadratic on a boilerplate corpus).
+    * `s` is (doc_id: long, sh: array<long>). */
+  private[graft] def jaccardPrefixBuckets(s: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val tok = s.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("g"))
+    val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    tok.join(dfreq, "g")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("nsh") - ceil(col("nsh") * lit(threshold)).cast("long") + 1)
+      .select(lit(0).as("band"), col("g").as("bucket"), col("doc_id"))
   }
 
   /** Incremental near-dedup: which INCOMING documents near-duplicate the

@@ -256,6 +256,24 @@ object SparkEntry {
       TextAnalytics.packSequences(Tables.documents(s, dir),
         col("doc_id"), col("text"), budget = 1024L)),
 
+    // ---- intra-doc repetition ratios (Gopher-class quality rule):
+    // fraction of 2-/3-gram occurrences that repeat within the doc ---------
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalytics.repetitionStats(Tables.documents(s, dir),
+        col("doc_id"), col("text"), ns = Seq(2, 3))),
+
+    // ---- cross-doc duplicated-3-gram fraction: share of each doc's gram
+    // occurrences appearing in >= 2 docs (boilerplate/contamination) ------
+    "dup_ngram_fraction" -> ((s, dir) =>
+      TextAnalytics.duplicatedNgramFraction(Tables.documents(s, dir),
+        col("doc_id"), col("text"), n = 3)),
+
+    // ---- BM25 ranked retrieval: top-20 docs for a 3-term query (ranked on
+    // the ROUNDED score so last-ulp ln() differences cannot reorder) ------
+    "bm25_top_docs" -> ((s, dir) =>
+      TextAnalytics.bm25TopK(Tables.documents(s, dir),
+        col("doc_id"), col("text"), Bm25Terms, k = 20)),
+
     // ---- P7/P9/P10/S3/S4 + J2 + A10: the reference blog pipeline --------
     // (a1p2b_ahuja.py end-to-end: wholetext files → malformed-XML parse →
     // industry vocabulary from filenames → mention counts per year-month)
@@ -638,6 +656,21 @@ object SparkEntry {
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
         .orderBy("decile")),
 
+    // ---- Z-order layout: interleaved equi-depth bucket key over
+    // (o_custkey, o_totalprice), split into 16 z-key range "files", per-
+    // file min/max footer stats — the multi-dimensional data-skipping
+    // readout (narrow ranges on BOTH dims is what z-order buys) -----------
+    "zorder_file_stats" -> ((s, dir) =>
+      Layout.rangeFileStats(
+        Layout.zorderKey(
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          Seq(col("o_custkey"), col("o_totalprice")), col("o_orderkey"),
+          bits = 8),
+        col("zkey"), col("o_orderkey"), files = 16,
+        stats = Seq("cust" -> col("o_custkey"),
+          "price" -> col("o_totalprice")))),
+
     // ---- full cube: counts over every subset of (event_type, dow) — the
     // OLAP cross-tab with ALL markers (rollup's 2^n sibling) --------------
     "cube_event_counts" -> ((s, dir) =>
@@ -995,6 +1028,10 @@ object SparkEntry {
   /** The `events.event_type` domain, pinned for the pivot query (explicit
     * pivot values keep the plan single-pass; see Relational.pivotCounts). */
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Query terms for the BM25 retrieval query — pinned so the Spark query
+    * and the DuckDB oracle filter the identical term set. */
+  private val Bm25Terms = Seq("spark", "vector", "window")
 
   /** Shared CTE chain: all-pairs shingle-Jaccard over the self-unioned
     * documents corpus (the brute-force truth behind `minhash_dup_pairs`,
@@ -1460,6 +1497,102 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, st // 1024 AS pack,
          |       st - (st // 1024) * 1024 AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // exact integer counts + one rounded division — bit-stable; the
+    // short-doc (< n tokens) whole-doc-gram fallback mirrored in the CASE
+    "doc_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |nz AS (SELECT * FROM t WHERE len(toks) > 0),
+         |g AS (SELECT doc_id, CAST(n AS BIGINT) AS n,
+         |        CASE WHEN len(toks) >= n THEN
+         |               list_transform(range(len(toks) - n + 1),
+         |                 i -> array_to_string(toks[i+1 : i+n], ' '))
+         |             ELSE [array_to_string(toks, ' ')] END AS grams
+         |      FROM nz CROSS JOIN (SELECT unnest([2, 3]) AS n))
+         |SELECT doc_id, n, CAST(len(grams) AS BIGINT) AS total_ngrams,
+         |       CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_ngrams,
+         |       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+         |             / len(grams), 6) AS rep_ratio_r
+         |FROM g ORDER BY doc_id, n""".stripMargin,
+
+    "dup_ngram_fraction" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |nz AS (SELECT * FROM t WHERE len(toks) > 0),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(toks) >= 3 THEN
+         |               list_transform(range(len(toks) - 2),
+         |                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+         |             ELSE [array_to_string(toks, ' ')] END AS grams
+         |      FROM nz),
+         |occ AS (SELECT doc_id, gram, count(*) AS cnt
+         |        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+         |        GROUP BY doc_id, gram),
+         |gd AS (SELECT gram, count(*) AS n_docs FROM occ GROUP BY gram)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_occ,
+         |       CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occ,
+         |       round(CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+         |             / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac_r
+         |FROM occ JOIN gd USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25: every float step mirrors TextAnalytics.bm25TopK's operation
+    // order exactly — idf and norm chains left-associative, (1.2 + 1.0)
+    // COMPUTED (the literal 2.2 is a different double), per-term scores
+    // added in sorted-term order via the pivot chain, rank on the ROUNDED
+    // score. n_docs/sumdl are corpus scalars; terms pinned in Bm25Terms.
+    "bm25_top_docs" -> {
+      val termList = Bm25Terms.sorted.map(t => s"'$t'").mkString(", ")
+      val pivotSum = Bm25Terms.sorted.map(t =>
+        s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+         |      FROM t WHERE len(toks) > 0),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
+         |tf AS (SELECT doc_id, any_value(dl) AS dl, term,
+         |              CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |       WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |           * tf * (1.2 + 1.0)
+         |           / (tf + 1.2 * (0.25 + 0.75 * dl
+         |                / (CAST(sumdl AS DOUBLE) / n_docs))) AS s,
+         |         term
+         |       FROM tf JOIN df USING (term) CROSS JOIN st),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |          round($pivotSum, 6) AS score_r
+         |        FROM sc GROUP BY doc_id),
+         |rk AS (SELECT doc_id, score_r, n_terms,
+         |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id)
+         |           AS BIGINT) AS rank
+         |       FROM agg)
+         |SELECT rank, doc_id, n_terms, score_r FROM rk
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
+
+    // z-order: ntile twice (equi-depth bucket per dimension), interleave
+    // the bucket bits arithmetically, split into 16 z-key ranges, footer
+    // stats per range — all integer-exact, min/max pass through raw
+    "zorder_file_stats" -> {
+      val interleave = (0 until 8).flatMap { j =>
+        Seq(s"((xb // ${1L << j}) % 2) * ${1L << (2 * j)}",
+          s"((yb // ${1L << j}) % 2) * ${1L << (2 * j + 1)}")
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+         |             ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS xb,
+         |             ntile(256) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS yb
+         |           FROM orders),
+         |z AS (SELECT *, $interleave AS zkey FROM t),
+         |f AS (SELECT *, CAST(ntile(16) OVER (ORDER BY zkey, o_orderkey)
+         |        AS BIGINT) AS file FROM z)
+         |SELECT file, count(*) AS n,
+         |       min(o_custkey) AS cust_min, max(o_custkey) AS cust_max,
+         |       min(o_totalprice) AS price_min, max(o_totalprice) AS price_max
+         |FROM f GROUP BY file ORDER BY file""".stripMargin
+    },
 
     // The oracle reconstructs the expected result straight from the
     // documents table: the blog fixture corpus is a deterministic function

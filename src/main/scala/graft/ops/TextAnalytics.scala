@@ -368,4 +368,146 @@ object TextAnalytics {
         expr(s"_start - (_start div ${budget}L) * ${budget}L").as("pack_offset"))
       .orderBy("doc_id")
   }
+
+  /** Token n-grams WITH multiplicity (order preserved) — the occurrence
+    * stream behind the repetition/duplication quality signals, as opposed
+    * to [[Dedup.shingles]]' distinct SET. Same short-doc contract: a doc
+    * with 0 < tokens < n yields one whole-doc gram. */
+  private def ngramsWithDups(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Intra-document repetition ratio: the fraction of each document's
+    * n-gram OCCURRENCES that are repeats of a gram already seen in the
+    * same document — the Gopher-class "repeated lines/paragraphs" quality
+    * rule at token granularity (templated or looping text scores high;
+    * prose scores near 0).
+    *
+    * One output row per (doc, n) for each requested n. Pure per-row array
+    * math — ZERO shuffle at any corpus size (the ratio needs only the
+    * doc's own gram list and its distinct count). Exact integer ratio
+    * evaluated in one double division and rounded → bit-stable. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column,
+                      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
+    val toks = tokensCol(text)
+    df.select(id.as("doc_id"), toks.as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"),
+        explode(array(ns.map { n =>
+          val g = ngramsWithDups(col("_toks"), n)
+          struct(lit(n.toLong).as("n"),
+            size(g).cast("long").as("total_ngrams"),
+            size(array_distinct(g)).cast("long").as("distinct_ngrams"))
+        }: _*)).as("r"))
+      .select(col("doc_id"), col("r.n"), col("r.total_ngrams"),
+        col("r.distinct_ngrams"),
+        round(lit(1.0) - col("r.distinct_ngrams").cast("double") /
+          col("r.total_ngrams").cast("double"), 6).as("rep_ratio_r"))
+      .orderBy("doc_id", "n")
+  }
+
+  /** Cross-document duplicated n-gram fraction: per document, the share of
+    * its n-gram occurrences whose gram also appears in at least one OTHER
+    * document — the corpus-level contamination/boilerplate signal (the
+    * FineWeb/Gopher "fraction of chars in duplicated n-grams" family).
+    * A document consisting mostly of corpus-wide boilerplate scores near
+    * 1 even when no single whole-document duplicate exists.
+    *
+    * Plan: one scan → per-doc gram occurrence counts (groupBy doc, gram —
+    * partial-aggregated, so a doc repeating one gram a million times
+    * ships one row) → gram→distinct-doc counts (second groupBy on gram) →
+    * join back and one per-doc sum. All shuffles are keyed by gram or
+    * doc — no pair space, no driver state; vocabulary-sized intermediates
+    * only (Heaps' law keeps those sublinear in corpus bytes). */
+  def duplicatedNgramFraction(df: DataFrame, id: Column, text: Column,
+                              n: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val occ = df
+      .select(id.as("doc_id"), tokensCol(text).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"),
+        explode(ngramsWithDups(col("_toks"), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val gramDocs = occ.groupBy("g").agg(count(lit(1)).as("n_docs"))
+    occ.join(gramDocs, "g")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("total_occ"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L)).as("dup_occ"))
+      .select(col("doc_id"), col("total_occ"), col("dup_occ"),
+        round(col("dup_occ").cast("double") / col("total_occ").cast("double"),
+          6).as("dup_frac_r"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 ranked retrieval: top-`k` documents for a bag of query terms —
+    * the lexical half of every retrieval/contamination-check stack (the
+    * scale path for "which training docs match this eval prompt").
+    *
+    * score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Robertson/Sparck Jones).
+    *
+    * Plan: tf for query terms only (the term filter prunes BEFORE the
+    * groupBy, so the shuffle carries query-vocabulary rows, not the
+    * corpus vocabulary); df from one more aggregate over those rows;
+    * doc lengths and N/avgdl from a single broadcast 1-row aggregate of
+    * the docStats scan. Cross-engine determinism follows the
+    * tfidf_top_terms pattern: fixed operation order, `round(score, 6)`,
+    * and ranking on the ROUNDED score with doc_id tie-breaks — last-ulp
+    * `ln` differences between engines cannot reorder the output. */
+  def bm25TopK(df: DataFrame, id: Column, text: Column,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    // the tokenizer lowercases, so query terms must match that domain;
+    // dedup so a repeated query term cannot double-count a score
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val docs = df.select(id.as("doc_id"), tokensCol(text).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    // N and total token count in ONE broadcast row; avgdl derived in a
+    // fixed order (sumdl/N) so both engines divide the same integers
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"),
+        first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("_norm",
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+          (col("sumdl").cast("double") / col("n_docs").cast("double"))))
+      .withColumn("_s",
+        col("_idf") * col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + col("_norm")))
+    // the doc score sums <= |terms| doubles — but float addition is not
+    // associative, and a plain sum() adds in partition order. Pivot each
+    // term's score out (terms are a pinned literal list) and add them in
+    // FIXED sorted-term order, so every engine computes the identical
+    // ((s1 + s2) + s3) chain
+    val termScore = terms.sorted.map(t =>
+      coalesce(max(when(col("term") === t, col("_s"))), lit(0.0)))
+    val scored = perTerm
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(termScore.reduce(_ + _), 6).as("score_r"))
+      .select(col("doc_id"), col("score_r"), col("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_r").desc, col("doc_id"))
+    // global top-k: the rank window's input is the per-doc SCORE table
+    // (|matching docs| rows, already aggregated), and k is a constant —
+    // Spark plans a per-partition TopK before the single-partition rank,
+    // so the full-corpus sort the decile fix removed never materializes
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("score_r"))
+  }
 }

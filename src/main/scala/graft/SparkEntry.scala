@@ -885,6 +885,32 @@ object SparkEntry {
         .select(col("item_id").as("vec_id"), col("cluster"), col("dist2"))
         .orderBy("vec_id")),
 
+    // ---- product quantization: per-subspace integer-exact codebooks —
+    // codes + quantization error per vector, replayed subspace-for-
+    // subspace by an unrolled DuckDB oracle (m=2 × k=4 × 2 Lloyd rounds) --
+    "pq_codes" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.fit(e, col("vec_id"), col("embedding"), dims = 64,
+        m = 2, k = 4, iters = 2)
+      Pq.encode(e, col("vec_id"), col("embedding"), cb)
+        .select(col("item_id").as("vec_id"),
+          element_at(col("codes"), 1).as("code_0"),
+          element_at(col("codes"), 2).as("code_1"),
+          col("recon_err"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- PQ asymmetric-distance search: top-10 codes per query by exact
+    // integer ADC distance — the compressed-corpus ANN scale path ---------
+    "pq_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.fit(e, col("vec_id"), col("embedding"), dims = 64,
+        m = 2, k = 4, iters = 2)
+      Pq.adcTopK(Pq.encode(e, col("vec_id"), col("embedding"), cb),
+        e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        cb, k = 10)
+    }),
+
     // ---- ANN scale path: LSH-bucketed approximate top-k -----------------
     // Verified exactly against a brute-force DuckDB oracle on a corpus with
     // PLANTED duplicate clusters: 10 positively-scaled copies per query.
@@ -1115,6 +1141,57 @@ object SparkEntry {
     sb.append(s"\nSELECT item_id AS vec_id, cluster, dist2 FROM a$iters ORDER BY vec_id")
     sb.toString
   }
+
+  /** One prefixed k-means CTE chain over input CTE `$in` (item_id, q) —
+    * the [[kmeansOracleSql]] iteration block parameterized so the PQ
+    * oracle can run one independent chain per subspace. Emits CTEs
+    * `${p}c0 … ${p}a$iters` (final assignment) with a trailing comma. */
+  private def kmeansChainSql(p: String, in: String, k: Int,
+                             iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""${p}c0 AS (SELECT row_number() OVER (ORDER BY item_id) - 1 AS cluster, q AS c
+         |       FROM (SELECT item_id, q FROM $in ORDER BY item_id LIMIT $k)),
+         |""".stripMargin)
+    for (i <- 0 to iters) {
+      sb.append(
+        s"""${p}d$i AS (SELECT t.item_id, t.q, c.cluster,
+           |  CAST(list_sum(list_transform(range(len(t.q)),
+           |    j -> (t.q[j+1] - c.c[j+1]) * (t.q[j+1] - c.c[j+1]))) AS BIGINT) AS dist2
+           |  FROM $in t, ${p}c$i c),
+           |${p}a$i AS (SELECT item_id, q, cluster, dist2 FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY dist2, cluster) AS rn FROM ${p}d$i)
+           |  WHERE rn = 1),
+           |""".stripMargin)
+      if (i < iters) sb.append(
+        s"""${p}e$i AS (SELECT cluster, q, unnest(range(len(q))) AS dim FROM ${p}a$i),
+           |${p}u$i AS (SELECT cluster, dim, sum(q[dim+1]) AS sv, count(*) AS n
+           |        FROM ${p}e$i GROUP BY cluster, dim),
+           |${p}c${i + 1} AS (SELECT pc.cluster,
+           |  CASE WHEN count(u.dim) = 0 THEN any_value(pc.c)
+           |       ELSE list(CAST(u.sv // u.n AS BIGINT) ORDER BY u.dim) END AS c
+           |  FROM ${p}c$i pc LEFT JOIN ${p}u$i u USING (cluster) GROUP BY pc.cluster),
+           |""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Shared PQ CTE prelude: full-vector quantization, per-subspace slices
+    * (m=2 × 32 dims), and one independent k-means chain per subspace
+    * (k=4, 2 Lloyd rounds) — mirrors `Pq.fit(dims=64, m=2, k=4, iters=2)`
+    * subspace for subspace. Ends with the two final-assignment CTEs
+    * `s0a2` / `s1a2` and centroid tables `s0c2` / `s1c2` open. */
+  private def pqCtesSql: String =
+    s"""q AS (
+       |  SELECT vec_id AS item_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor((CAST(x AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qs0 AS (SELECT item_id, q[1:32] AS q FROM q),
+       |qs1 AS (SELECT item_id, q[33:64] AS q FROM q),
+       |""".stripMargin +
+      kmeansChainSql("s0", "qs0", 4, 2) +
+      kmeansChainSql("s1", "qs1", 4, 2)
 
   /** DuckDB oracle SQL — identical column names/order semantics. */
   def oracleSql: Map[String, String] = Map(
@@ -1931,6 +2008,39 @@ object SparkEntry {
          |GROUP BY id ORDER BY id""".stripMargin,
 
     "kmeans_clusters" -> kmeansOracleSql(5, 4),
+
+    // PQ codes: per-subspace nearest centroid after the unrolled Lloyd
+    // chains; recon_err = sum of the per-subspace assignment distances
+    "pq_codes" ->
+      (s"WITH $pqCtesSql" +
+        """f0 AS (SELECT item_id, cluster AS code_0, dist2 AS d0 FROM s0a2),
+          |f1 AS (SELECT item_id, cluster AS code_1, dist2 AS d1 FROM s1a2)
+          |SELECT f0.item_id AS vec_id,
+          |       CAST(code_0 AS BIGINT) AS code_0, CAST(code_1 AS BIGINT) AS code_1,
+          |       CAST(d0 + d1 AS BIGINT) AS recon_err
+          |FROM f0 JOIN f1 USING (item_id) ORDER BY vec_id""".stripMargin),
+
+    // PQ ADC search: each query's full-precision subvectors scored against
+    // every item's CODED centroids (asymmetric distance), exact integer
+    // sums in fixed subspace order, rank ties to the lowest item_id
+    "pq_ann_topk" ->
+      (s"WITH $pqCtesSql" +
+        """cod0 AS (SELECT a.item_id, c.c FROM s0a2 a JOIN s0c2 c USING (cluster)),
+          |cod1 AS (SELECT a.item_id, c.c FROM s1a2 a JOIN s1c2 c USING (cluster)),
+          |qq AS (SELECT item_id, q FROM q WHERE item_id < 5),
+          |ad AS (SELECT qq.item_id AS query_id, i0.item_id,
+          |         CAST(list_sum(list_transform(range(32),
+          |           j -> (qq.q[j+1] - i0.c[j+1]) * (qq.q[j+1] - i0.c[j+1]))) AS BIGINT)
+          |       + CAST(list_sum(list_transform(range(32),
+          |           j -> (qq.q[32+j+1] - i1.c[j+1]) * (qq.q[32+j+1] - i1.c[j+1]))) AS BIGINT)
+          |           AS adist2
+          |       FROM qq CROSS JOIN (cod0 i0 JOIN cod1 i1 ON i0.item_id = i1.item_id)),
+          |rk AS (SELECT query_id, item_id, adist2,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY adist2, item_id) AS BIGINT) AS rank
+          |       FROM ad)
+          |SELECT query_id, rank, item_id, adist2 FROM rk
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     // Digest-for-digest replay of the md5-bit SimHash pipeline: token bit
     // matrix from md5 hex (bit 0 = LSB of the leading-16-hex-char value,

@@ -51,41 +51,38 @@ object Clustering {
 
   /** Exact squared L2 distance between a quantized array column and a
     * centroid literal, folded in array order (BIGINT throughout). */
-  private def dist2(q: Column, c: Seq[Long]): Column =
+  private[ops] def dist2(q: Column, c: Seq[Long]): Column =
     aggregate(zip_with(q, typedLit(c), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
-  /** Lloyd's k-means, integer-exact (see object doc). Deterministic init:
-    * the k lowest-id vectors. Returns one row per input row:
-    * (item_id, cluster, dist2) for the assignment AFTER `iters` centroid
-    * updates; `cluster` is the 0-based centroid index, `dist2` the exact
-    * squared micro-unit distance to it. Empty clusters keep their previous
-    * centroid (they can re-acquire members later — standard Lloyd's). */
-  def kmeansExact(df: DataFrame, id: Column, vec: Column,
-                  k: Int, iters: Int,
-                  shift: Double = 8.0, scale: Double = 1e6): DataFrame = {
+  /** Nearest-centroid assignment of a quantized (item_id, q) frame against
+    * a centroid literal matrix: (item_id, q, cluster, dist2), ties to the
+    * lowest index. A pure map against k·d broadcast literals — no shuffle. */
+  private[ops] def assignTo(q: DataFrame,
+                            centroids: IndexedSeq[Seq[Long]]): DataFrame = {
+    val dists = array(centroids.map(c => dist2(col("q"), c)): _*)
+    q.select(col("item_id"), col("q"), dists.as("dists"))
+      .select(col("item_id"), col("q"),
+        (array_position(col("dists"), array_min(col("dists"))) - 1L)
+          .as("cluster"),
+        array_min(col("dists")).as("dist2"))
+  }
+
+  /** Lloyd iterations over an already-quantized persisted (item_id, q)
+    * frame; returns the centroid matrix AFTER `iters` updates (init = the
+    * k lowest-id vectors). Empty clusters keep their previous centroid. */
+  private[ops] def lloyd(q: DataFrame, k: Int,
+                         iters: Int): IndexedSeq[Seq[Long]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val q = df.select(id.as("item_id"), quantize(vec, shift, scale).as("q"))
-      .persist()
     val initRows = q.orderBy("item_id").limit(k).collect()
     require(initRows.length == k,
       s"k-means needs >= $k rows, corpus has ${initRows.length}")
     var centroids: IndexedSeq[Seq[Long]] =
       initRows.map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
-
-    def assigned: DataFrame = {
-      val dists = array(centroids.map(c => dist2(col("q"), c)): _*)
-      q.select(col("item_id"), col("q"), dists.as("dists"))
-        .select(col("item_id"), col("q"),
-          (array_position(col("dists"), array_min(col("dists"))) - 1L)
-            .as("cluster"),
-          array_min(col("dists")).as("dist2"))
-    }
-
     var it = 0
     while (it < iters) {
-      val sums = assigned
+      val sums = assignTo(q, centroids)
         .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -98,8 +95,23 @@ object Clustering {
       centroids = next.map(_.toIndexedSeq).toIndexedSeq
       it += 1
     }
+    centroids
+  }
+
+  /** Lloyd's k-means, integer-exact (see object doc). Deterministic init:
+    * the k lowest-id vectors. Returns one row per input row:
+    * (item_id, cluster, dist2) for the assignment AFTER `iters` centroid
+    * updates; `cluster` is the 0-based centroid index, `dist2` the exact
+    * squared micro-unit distance to it. Empty clusters keep their previous
+    * centroid (they can re-acquire members later — standard Lloyd's). */
+  def kmeansExact(df: DataFrame, id: Column, vec: Column,
+                  k: Int, iters: Int,
+                  shift: Double = 8.0, scale: Double = 1e6): DataFrame = {
+    val q = df.select(id.as("item_id"), quantize(vec, shift, scale).as("q"))
+      .persist()
+    val centroids = lloyd(q, k, iters)
     val out = Checkpoints.cut(
-      assigned.select(col("item_id"), col("cluster"), col("dist2")))
+      assignTo(q, centroids).select(col("item_id"), col("cluster"), col("dist2")))
     q.unpersist()
     out
   }

@@ -500,14 +500,14 @@ object TextAnalytics {
       .agg(count(lit(1)).as("n_terms"),
         round(termScore.reduce(_ + _), 6).as("score_r"))
       .select(col("doc_id"), col("score_r"), col("n_terms"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_r").desc, col("doc_id"))
-    // global top-k: the rank window's input is the per-doc SCORE table
-    // (|matching docs| rows, already aggregated), and k is a constant —
-    // Spark plans a per-partition TopK before the single-partition rank,
-    // so the full-corpus sort the decile fix removed never materializes
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    // global rank WITHOUT a no-partition window (the decile scale-killer
+    // shape): range shuffle + parallel per-partition rank + offset merge
+    // over the per-doc score table — scale-safe even when every doc
+    // matches a query term
+    Relational.globalRowNumber(scored,
+        Seq(col("score_r").desc, col("doc_id")), alias = "rank")
       .filter(col("rank") <= k)
       .select(col("rank"), col("doc_id"), col("n_terms"), col("score_r"))
+      .orderBy("rank")
   }
 }

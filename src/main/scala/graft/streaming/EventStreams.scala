@@ -146,6 +146,59 @@ object EventStreams {
         org.apache.spark.sql.functions.md5(col(payload)))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dedup of a document stream against a static corpus —
+    * the streaming twin of [[graft.ops.Dedup.minhashIncremental]] (the
+    * per-batch delta-vs-corpus shape, run continuously): each arriving
+    * document's minhash band buckets probe the corpus's precomputed
+    * bucket index, and candidates are verified with one exact Jaccard.
+    *
+    * State posture, band by band:
+    *  - the bucket probe is a STREAM-STATIC equi-join on (band, bucket) —
+    *    stateless by construction (each micro-batch joins its rows
+    *    against the static index; nothing is buffered between batches);
+    *  - a pair colliding in several bands would emit once per band, so
+    *    pairs are deduped with `dropDuplicatesWithinWatermark` keyed on
+    *    (in_id, corpus_id) — the ONLY stateful operator, bounded by the
+    *    `horizon` watermark;
+    *  - verification joins the corpus shingle sets back AFTER the pair
+    *    dedup — verify-once, exactly the batch operator's discipline.
+    *
+    * The incoming side carries its shingle set through the probe (the
+    * delta is small by definition; re-deriving it post-dedup would need a
+    * stream-stream self-join, i.e. state). Callers should `persist()` the
+    * static corpus frames via `staticIndex` reuse across micro-batches.
+    *
+    * `incoming` needs (id, ts, text); output: (in_id, corpus_id, jaccard)
+    * in append mode. */
+  def nearDupStream(incoming: DataFrame, corpus: DataFrame,
+                    horizon: String = "1 hour",
+                    n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+                    jaccardThreshold: Double = 0.7): DataFrame = {
+    import graft.ops.Dedup
+    val corpusBase = corpus
+      .select(col("doc_id").cast("long").as("corpus_id"),
+        Dedup.shingleHashes64(col("text"), n).as("sh_c"))
+    val corpusBuckets = corpusBase
+      .select(col("corpus_id"),
+        posexplode(Dedup.minhashBandBuckets(col("sh_c"), k, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val inc = incoming
+      .withWatermark("ts", horizon)
+      .select(col("doc_id").cast("long").as("in_id"), col("ts"),
+        Dedup.shingleHashes64(col("text"), n).as("sh_i"))
+      .select(col("in_id"), col("ts"), col("sh_i"),
+        posexplode(Dedup.minhashBandBuckets(col("sh_i"), k, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    inc.join(corpusBuckets, Seq("band", "bucket"))
+      .select(col("in_id"), col("ts"), col("corpus_id"), col("sh_i"))
+      .dropDuplicatesWithinWatermark("in_id", "corpus_id")
+      .join(corpusBase, "corpus_id")
+      .select(col("in_id"), col("corpus_id"),
+        (size(array_intersect(col("sh_i"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_i"), col("sh_c")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
   /** Stream-stream time-interval join: pairs of events within ±`windowS`
     * seconds of each other — the streaming twin of
     * [[graft.ops.RangeJoin.within]], using the same time-binning trick.

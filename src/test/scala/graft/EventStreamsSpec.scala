@@ -211,4 +211,42 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stream == batch && stream.nonEmpty)
   }
+
+  test("nearDupStream agrees with the batch minhashIncremental twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = 86400L * 19200
+    // corpus: three docs; incoming: a near-dup of doc 1 (one word swapped
+    // in a long template), an exact copy of doc 2, and an unrelated doc
+    val tpl = (0 until 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      1L -> tpl,
+      2L -> "completely different content about streams and state",
+      3L -> "unrelated corpus document three").toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, ts(base), tpl.replace("w7", "x7")),
+      (102L, ts(base + 10), "completely different content about streams and state"),
+      (103L, ts(base + 20), "nothing in common with anything at all"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.nearDupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    mem.addData(incoming: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP))).toSet
+    val batch = graft.ops.Dedup.minhashIncremental(
+        corpus, incoming.map(t => (t._1, t._3)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(1), r.getLong(0),
+        BigDecimal(r.getDouble(2)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(stream == batch, s"stream=$stream batch=$batch")
+    // the near-dup and the exact copy are found; the unrelated doc is not
+    assert(stream.map(p => (p._1, p._2)) == Set((101L, 1L), (102L, 2L)))
+  }
 }

@@ -346,6 +346,35 @@ object SparkEntry {
         col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- decontamination: train docs containing an eval example (eval =
+    // 120-char prefixes of every 20th doc, offset ids) — broadcast eval
+    // shingles, one corpus scan, containment ≥ 0.5 flags the leak --------
+    "decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          substring(col("text"), 1, 120).as("text"))
+      Dedup.decontaminate(docs, evalSet, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+    }),
+
+    // ---- PII redaction audit: deterministic synthetic PII (email, phone,
+    // IP, URL derived from doc_id) appended to every doc, then redacted
+    // with typed placeholders + per-category counts; the oracle replays
+    // the identical injection and regex chain in RE2 ----------------------
+    "pii_redaction" -> ((s, dir) => {
+      val injected = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or +1-555-0"),
+          (col("doc_id") % 900 + 100).cast("string"),
+          lit(" node 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 see https://ex.org/d/"), col("doc_id").cast("string"))
+          .as("text"))
+      TextAnalytics.piiScan(injected, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- streaming twin (batch mode): watermarked tumbling-window counts
     // (the same operator runs under readStream; see EventStreamsSpec) -----
     "windowed_event_counts" -> ((s, dir) =>
@@ -730,6 +759,41 @@ object SparkEntry {
           min(col("ts_s")).as("first_s"), max(col("ts_s")).as("last_s"),
           sum(round(col("value") * lit(1e6)).cast("long")).as("value_micro"))
         .orderBy("event_type")
+    }),
+
+    // ---- JSONL source: explicit-schema read of the events JSONL fixture
+    // (JSON-in-JSON `props` escaping included); oracle recomputes from
+    // parquet, hash-checking write→escape→parse→from_json end to end ------
+    "jsonl_event_stats" -> ((s, dir) => {
+      val path = graft.sources.JsonTables.ensureEventsJsonl(s, dir)
+      graft.sources.JsonTables.eventsFromJsonl(s, path)
+        .select(col("event_type"), col("user_id"), col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * lit(1e6)).cast("long")).as("value_micro"),
+          sum(col("k")).as("sum_k"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // ---- snapshot diff: added/removed/changed keys between two versions
+    // of orders (every 13th key absent from base, every 11th from current,
+    // every 7th repriced) — one full-outer sort-merge join ----------------
+    "snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val base = o.filter(col("o_orderkey") % 13 =!= 0)
+      val cur = o.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      Relational.snapshotDiff(base, cur, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change"),
+          col("old.o_totalprice").as("old_price"),
+          col("new.o_totalprice").as("new_price"))
+        .orderBy("o_orderkey")
     }),
 
     // ---- exact all-pairs Jaccard via PPJoin-style prefix filtering: the
@@ -1400,6 +1464,34 @@ object SparkEntry {
         |  CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "jsonl_event_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 13 <> 0),
+        |cur AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |               ELSE o_totalprice END AS o_totalprice,
+        |          o_orderdate, o_orderpriority
+        |        FROM orders WHERE o_orderkey % 11 <> 0),
+        |j AS (SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |        CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |             WHEN c.o_orderkey IS NULL THEN 'removed'
+        |             WHEN b.o_custkey IS DISTINCT FROM c.o_custkey
+        |               OR b.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |               OR b.o_totalprice IS DISTINCT FROM c.o_totalprice
+        |               OR b.o_orderdate IS DISTINCT FROM c.o_orderdate
+        |               OR b.o_orderpriority IS DISTINCT FROM c.o_orderpriority
+        |             THEN 'changed' END AS change,
+        |        b.o_totalprice AS old_price, c.o_totalprice AS new_price
+        |      FROM base b FULL JOIN cur c ON b.o_orderkey = c.o_orderkey)
+        |SELECT o_orderkey, change, old_price, new_price FROM j
+        |WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
 
     "event_value_deltas" ->
       """WITH v AS (SELECT user_id, event_id, ts, CAST(round(value * 1e6) AS BIGINT) AS vs FROM events),
@@ -2113,6 +2205,44 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g'))) AS canon_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "decontamination" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+         |      FROM t WHERE len(toks) >= 3),
+         |et AS (SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 120) AS text
+         |       FROM documents WHERE doc_id % 20 = 0),
+         |et2 AS (SELECT doc_id, $toksSql AS toks FROM et),
+         |e AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+         |      FROM et2 WHERE len(toks) >= 3),
+         |p AS (SELECT c.doc_id AS doc_id,
+         |        CAST(len(list_intersect(q.sh, c.sh)) AS DOUBLE) / len(q.sh) AS c
+         |      FROM e q, s c WHERE q.doc_id <> c.doc_id),
+         |f AS (SELECT doc_id, max(c) AS maxc,
+         |        CAST(count(*) FILTER (WHERE c >= 0.5) AS BIGINT) AS n_eval_hits
+         |      FROM p GROUP BY doc_id)
+         |SELECT doc_id, round(maxc, 6) AS max_containment_r, n_eval_hits
+         |FROM f WHERE n_eval_hits > 0 ORDER BY doc_id""".stripMargin,
+
+    "pii_redaction" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com or +1-555-0'
+        |       || (doc_id % 900 + 100) || ' node 10.0.' || (doc_id % 256)
+        |       || '.7 see https://ex.org/d/' || doc_id AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '[+(]?\d[\d()\-]{6,}\d', '<PHONE>', 'g') AS clean_text,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(text, '[+(]?\d[\d()\-]{6,}\d')) AS n_phone
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "windowed_event_counts" ->
       """SELECT event_type AS key,

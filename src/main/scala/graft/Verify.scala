@@ -21,6 +21,7 @@ object Verify {
     graft.sources.BlogCorpus.ensureFixtures(spark, sfDir)
     graft.sources.ZipImages.ensureFixtures()
     graft.sources.CsvTables.ensureEventsCsv(spark, sfDir)
+    graft.sources.JsonTables.ensureEventsJsonl(spark, sfDir)
     // local-iteration filter (comma-separated names); driver sets nothing,
     // so the full registry runs in the gate
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

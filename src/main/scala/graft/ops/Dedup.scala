@@ -327,6 +327,39 @@ object Dedup {
       .orderBy("query_id", "doc_id")
   }
 
+  /** Decontamination: flag TRAINING documents that contain an EVAL-set
+    * example — the benchmark-leakage gate every training corpus must pass
+    * before a model trains on it. A train doc is contaminated when the
+    * containment of some eval example's shingle set in the doc's shingle
+    * set, |E ∩ D| / |E|, reaches `threshold` (containment, not Jaccard:
+    * a short eval question quoted inside a long web page is exactly the
+    * leak to catch, and its symmetric Jaccard is tiny).
+    *
+    * Output: one row per flagged train doc — (doc_id, max containment
+    * over the eval set, number of eval examples at/over threshold).
+    *
+    * Scale shape ([[shingleOverlap]]): eval sets are benchmark-sized
+    * (thousands), the corpus is the 100 TB side — the eval shingles
+    * broadcast, the corpus streams through one scan + one aggregation;
+    * intersection sizes arrive as join-match counts, so zero-overlap
+    * (eval, doc) pairs never materialize. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    id: Column, text: Column,
+                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    shingleOverlap(corpus, evalSet, id, text, n)
+      .select(col("doc_id"),
+        (col("inter").cast("double") / col("n_q")).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("maxc"),
+        sum(when(col("c") >= threshold, 1L).otherwise(0L)).as("n_eval_hits"))
+      .filter(col("n_eval_hits") > 0)
+      .select(col("doc_id"), round(col("maxc"), 6).as("max_containment_r"),
+        col("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash as a single long — native codegen kernel
     * ([[graft.functions.SimHash64]]): per token, xxhash64 contributes ±1 to
     * each bit position; final bit = sign of the sum. */

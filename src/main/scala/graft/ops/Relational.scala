@@ -307,6 +307,50 @@ object Relational {
         states.tail.map(s => sum(col(s)).as(s)): _*)
   }
 
+  /** Snapshot diff — row-level change detection between two versions of a
+    * keyed table: one row per key that was `added`, `removed`, or
+    * `changed`, with the compared columns' old/new values carried as
+    * structs for downstream audit.
+    *
+    * This is the dataset-versioning primitive of a training-data
+    * pipeline: "what changed between crawl N and crawl N+1" drives
+    * incremental re-processing (only `added`/`changed` keys re-enter the
+    * dedup/quality/embedding stages) and regression forensics.
+    *
+    * Plan shape: ONE full-outer sort-merge join on the key — each side
+    * shuffles once on the key and nothing else moves. At warehouse scale,
+    * write both snapshots bucketed by the key ([[writeBucketed]]) and the
+    * exchange disappears entirely; for append-only tables the `removed`
+    * branch is statically empty and Catalyst prunes the anti-direction.
+    * Unchanged rows (the overwhelming majority between adjacent
+    * snapshots) are filtered BEFORE the final projection, so output is
+    * proportional to the delta, not the table.
+    *
+    * Change detection is null-safe struct equality (`<=>`) over the
+    * non-key columns — NULL-to-value transitions count as changes, and
+    * struct comparison short-circuits per row with no hashing, so it is
+    * exact for every data type including doubles. */
+  def snapshotDiff(base: DataFrame, current: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(base.columns.sameElements(current.columns),
+      s"snapshot schemas differ: ${base.columns.mkString(",")} vs " +
+        current.columns.mkString(","))
+    val valCols = base.columns.filterNot(keyCols.contains).toSeq
+    require(valCols.nonEmpty, "snapshotDiff needs at least one non-key column")
+    def packed(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as(as): _*)
+    packed(base, "old")
+      .join(packed(current, "new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("old").isNull, lit("added"))
+          .when(col("new").isNull, lit("removed"))
+          .when(!(col("old") <=> col("new")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("change"), col("old"), col("new")): _*)
+      .orderBy(keyCols.map(col): _*)
+  }
+
   /** First-order Markov transition matrix over per-key ordered state
     * sequences — the sequence-modeling prep operator (user journey
     * analysis, synthetic-session generation, next-event baselines).

@@ -218,6 +218,47 @@ object TextAnalytics {
   def canonicalKey(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), md5(canonicalize(text)).as("canon_key"))
 
+  /** PII redaction patterns — the regex-subset shared by Java regex and
+    * RE2, so an independent SQL engine can replay the redaction verbatim.
+    * The phone class deliberately excludes '.' and ' ': dots keep IPv4
+    * addresses out of the phone matcher, spaces keep runs of small
+    * numbers in prose ("10 20 30 40") from being swallowed as one
+    * "phone number". */
+  val UrlRe   = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "[+(]?\\d[\\d()\\-]{6,}\\d"
+
+  /** Redact PII spans with typed placeholders. Order matters and is part
+    * of the contract: URLs first (an email-shaped userinfo inside a URL
+    * must disappear with the URL, not leave half a placeholder), then
+    * emails, then IPv4 (before phones — both are digit runs, but dots are
+    * only in the IP class), then phones. Per-row regex chain — one scan,
+    * codegen'd, no shuffle; at 100 TB this is exactly as parallel as the
+    * input split count. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Redaction audit: the cleaned text plus per-category match counts
+    * (counted on the RAW text, so the audit shows what was found even
+    * when categories overlap and a later pattern sees already-redacted
+    * spans). The counts make drop-rate monitoring a one-aggregate
+    * downstream query instead of a second regex pass. */
+  def piiScan(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      redactPii(text).as("clean_text"),
+      regexp_count(text, lit(UrlRe)).cast("long").as("n_url"),
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ip"),
+      regexp_count(text, lit(PhoneRe)).cast("long").as("n_phone"))
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * order-insensitive content identity (bag-of-words dedup key). */
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =

@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -37,49 +36,19 @@ object CsvTables {
   /** Write the events projection as ONE headered CSV file (idempotent by
     * content marker; a pure function of (sfDir, version)). Returns the
     * csv file path. `props` is intentionally excluded: embedded JSON
-    * would exercise quoting dialects, which is a separate concern from
-    * the typed round trip this source covers. */
-  def ensureEventsCsv(spark: SparkSession, sfDir: String): String = synchronized {
-    val outDir = Paths.get("/tmp/graft_fixtures/csv_events")
-    val csvFile = outDir.resolve("events.csv")
-    val markerFile = outDir.resolve(".marker")
-    val marker = s"$FixtureVersion|$sfDir"
-    if (Files.exists(markerFile)
-        && new String(Files.readAllBytes(markerFile), StandardCharsets.UTF_8) == marker)
-      return csvFile.toString
-    val stage = outDir.resolve("_stage")
-    Tables.events(spark, sfDir)
-      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
-        col("user_id"), col("event_type"), col("value"))
-      .orderBy("event_id")
-      .coalesce(1)
-      .write.mode("overwrite").option("header", "true")
-      .csv(stage.toString)
-    // close the directory stream (it holds an fd) and remove the staging
-    // dir with its _SUCCESS/.crc leftovers once the part file is moved out
-    val listing = Files.list(stage)
-    val moved =
-      try {
-        val part = listing.iterator()
-        var done = false
-        while (part.hasNext && !done) {
-          val p = part.next()
-          if (p.getFileName.toString.startsWith("part-")) {
-            Files.createDirectories(outDir)
-            Files.move(p, csvFile,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            done = true
-          }
-        }
-        done
-      } finally listing.close()
-    require(moved, s"no part file produced under $stage")
-    val leftovers = Files.list(stage)
-    try leftovers.iterator().forEachRemaining(Files.deleteIfExists(_))
-    finally leftovers.close()
-    Files.deleteIfExists(stage)
-    Files.write(markerFile, marker.getBytes(StandardCharsets.UTF_8))
-    csvFile.toString
+    * would exercise quoting dialects, which [[JsonTables]] covers — this
+    * source checks the typed round trip. */
+  def ensureEventsCsv(spark: SparkSession, sfDir: String): String = {
+    val dest = Paths.get("/tmp/graft_fixtures/csv_events/events.csv")
+    SingleFileFixture.ensure(dest, s"$FixtureVersion|$sfDir") { stage =>
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true")
+        .csv(stage.toString)
+    }
   }
 
   /** Read the events CSV with the explicit schema (no inference pass). */

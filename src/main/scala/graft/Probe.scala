@@ -30,6 +30,13 @@ object Probe {
       Runtime.getRuntime.availableProcessors.toString)
     val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
+    // comma-separated family filter (minhash,simhash,embdup,ann,cc,
+    // pagerank,asof,range,kmeans,jaccard,bloomjoin,decon,diff,buckets) —
+    // unset runs everything; a full ×128 sweep exceeds a single dev
+    // timebox, so focused re-probes select just the families under study
+    val families = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(f: String): Boolean = families.forall(_.contains(f))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -121,17 +128,26 @@ object Probe {
       val nDocs = d.count()
       val nVecs = e.count()
       val nEv = ev.count()
-      val (tMin, cMin) = timed(Dedup.minhashDupPairs(d, col("doc_id"), col("text")).count())
-      val (tSim, cSim) = timed(Dedup.simhashDupPairs(d, col("doc_id"), col("text")).count())
-      val (tEmb, cEmb) = timed(Dedup.embeddingNearDupLsh(
+      val fields = scala.collection.mutable.ListBuffer[String]()
+      def run(fam: String, sKey: String, nKey: String)(body: => Long): Unit =
+        if (want(fam)) {
+          val (t, n) = timed(body)
+          fields += s""""$sKey":$t"""
+          fields += s""""$nKey":$n"""
+        }
+      run("minhash", "minhash_s", "minhash_pairs")(
+        Dedup.minhashDupPairs(d, col("doc_id"), col("text")).count())
+      run("simhash", "simhash_s", "simhash_pairs")(
+        Dedup.simhashDupPairs(d, col("doc_id"), col("text")).count())
+      run("embdup", "embdup_s", "embdup_pairs")(Dedup.embeddingNearDupLsh(
         e, col("vec_id"), col("embedding"), planes = 16, bands = 2,
         cosineThreshold = 0.99).count())
-      val (tAnn, cAnn) = timed(VectorOps.annLshTopK(
+      run("ann", "ann_s", "ann_rows")(VectorOps.annLshTopK(
         e, e.filter(col("vec_id") < 5), 10).count())
-      val (tCc, cCc) = timed(graft.ops.Graph.dedupClusters(
+      run("cc", "cc_s", "cc_nodes")(graft.ops.Graph.dedupClusters(
         Dedup.minhashDupPairs(d, col("doc_id"), col("text")),
         col("id_a"), col("id_b")).count())
-      val (tPr, cPr) = timed {
+      run("pagerank", "pagerank_s", "pagerank_nodes") {
         // pair list checkpointed before the two-branch symmetrization
         // (same as the doc_pagerank query) — this timing covers one
         // minhash run plus the graph iterations
@@ -142,7 +158,7 @@ object Probe {
         graft.ops.Graph.pageRank(sym, col("src"), col("dst"),
           iterations = 5).count()
       }
-      val (tAsof, cAsof) = timed {
+      run("asof", "asof_s", "asof_rows") {
         val p = ev.filter(col("event_type") === "purchase")
         val c = ev.filter(col("event_type") === "click")
         graft.ops.AsOf.backward(p, c,
@@ -151,16 +167,16 @@ object Probe {
           leftCols = Seq("p_event_id" -> col("event_id")),
           rightCols = Seq("c_event_id" -> col("event_id"))).count()
       }
-      val (tRange, cRange) = timed {
+      run("range", "range_s", "range_rows") {
         val errs = ev.filter(col("event_type") === "error")
         graft.ops.RangeJoin.countWithin(errs, ev, col("event_id"),
           col("ts_s"), col("event_id"), col("ts_s"), 300L).count()
       }
-      val (tKm, cKm) = timed(graft.ops.Clustering.kmeansExact(
+      run("kmeans", "kmeans_s", "kmeans_rows")(graft.ops.Clustering.kmeansExact(
         e, col("vec_id"), col("embedding"), k = 5, iters = 4).count())
-      val (tJac, cJac) = timed(Dedup.jaccardPrefixPairs(
+      run("jaccard", "jaccard_s", "jaccard_pairs")(Dedup.jaccardPrefixPairs(
         d, col("doc_id"), col("text")).count())
-      val (tBloom, cBloom) = timed {
+      run("bloomjoin", "bloomjoin_s", "bloomjoin_rows") {
         // ~1% of users as the dimension — the selective-dim shape the
         // bloom prefilter exists for
         val dim = ev.select(col("user_id").as("uid")).distinct()
@@ -168,22 +184,35 @@ object Probe {
         graft.ops.Relational.bloomPrefilterJoin(ev, dim, "user_id", "uid")
           .count()
       }
-      val (maxB, overCap) = minhashBucketStats(d, 1000)
-      val (maxP, overCapP) = jaccardPrefixBucketStats(d, 1000)
+      run("decon", "decon_s", "decon_rows") {
+        // eval set FIXED at the base-corpus size (the benchmark doesn't
+        // grow with the crawl) — wall time must track the corpus side
+        // only. Drawn from the ×m corpus's copy-0 rows (ids < 10⁷), whose
+        // text carries the copy prefix: eval shingles must actually occur
+        // in the corpus for the flag path to exercise end to end.
+        val evalSet = d.filter(col("doc_id") % 20 === 0
+            && col("doc_id") < 10000000L)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            substring(col("text"), 1, 120).as("text"))
+        Dedup.decontaminate(d, evalSet, col("doc_id"), col("text"),
+          threshold = 0.5).count()
+      }
+      run("diff", "diff_s", "diff_rows") {
+        val base = d.filter(col("doc_id") % 13 =!= 0)
+        val cur = d.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")))
+        graft.ops.Relational.snapshotDiff(base, cur, Seq("doc_id")).count()
+      }
+      if (want("buckets")) {
+        val (maxB, overCap) = minhashBucketStats(d, 1000)
+        val (maxP, overCapP) = jaccardPrefixBucketStats(d, 1000)
+        fields += s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap"""
+        fields += s""""max_prefix_bucket":$maxP,"prefix_over_cap":$overCapP"""
+      }
       println(s"""{"scale":$m,"docs":$nDocs,"vecs":$nVecs,"events":$nEv,""" +
-        s""""minhash_s":$tMin,"minhash_pairs":$cMin,""" +
-        s""""simhash_s":$tSim,"simhash_pairs":$cSim,""" +
-        s""""embdup_s":$tEmb,"embdup_pairs":$cEmb,""" +
-        s""""ann_s":$tAnn,"ann_rows":$cAnn,""" +
-        s""""cc_s":$tCc,"cc_nodes":$cCc,""" +
-        s""""pagerank_s":$tPr,"pagerank_nodes":$cPr,""" +
-        s""""asof_s":$tAsof,"asof_rows":$cAsof,""" +
-        s""""range_s":$tRange,"range_rows":$cRange,""" +
-        s""""kmeans_s":$tKm,"kmeans_rows":$cKm,""" +
-        s""""jaccard_s":$tJac,"jaccard_pairs":$cJac,""" +
-        s""""bloomjoin_s":$tBloom,"bloomjoin_rows":$cBloom,""" +
-        s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap,""" +
-        s""""max_prefix_bucket":$maxP,"prefix_over_cap":$overCapP}""")
+        fields.mkString(",") + "}")
       d.unpersist(); e.unpersist(); ev.unpersist()
     }
     docs.unpersist(); embs.unpersist(); events.unpersist()

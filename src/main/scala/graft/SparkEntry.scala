@@ -346,6 +346,61 @@ object SparkEntry {
         col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- HTML → text extraction: docs wrapped in deterministic HTML
+    // (title/style/script/entities), then title + body extracted; oracle
+    // replays the identical injection and strip/decode chain -------------
+    "html_extract" -> ((s, dir) => {
+      val wrapped = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{color:red}</style></head><body><h1>Head "),
+          col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+          lit(" &amp; tail&lt;end&gt; &quot;q&quot; &#39;s</p>" +
+            "<script>var x=1 && y<2;</script></body></html>")).as("html"))
+      wrapped.select(col("doc_id"),
+        TextAnalytics.htmlTitle(col("html")).as("title"),
+        TextAnalytics.htmlToText(col("html")).as("body"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact corpus heavy hitters: tokens at ≥ 1/k of all tokens ------
+    "heavy_hitters" -> ((s, dir) =>
+      TextAnalytics.heavyHitters(Tables.documents(s, dir), col("text"),
+        k = 200)),
+
+    // ---- key-skew diagnosis: top-20 hottest user_ids with share and
+    // cumulative share — rank + cum in ONE range shuffle -------------------
+    "key_skew" -> ((s, dir) =>
+      Profiler.keySkew(Tables.events(s, dir), col("user_id"), topN = 20)),
+
+    // ---- count-min sketch, md5-hashed so the ORACLE REBUILDS THE SKETCH
+    // cell for cell: estimates for the exact top-25 terms, alongside their
+    // true counts (est ≥ cnt always; equality unless cells collide) -------
+    "cm_top_term_counts" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(
+        explode(TextAnalytics.tokensCol(col("text"))).as("token"))
+      val sketch = Sketches.cmBuild(toks, col("token"))
+      val top = TextAnalytics.topTerms(docs, col("text"), k = 25)
+      val est = Sketches.cmEstimate(sketch, top.select(col("term")), "term")
+      top.join(est, top("term") === est("item"))
+        .select(col("term"), col("cnt"), col("est"))
+        .orderBy("term")
+    }),
+
+    // ---- sketch twin of price_percentiles: percentile_approx (GK) ——
+    // rows-only like HLL (sketch contents are merge-order-dependent);
+    // rank-error bound asserted in ApproxPercentileSpec -------------------
+    "price_percentiles_approx" -> ((s, dir) =>
+      Relational.approxGroupedPercentiles(Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_totalprice"),
+        Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("o_orderpriority")),
+
+    // ---- global top-k terms, ranked via range-shuffle row numbers (no
+    // single-partition window over the unbounded vocabulary) --------------
+    "top_terms" -> ((s, dir) =>
+      TextAnalytics.topTerms(Tables.documents(s, dir), col("text"), k = 25)),
+
     // ---- decontamination: train docs containing an eval example (eval =
     // 120-char prefixes of every 20th doc, offset ids) — broadcast eval
     // shingles, one corpus scan, containment ≥ 0.5 flags the leak --------
@@ -2205,6 +2260,77 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g'))) AS canon_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "html_extract" ->
+      """WITH t AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || '</title><style>p{color:red}</style>'
+        |  || '</head><body><h1>Head ' || doc_id || '</h1><p>' || text
+        |  || ' &amp; tail&lt;end&gt; &quot;q&quot; &#39;s</p><script>var x=1 && y<2;</script></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?s)<script.*?</script>', ' ', 'g'),
+        |        '(?s)<style.*?</style>', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS body
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM w WHERE token <> '' GROUP BY token),
+         |t AS (SELECT sum(cnt) AS total FROM c)
+         |SELECT token, cnt,
+         |       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS frac_r
+         |FROM c, t WHERE cnt * 200 >= total
+         |ORDER BY cnt DESC, token""".stripMargin,
+
+    "top_terms" ->
+      s"""WITH w AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM w WHERE term <> '' GROUP BY term),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+         |             term, cnt FROM c)
+         |SELECT rank, term, cnt FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    "key_skew" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank,
+        |             key, cnt,
+        |             CAST(sum(cnt) OVER (ORDER BY cnt DESC, key) AS BIGINT) AS cum
+        |      FROM c)
+        |SELECT rank, key, cnt,
+        |       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share_r,
+        |       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share_r
+        |FROM r, t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "cm_top_term_counts" ->
+      s"""WITH w AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token FROM documents),
+         |tok AS (SELECT token FROM w WHERE token <> ''),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+         |top AS (SELECT token AS term, cnt FROM (
+         |          SELECT token, cnt,
+         |                 row_number() OVER (ORDER BY cnt DESC, token) AS rank
+         |          FROM c) WHERE rank <= 25),
+         |js AS (SELECT unnest(range(4)) AS j),
+         |cells AS (SELECT j,
+         |    (strpos('0123456789abcdef', substring(md5(j || ':' || token), 30, 1)) - 1) * 256
+         |  + (strpos('0123456789abcdef', substring(md5(j || ':' || token), 31, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substring(md5(j || ':' || token), 32, 1)) - 1) AS cell
+         |  FROM tok, js),
+         |sk AS (SELECT j, cell, count(*) AS scnt FROM cells GROUP BY j, cell),
+         |qe AS (SELECT term, j,
+         |    (strpos('0123456789abcdef', substring(md5(j || ':' || term), 30, 1)) - 1) * 256
+         |  + (strpos('0123456789abcdef', substring(md5(j || ':' || term), 31, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substring(md5(j || ':' || term), 32, 1)) - 1) AS cell
+         |  FROM top, js),
+         |est AS (SELECT term, CAST(min(coalesce(sk.scnt, 0)) AS BIGINT) AS est
+         |        FROM qe LEFT JOIN sk USING (j, cell) GROUP BY term)
+         |SELECT t.term, t.cnt, e.est FROM top t JOIN est e USING (term)
+         |ORDER BY term""".stripMargin,
 
     "decontamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -76,6 +76,35 @@ object Profiler {
       .orderBy("rule")
   }
 
+  /** Key-skew diagnosis: the top-N hottest keys with their share and
+    * cumulative share of all rows — the pre-flight check that decides
+    * whether a join/aggregate on this key needs salting or AQE skew
+    * handling BEFORE a 100 TB run melts one reducer. ("top key holds 40%
+    * of rows" ⇒ salt; "top 20 keys hold 2%" ⇒ plain hash partitioning is
+    * fine.)
+    *
+    * Plan: one partial-aggregated key count (key-cardinality-sized from
+    * there on) → rank AND cumulative count in ONE range shuffle
+    * ([[Relational.prefixSumsByRange]] — no single-partition window over
+    * the unbounded key space) → broadcast one-row total → shares as
+    * rounded exact-integer ratios. */
+  def keySkew(df: DataFrame, key: Column, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    Relational.prefixSumsByRange(counts,
+      Seq(col("cnt").desc, col("key")),
+      Seq(lit(1L) -> "rank", col("cnt") -> "cum"))
+      .filter(col("rank") <= topN)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6)
+          .as("share_r"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share_r"))
+      .orderBy("rank")
+  }
+
   /** Per-key z-score outliers: events whose measure deviates from their
     * key's mean by more than `threshold` standard deviations.
     *

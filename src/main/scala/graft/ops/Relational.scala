@@ -187,6 +187,27 @@ object Relational {
         ps.tail.map(p => percentile(value, lit(p)).as(pName(p))): _*)
   }
 
+  /** Sketch twin of [[groupedPercentiles]]: `percentile_approx`
+    * (Greenwald-Khanna) with a caller-set accuracy — O(accuracy·log n)
+    * state per group no matter how hot the group, the switch to make when
+    * a group's value domain is unbounded. Rank error is bounded by
+    * 1/accuracy of the group size; the spec asserts that bound against
+    * the exact operator. Sketch contents depend on merge order, so this
+    * is rows-only territory (like HLL) — never hash-compared across
+    * engines. */
+  def approxGroupedPercentiles(df: DataFrame, key: Column, value: Column,
+                               ps: Seq[Double],
+                               accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be within [0, 1], got $ps")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    df.groupBy(key)
+      .agg(percentile_approx(value, lit(ps.head), lit(accuracy))
+          .as(pName(ps.head)),
+        ps.tail.map(p =>
+          percentile_approx(value, lit(p), lit(accuracy)).as(pName(p))): _*)
+  }
+
   private def pName(p: Double): String =
     "p" + math.round(p * 100)
 
@@ -428,24 +449,54 @@ object Relational {
     * totals — O(partitions) driver rows) broadcast back and added. Output
     * column `alias`; all input columns retained. */
   def prefixSumByRange(df: DataFrame, order: Seq[Column], value: Column,
-                       alias: String): DataFrame = {
+                       alias: String): DataFrame =
+    prefixSumsByRange(df, order, Seq(value -> alias))
+
+  /** N global prefix sums in ONE range shuffle (the [[prefixSumByRange]]
+    * machinery vectorized over value columns): per-partition running sums
+    * run in parallel, the O(partitions × N) whole-partition totals come
+    * back to the driver once, and each partition's start offsets are
+    * broadcast back. Ranking is the N=1, value=1 case; [[Profiler.keySkew]]
+    * uses rank + cumulative share in the same pass. */
+  def prefixSumsByRange(df: DataFrame, order: Seq[Column],
+                        values: Seq[(Column, String)]): DataFrame = {
+    require(values.nonEmpty, "need at least one value column")
     val spark = df.sparkSession
-    val parted = df.repartitionByRange(order: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_v", value)
+    val n = values.size
+    val parted = values.zipWithIndex
+      .foldLeft(df.repartitionByRange(order: _*)
+        .withColumn("_pid", spark_partition_id())) {
+        case (acc, ((v, _), i)) => acc.withColumn(s"_v$i", v)
+      }
       .localCheckpoint()
-    val totals = parted.groupBy("_pid").agg(sum(col("_v")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (pid, s) => val o = acc; acc += s; (pid, o) }
-    val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
+    val totals = parted.groupBy("_pid")
+      .agg(sum(col("_v0")).as("_s0"),
+        (1 until n).map(i => sum(col(s"_v$i")).as(s"_s$i")): _*)
+      .collect()
+      .map(r => r.getInt(0) -> (0 until n).map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val acc = Array.fill(n)(0L)
+    val offsets = totals.map { case (pid, ss) =>
+      val row = pid +: acc.toSeq
+      (0 until n).foreach(i => acc(i) += ss(i))
+      org.apache.spark.sql.Row.fromSeq(row)
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        (0 until n).map(i => org.apache.spark.sql.types.StructField(s"_off$i",
+          org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema)
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
-    parted
-      .join(broadcast(offDf), "_pid")
-      .withColumn(alias,
-        sum(col("_v")).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)) + col("_off"))
-      .drop("_pid", "_off", "_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = parted.join(broadcast(offDf), "_pid")
+    val withSums = values.zipWithIndex.foldLeft(joined) {
+      case (acc2, ((_, alias), i)) =>
+        acc2.withColumn(alias, sum(col(s"_v$i")).over(w) + col(s"_off$i"))
+    }
+    val drops = Seq("_pid") ++ (0 until n).flatMap(i => Seq(s"_v$i", s"_off$i"))
+    withSums.drop(drops: _*)
   }
 
   private def rankedByRange(df: DataFrame, order: Seq[Column],

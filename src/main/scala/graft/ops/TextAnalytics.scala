@@ -45,6 +45,44 @@ object TextAnalytics {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy("word")
 
+  /** Exact corpus heavy hitters: tokens with frequency ≥ total/k — the
+    * vocabulary-health signal (boilerplate detection, stopword discovery)
+    * usually approximated with Misra-Gries/count-min sketches. Exact is
+    * affordable on any corpus here because the shuffle is vocabulary-
+    * sized after map-side combine, and the total arrives as a broadcast
+    * one-row aggregate (no driver collect, no second scan of the raw
+    * data). The threshold test is pure integer arithmetic (`cnt·k ≥
+    * total`) — no float boundary flakiness; safe from overflow below
+    * ~10¹⁷ tokens. */
+  def heavyHitters(df: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    val counts = df.select(explode(tokensCol(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * k >= col("total"))
+      .select(col("token"), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6)
+          .as("frac_r"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** Global top-k terms by frequency — ranked with the range-shuffle row
+    * numbers ([[Relational.globalRowNumber]]), NOT a single-partition
+    * window: the vocabulary is unbounded (Heaps' law), so the ranking
+    * step must scale out like everything else. Ties break
+    * lexicographically for a deterministic total order. */
+  def topTerms(df: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.select(explode(tokensCol(text)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    Relational.globalRowNumber(counts, Seq(col("cnt").desc, col("term")),
+      alias = "rank")
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("term"), col("cnt"))
+      .orderBy("rank")
+  }
+
   /** Quality scoring: per-document token statistics — token count, distinct
     * tokens, mean token length, stopword ratio, digit-character ratio.
     * Pure per-row array math (no shuffle at all). */
@@ -244,6 +282,31 @@ object TextAnalytics {
           EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** HTML → text extraction (the first transform of every web-crawl
+    * ingest): drop `<script>`/`<style>` blocks WITH their contents (code
+    * is not prose), strip remaining tags, decode the five predefined
+    * character entities (`&amp;` LAST — decoding it first would
+    * double-decode `&amp;lt;`), collapse whitespace. Regexes stay in the
+    * Java-regex/RE2 shared subset (`(?s)` dotall + lazy `.*?`), so an
+    * independent engine replays the chain byte for byte. Per-row, one
+    * scan, no shuffle. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?s)<script.*?</script>", " "),
+      "(?s)<style.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** `<title>` contents (first match; "" when absent) — the one structural
+    * field worth keeping from stripped HTML. */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
 
   /** Redaction audit: the cleaned text plus per-category match counts
     * (counted on the RAW text, so the audit shows what was found even

@@ -42,6 +42,33 @@ class ScaleShapeSpec extends SparkSpec {
       s"single-partition WindowExec in:\n$plan")
   }
 
+  test("decontaminate broadcasts the eval side (corpus never re-shuffles on it)") {
+    val corpus = (1L to 200L)
+      .map(i => i -> s"alpha beta gamma delta epsilon doc $i filler words here")
+      .toDF("doc_id", "text")
+    val evalSet = Seq(900L -> "alpha beta gamma delta epsilon")
+      .toDF("doc_id", "text")
+    val plan = graft.ops.Dedup.decontaminate(corpus, evalSet,
+      col("doc_id"), col("text")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side not broadcast in:\n$plan")
+    assert(singlePartitionWindows(plan).isEmpty)
+  }
+
+  test("snapshotDiff is one full-outer join keyed on the diff key") {
+    val a = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val b = (1L to 100L).map(i => (i, i * 3.0)).toDF("k", "v")
+    val plan = graft.ops.Relational.snapshotDiff(a, b, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"no full-outer join in:\n$plan")
+    // exactly one join — change classification must not add a second pass
+    val joins = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected exactly 1 join, got $joins in:\n$plan")
+    assert(singlePartitionWindows(plan).isEmpty)
+  }
+
   test("zorderKey + rangeFileStats plan no single-partition window") {
     val df = (0L until 200L).map(i => (i, i % 17, i % 13)).toDF("id", "x", "y")
     val keyed = Layout.zorderKey(df, Seq(col("x"), col("y")), col("id"),

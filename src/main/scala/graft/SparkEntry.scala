@@ -456,6 +456,33 @@ object SparkEntry {
         .orderBy("p_event_id")
     }),
 
+    // ---- FORWARD as-of: first purchase at-or-after each error, per user
+    // (next-event lookup; same one-shuffle machinery, reversed order) -----
+    "asof_error_next_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      AsOf.forward(errors, purchases,
+        leftKey = col("user_id"), rightKey = col("user_id"),
+        leftTs = unix_timestamp(col("ts")), rightTs = unix_timestamp(col("ts")),
+        rightTieBreak = col("event_id"),
+        leftCols = Seq("user_id" -> col("user_id"),
+          "e_event_id" -> col("event_id"),
+          "e_ts_s" -> unix_timestamp(col("ts"))),
+        rightCols = Seq("p_event_id" -> col("event_id"),
+          "p_ts_s" -> unix_timestamp(col("ts"))))
+        .orderBy("e_event_id")
+    }),
+
+    // ---- rolling trailing-window outliers: |z| > 2.5 vs the mean/std of
+    // the user's preceding 20 events (cold start < 5 rows emits nothing) --
+    "rolling_outliers" -> ((s, dir) =>
+      Profiler.rollingOutliers(Tables.events(s, dir),
+        key = col("user_id"), order = Seq(col("ts"), col("event_id")),
+        id = col("event_id"), value = col("value"),
+        lookback = 20, threshold = 2.5)
+        .orderBy("key", "id")),
+
     // ---- binned range join (no equi-key): events within ±300 s of each
     // error event — equi-join on time bins, not a cartesian product -------
     "events_near_errors" -> ((s, dir) => {
@@ -2408,6 +2435,32 @@ object SparkEntry {
         |SELECT p.user_id, p.p_event_id, p.p_ts_s, r.c_event_id, r.c_ts_s
         |FROM p ASOF JOIN r ON p.user_id = r.user_id AND p.p_ts_s >= r.c_ts_s
         |ORDER BY p_event_id""".stripMargin,
+
+    "asof_error_next_purchase" ->
+      """WITH r AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_ts_s,
+        |                  min(event_id) AS p_event_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |e AS (SELECT user_id, event_id AS e_event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS e_ts_s
+        |      FROM events WHERE event_type = 'error')
+        |SELECT e.user_id, e.e_event_id, e.e_ts_s, r.p_event_id, r.p_ts_s
+        |FROM e ASOF JOIN r ON e.user_id = r.user_id AND e.e_ts_s <= r.p_ts_s
+        |ORDER BY e_event_id""".stripMargin,
+
+    "rolling_outliers" ->
+      """WITH v AS (SELECT user_id, event_id, ts, CAST(round(value * 1e6) AS BIGINT) AS vs FROM events),
+        |m AS (SELECT user_id, event_id, CAST(vs AS DOUBLE) / 1e6 AS x,
+        |        count(vs) OVER w AS n,
+        |        (CAST(sum(vs) OVER w AS DOUBLE) / CAST(count(vs) OVER w AS DOUBLE)) / 1e6 AS mean,
+        |        (CAST(sum(CAST(vs AS HUGEINT) * vs) OVER w AS DOUBLE) / CAST(count(vs) OVER w AS DOUBLE)) / 1e12 AS ex2
+        |      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT user_id AS key, event_id AS id, x, mean,
+        |             ex2 - mean * mean AS variance
+        |      FROM m WHERE n >= 5)
+        |SELECT key, id, round((x - mean) / sqrt(variance), 4) AS z_r
+        |FROM z WHERE variance > 0 AND abs((x - mean) / sqrt(variance)) > 2.5
+        |ORDER BY key, id""".stripMargin,
 
     // the oracle states the range join declaratively (DuckDB plans an
     // IEJoin); the Spark side must produce the same pairs via time-binning.

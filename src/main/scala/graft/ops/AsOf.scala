@@ -51,15 +51,43 @@ object AsOf {
                leftTs: Column, rightTs: Column,
                rightTieBreak: Column,
                leftCols: Seq[(String, Column)],
-               rightCols: Seq[(String, Column)]): DataFrame = {
+               rightCols: Seq[(String, Column)]): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTs, rightTs, rightTieBreak,
+      leftCols, rightCols, forwardDir = false)
+
+  /** Forward as-of join — for every left row, the single right row with
+    * the SMALLEST timestamp at-or-after the left row's timestamp, per key
+    * ("the next deploy after this error", "the next maintenance event
+    * after this failure"). Identical machinery to [[backward]] with the
+    * within-partition order reversed — still ONE shuffle, zero joins.
+    * Right rows sharing (key, ts) reduce to the MIN tie-break row (the
+    * first upcoming event). */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: Column, rightKey: Column,
+              leftTs: Column, rightTs: Column,
+              rightTieBreak: Column,
+              leftCols: Seq[(String, Column)],
+              rightCols: Seq[(String, Column)]): DataFrame =
+    asof(left, right, leftKey, rightKey, leftTs, rightTs, rightTieBreak,
+      leftCols, rightCols, forwardDir = true)
+
+  private def asof(left: DataFrame, right: DataFrame,
+                   leftKey: Column, rightKey: Column,
+                   leftTs: Column, rightTs: Column,
+                   rightTieBreak: Column,
+                   leftCols: Seq[(String, Column)],
+                   rightCols: Seq[(String, Column)],
+                   forwardDir: Boolean): DataFrame = {
     require(leftCols.nonEmpty, "leftCols must not be empty")
     require(rightCols.nonEmpty, "rightCols must not be empty")
-    // unique right row per (key, ts): max_by on the tie-break column
+    // unique right row per (key, ts): max tie-break wins looking backward
+    // (the latest same-instant state), min wins looking forward (the first
+    // upcoming event)
+    val rPayload = struct(rightCols.map { case (n, c) => c.as(n) }: _*)
     val rDeduped = right
       .groupBy(rightKey.as("_k"), rightTs.as("_t"))
-      .agg(max_by(
-        struct(rightCols.map { case (n, c) => c.as(n) }: _*),
-        rightTieBreak).as("_rpayload"))
+      .agg((if (forwardDir) min_by(rPayload, rightTieBreak)
+            else max_by(rPayload, rightTieBreak)).as("_rpayload"))
     val lTagged = left.select(
       Seq(leftKey.as("_k"), leftTs.as("_t"), lit(1).as("_side"),
         struct(leftCols.map { case (n, c) => c.as(n) }: _*).as("_lpayload"),
@@ -68,7 +96,13 @@ object AsOf {
       col("_k"), col("_t"), lit(0).as("_side"),
       lit(null).cast(lTagged.schema("_lpayload").dataType).as("_lpayload"),
       col("_rpayload"))
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+    // walking time backward (desc) makes "last right seen" = nearest
+    // at-or-after; side 0 sorts first either way, keeping same-instant
+    // right rows visible (the join is inclusive in both directions)
+    val ord =
+      if (forwardDir) Seq(col("_t").desc, col("_side"))
+      else Seq(col("_t"), col("_side"))
+    val w = Window.partitionBy(col("_k")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .withColumn("_m", last(col("_rpayload"), ignoreNulls = true).over(w))

@@ -76,6 +76,51 @@ object Profiler {
       .orderBy("rule")
   }
 
+  /** Rolling (trailing-window) z-score outliers: events whose measure
+    * deviates from the mean of their key's PRECEDING `lookback` rows by
+    * more than `threshold` standard deviations — the time-series anomaly
+    * twin of [[zscoreOutliers]] (which scores against the key's global
+    * distribution, and so misses a level shift that the trailing window
+    * catches, and vice versa). The current row is excluded from its own
+    * baseline; rows with fewer than `minPrev` predecessors emit no
+    * verdict (cold start).
+    *
+    * Plan: ONE shuffle on the key, then per-key ordered frame aggregates
+    * (`ROWS BETWEEN lookback PRECEDING AND 1 PRECEDING`) — window state
+    * is O(lookback) per task. Same exact-integer moment discipline as
+    * [[zscoreOutliers]]: measures scaled to 1e-6 BIGINT, sum-of-squares
+    * in DECIMAL(38,0), float arithmetic only in the final fixed-order
+    * mean/variance/z, rounded to 4 places — bit-stable cross-engine. */
+  def rollingOutliers(df: DataFrame, key: Column, order: Seq[Column],
+                      id: Column, value: Column,
+                      lookback: Int, threshold: Double,
+                      minPrev: Int = 5): DataFrame = {
+    require(lookback >= minPrev && minPrev >= 2,
+      s"need lookback >= minPrev >= 2, got lookback=$lookback minPrev=$minPrev")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val vs = round(value * lit(1e6)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_key")).orderBy(order: _*)
+      .rowsBetween(-lookback, -1)
+    val rows = df.select(Seq(key.as("_key"), id.as("id"), vs.as("_vs"))
+      ++ order.map(c => c): _*)
+    val mean = (col("_s1").cast("double") / col("_n").cast("double")) / lit(1e6)
+    val ex2 = (col("_s2").cast("double") / col("_n").cast("double")) / lit(1e12)
+    rows
+      .withColumn("_n", count(col("_vs")).over(w))
+      .withColumn("_s1", sum(col("_vs")).over(w))
+      .withColumn("_s2",
+        sum(col("_vs").cast(DecimalType(38, 0)) * col("_vs")).over(w))
+      .filter(col("_n") >= minPrev)
+      .select(col("_key").as("key"), col("id"),
+        (col("_vs").cast("double") / lit(1e6)).as("x"),
+        mean.as("mean"), (ex2 - mean * mean).as("variance"))
+      .filter(col("variance") > 0)
+      .withColumn("z", (col("x") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > threshold)
+      .select(col("key"), col("id"), round(col("z"), 4).as("z_r"))
+  }
+
   /** Key-skew diagnosis: the top-N hottest keys with their share and
     * cumulative share of all rows — the pre-flight check that decides
     * whether a join/aggregate on this key needs salting or AQE skew

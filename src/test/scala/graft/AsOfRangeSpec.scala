@@ -42,6 +42,38 @@ class AsOfRangeSpec extends SparkSpec {
     assert(out == Seq(9L))
   }
 
+  test("as-of forward: earliest right row at-or-after each left row") {
+    val left = events(Seq((100L, 1L, 50L, "e"), (101L, 1L, 70L, "e"),
+      (102L, 2L, 30L, "e")))
+    val right = events(Seq((1L, 1L, 20L, "p"), (2L, 1L, 50L, "p"),
+      (3L, 1L, 60L, "p"), (4L, 2L, 30L, "p")))
+    val out = AsOf.forward(left, right,
+      leftKey = col("user_id"), rightKey = col("user_id"),
+      leftTs = col("ts_s"), rightTs = col("ts_s"),
+      rightTieBreak = col("event_id"),
+      leftCols = Seq("e_id" -> col("event_id"), "e_ts" -> col("ts_s")),
+      rightCols = Seq("p_id" -> col("event_id"), "p_ts" -> col("ts_s")))
+      .select("e_id", "p_id", "p_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // e100@50 matches p2@50 (at-or-after is INCLUSIVE, beats p3@60);
+    // e101@70 has no later purchase and drops; e102@30 matches p4@30
+    assert(out == Set((100L, 2L, 50L), (102L, 4L, 30L)))
+  }
+
+  test("as-of forward: right rows sharing (key, ts) dedupe to MIN tie-break") {
+    val left = events(Seq((100L, 1L, 30L, "e")))
+    val right = events(Seq((7L, 1L, 40L, "p"), (9L, 1L, 40L, "p"),
+      (8L, 1L, 40L, "p")))
+    val out = AsOf.forward(left, right,
+      leftKey = col("user_id"), rightKey = col("user_id"),
+      leftTs = col("ts_s"), rightTs = col("ts_s"),
+      rightTieBreak = col("event_id"),
+      leftCols = Seq("e_id" -> col("event_id")),
+      rightCols = Seq("p_id" -> col("event_id")))
+      .select("p_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(7L))
+  }
+
   test("range join within ±w: exactly the true pairs, boundaries inclusive") {
     val l = events(Seq((1L, 0L, 1000L, "e")))
     val r = events(Seq((2L, 0L, 700L, "x"), (3L, 0L, 701L, "x"),

@@ -147,6 +147,25 @@ class ProfilerSpec extends SparkSpec {
       (0L, "a", 3L, 1), (0L, "b", 2L, 2), (86400L, "b", 1L, 1)))
   }
 
+  test("rollingOutliers: a spike vs the trailing window flags; cold start " +
+    "and flat baselines do not") {
+    import spark.implicits._
+    // u1: alternating 10/12 baseline then a spike at id 6
+    // u2: constant values → trailing variance 0 → never flags
+    val rows = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 10.0),
+      (1L, 4L, 12.0), (1L, 5L, 10.0), (1L, 6L, 100.0),
+      (2L, 7L, 5.0), (2L, 8L, 5.0), (2L, 9L, 5.0),
+      (2L, 10L, 5.0), (2L, 11L, 99.0))
+      .toDF("user_id", "event_id", "value")
+    val out = Profiler.rollingOutliers(rows,
+      key = col("user_id"), order = Seq(col("event_id")),
+      id = col("event_id"), value = col("value"),
+      lookback = 5, threshold = 3.0, minPrev = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(6L))
+  }
+
   test("keySkew: rank, share, cumulative share on a hand skew") {
     import spark.implicits._
     val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))

@@ -28,6 +28,24 @@ class SketchesSpec extends SparkSpec {
     assert(est == 0L)
   }
 
+  test("cmBuild runs unchanged under readStream and agrees with batch") {
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = Sketches.cmBuild(mem.toDF().toDF("item"), col("item"))
+      .writeStream.format("memory").queryName("cm_out")
+      .outputMode("complete").start()
+    mem.addData("a", "a", "b")
+    q.processAllAvailable()
+    mem.addData("a", "c")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cm_out")
+    val batch = Sketches.cmBuild(
+      Seq("a", "a", "b", "a", "c").toDF("item"), col("item"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("sketch state is fixed-size and cell-wise mergeable") {
     val a = (1 to 100).map(i => s"t${i % 7}").toDF("item")
     val b = (1 to 50).map(i => s"t${i % 5}").toDF("item")

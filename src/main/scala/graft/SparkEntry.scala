@@ -377,14 +377,32 @@ object SparkEntry {
     // true counts (est ≥ cnt always; equality unless cells collide) -------
     "cm_top_term_counts" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val toks = docs.select(
-        explode(TextAnalytics.tokensCol(col("text"))).as("token"))
-      val sketch = Sketches.cmBuild(toks, col("token"))
-      val top = TextAnalytics.topTerms(docs, col("text"), k = 25)
+      // one token-count aggregate feeds BOTH the sketch (weighted build —
+      // md5 over the vocabulary, not the corpus) and the top-k ranking
+      val counts = TextAnalytics.wordCount(docs, col("text"))
+        .select(col("word").as("term"), col("cnt"))
+        .localCheckpoint()
+      val sketch = Sketches.cmBuildWeighted(counts, col("term"), col("cnt"))
+      val top = Relational.globalRowNumber(counts,
+        Seq(col("cnt").desc, col("term")), alias = "rank")
+        .filter(col("rank") <= 25)
       val est = Sketches.cmEstimate(sketch, top.select(col("term")), "term")
       top.join(est, top("term") === est("item"))
         .select(col("term"), col("cnt"), col("est"))
         .orderBy("term")
+    }),
+
+    // ---- per-source token-budget sampling: hash-ordered docs kept while
+    // each source's running token total is under 600 (boundary doc in) ---
+    "token_budget_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          size(TextAnalytics.tokensCol(col("text"))).cast("long").as("n_toks"))
+      Sampling.tokenBudgetSample(docs, col("source"), col("text"),
+        col("doc_id"), col("n_toks"), budget = 600L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("source", "doc_id")
     }),
 
     // ---- sketch twin of price_percentiles: percentile_approx (GK) ——
@@ -2321,6 +2339,18 @@ object SparkEntry {
          |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
          |             term, cnt FROM c)
          |SELECT rank, term, cnt FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    "token_budget_sample" ->
+      s"""WITH t AS (SELECT doc_id, source, md5(text) AS h,
+         |             len($toksSql) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM t)
+         |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens - n_tokens < 600
+         |ORDER BY source, doc_id""".stripMargin,
 
     "key_skew" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),

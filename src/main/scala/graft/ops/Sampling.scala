@@ -76,4 +76,35 @@ object Sampling {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Per-source TOKEN-budget sampling: walk each source's documents in
+    * content-hash order (a uniform random order that is nonetheless
+    * deterministic on any engine) and keep documents while the source's
+    * running token total stays within its budget — how a training mixture
+    * is actually specified ("200M tokens of web, 50M of code"), as
+    * opposed to row-count sampling, which over-represents short docs.
+    *
+    * The first document to EXCEED the budget is included (budgets are
+    * met-or-slightly-exceeded, never silently under-filled by a giant
+    * doc at the boundary); every later doc drops. One shuffle on the
+    * source key; the running sum is a keyed window (O(1) state per task),
+    * never a global sort. Output: input columns + n_tokens + cum_tokens.
+    */
+  def tokenBudgetSample(df: DataFrame, source: Column, keyText: Column,
+                        tieBreak: Column, tokens: Column,
+                        budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col("_src"))
+      .orderBy(md5(col("_key")), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_src", source)
+      .withColumn("_key", keyText)
+      .withColumn("_tie", tieBreak)
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // keep while the PREVIOUS total was under budget: the boundary doc
+      // (first to cross) stays, everything after it goes
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .drop("_src", "_key", "_tie")
+  }
 }

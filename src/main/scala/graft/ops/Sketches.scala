@@ -36,11 +36,20 @@ object Sketches {
 
   /** Build the (j, cell, cnt) sketch table from an item column — at most
     * [[Depth]]·[[Width]] rows regardless of input size. */
-  def cmBuild(df: DataFrame, item: Column): DataFrame = {
-    val rows = df.select(item.as("item"),
+  def cmBuild(df: DataFrame, item: Column): DataFrame =
+    cmBuildWeighted(df, item, lit(1L))
+
+  /** Weighted build: each row contributes `weight` to its cells. The
+    * identity cmBuild(raw) == cmBuildWeighted(groupBy(item).count) means
+    * a sketch downstream of an existing frequency aggregate hashes the
+    * VOCABULARY (×d), not the corpus — at 100 TB that is the difference
+    * between md5 over ~10⁶ distinct tokens and md5 over ~10¹² token
+    * occurrences. Weights may be any non-negative integers. */
+  def cmBuildWeighted(df: DataFrame, item: Column, weight: Column): DataFrame = {
+    val rows = df.select(item.as("item"), weight.cast("long").as("w"),
       explode(sequence(lit(0), lit(Depth - 1))).as("j"))
-    rows.select(col("j"), cell(col("j"), col("item")).as("cell"))
-      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+    rows.select(col("j"), cell(col("j"), col("item")).as("cell"), col("w"))
+      .groupBy("j", "cell").agg(sum(col("w")).as("cnt"))
   }
 
   /** Point estimates for `items` (a DataFrame with an item column named by

@@ -50,6 +50,30 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("tokenBudgetSample: prefix in hash order, boundary doc included, " +
+    "budgets independent per source") {
+    import spark.implicits._
+    val docs = (1 to 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "web" else "code", s"doc body number $i", 10L)
+    }.toDF("doc_id", "source", "text", "n_toks")
+    val out = graft.ops.Sampling.tokenBudgetSample(docs, col("source"),
+      col("text"), col("doc_id"), col("n_toks"), budget = 35L)
+    val bySrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("cum_tokens").as("maxcum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // 10 tokens/doc, budget 35: cum 10,20,30,40 — the 40 row is the
+    // boundary doc (30 < 35) and the 50 row is out ⇒ exactly 4 per source
+    assert(bySrc == Map("web" -> (4L, 40L), "code" -> (4L, 40L)))
+    // the kept set is the hash-order PREFIX: re-deriving the order over
+    // the full input picks the same doc_ids
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
+    val expected = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == expected)
+  }
+
   test("assignSplit: partition of the corpus, stable, ~requested fractions") {
     val d = docs(2000)
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -28,6 +28,15 @@ class SketchesSpec extends SparkSpec {
     assert(est == 0L)
   }
 
+  test("weighted build over aggregated counts equals the raw build") {
+    val raw = (Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq.fill(2)("z"))
+      .toDF("item")
+    val agg = raw.groupBy("item").count()
+    val a = Sketches.cmBuild(raw, col("item"))
+    val b = Sketches.cmBuildWeighted(agg, col("item"), col("count"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("cmBuild runs unchanged under readStream and agrees with batch") {
     implicit val sc = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime

@@ -180,4 +180,53 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhashMd5DupPairs(emptyDocs, col("doc_id"), col("text"))
       .isEmpty)
   }
+
+  test("round-7 batch-2+ operators survive empty and degenerate inputs") {
+    import graft.ops.{Profiler, Relational, Sampling, Sketches}
+    val emptyDocs = docs()
+    // PII scan: empty corpus and null text both flow through
+    assert(TextAnalytics.piiScan(emptyDocs, col("doc_id"), col("text"))
+      .isEmpty)
+    // HTML extraction: unclosed tags and bare text degrade gracefully
+    val h = docs((1, "<p>unclosed"), (2, "no markup"), (3, ""))
+    val bodies = TextAnalytics.htmlToText(col("text"))
+    assert(h.select(bodies).collect().map(_.getString(0)).toSeq
+      == Seq("unclosed", "no markup", ""))
+    // heavy hitters / top terms over an empty corpus: no rows, and no
+    // div-by-zero from the zero total (ANSI mode)
+    assert(TextAnalytics.heavyHitters(emptyDocs, col("text"), k = 10).isEmpty)
+    assert(TextAnalytics.topTerms(emptyDocs, col("text"), k = 10).isEmpty)
+    // decontaminate with an empty eval set: nothing flags
+    assert(Dedup.decontaminate(docs(1 -> "some train doc text here"),
+      emptyDocs, col("doc_id"), col("text")).isEmpty)
+    // snapshotDiff: both sides empty → empty; one side empty → all rows
+    val empty2 = spark.createDataFrame(Seq.empty[(Long, Double)])
+      .toDF("k", "v")
+    val one = spark.createDataFrame(Seq((1L, 2.0))).toDF("k", "v")
+    assert(Relational.snapshotDiff(empty2, empty2, Seq("k")).isEmpty)
+    assert(Relational.snapshotDiff(empty2, one, Seq("k"))
+      .head().getAs[String]("change") == "added")
+    // key skew over empty input: no rows, no driver failure
+    assert(Profiler.keySkew(emptyDocs, col("doc_id"), topN = 5).isEmpty)
+    // rolling outliers: constant series (variance 0) and short series
+    // (cold start) both emit nothing
+    val flat = spark.createDataFrame(
+      (1 to 10).map(i => (1L, i.toLong, i.toLong, 7.0)))
+      .toDF("k", "eid", "ord", "v")
+    assert(Profiler.rollingOutliers(flat, col("k"), Seq(col("ord")),
+      col("eid"), col("v"), lookback = 5, threshold = 1.0, minPrev = 3)
+      .isEmpty)
+    // count-min over empty input: empty sketch, estimates come back 0
+    val sk = Sketches.cmBuild(emptyDocs.select(col("text").as("item")),
+      col("item"))
+    assert(Sketches.cmEstimate(sk,
+      spark.createDataFrame(Seq(Tuple1("q"))).toDF("item"), "item")
+      .head().getAs[Long]("est") == 0L)
+    // token budget sample: empty input and zero-token docs flow through
+    assert(Sampling.tokenBudgetSample(
+      emptyDocs.select(col("doc_id"), lit("s").as("src"), col("text"),
+        lit(0L).as("n")),
+      col("src"), col("text"), col("doc_id"), col("n"), budget = 10)
+      .isEmpty)
+  }
 }

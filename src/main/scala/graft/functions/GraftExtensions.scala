@@ -84,5 +84,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_md5_chunk_signature", children, 2, 2)
         Md5ChunkSignature(children.head, intArg(children(1), "idx"))
       }))
+
+    // the text-cleaning surface: compositions of Spark's own codegen'd
+    // expressions (TextCleanExprs — the one definition behind both the
+    // DataFrame API and these SQL functions)
+    def composed(name: String, usage: String,
+                 build: Expression => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (children: Seq[Expression]) => {
+          arity(name, children, 1, 1)
+          build(children.head)
+        }))
+
+    composed("graft_redact_pii",
+      "graft_redact_pii(text) - redact emails/URLs/IPv4s/phones with typed placeholders",
+      TextCleanExprs.redactPii)
+    composed("graft_html_to_text",
+      "graft_html_to_text(html) - strip script/style/tags, decode entities, collapse whitespace",
+      TextCleanExprs.htmlToText)
+    composed("graft_html_title",
+      "graft_html_title(html) - first <title> contents, '' when absent",
+      TextCleanExprs.htmlTitle)
   }
 }

@@ -257,31 +257,22 @@ object TextAnalytics {
     df.select(id.as("doc_id"), md5(canonicalize(text)).as("canon_key"))
 
   /** PII redaction patterns — the regex-subset shared by Java regex and
-    * RE2, so an independent SQL engine can replay the redaction verbatim.
-    * The phone class deliberately excludes '.' and ' ': dots keep IPv4
-    * addresses out of the phone matcher, spaces keep runs of small
-    * numbers in prose ("10 20 30 40") from being swallowed as one
-    * "phone number". */
-  val UrlRe   = "https?://[^\\s]+"
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe = "[+(]?\\d[\\d()\\-]{6,}\\d"
+    * RE2, so an independent SQL engine can replay the redaction verbatim
+    * (see [[graft.functions.TextCleanExprs]], the one definition behind
+    * this Column API and the `graft_redact_pii` SQL function). */
+  val UrlRe: String   = graft.functions.TextCleanExprs.UrlRe
+  val EmailRe: String = graft.functions.TextCleanExprs.EmailRe
+  val Ipv4Re: String  = graft.functions.TextCleanExprs.Ipv4Re
+  val PhoneRe: String = graft.functions.TextCleanExprs.PhoneRe
 
-  /** Redact PII spans with typed placeholders. Order matters and is part
-    * of the contract: URLs first (an email-shaped userinfo inside a URL
-    * must disappear with the URL, not leave half a placeholder), then
-    * emails, then IPv4 (before phones — both are digit runs, but dots are
-    * only in the IP class), then phones. Per-row regex chain — one scan,
-    * codegen'd, no shuffle; at 100 TB this is exactly as parallel as the
-    * input split count. */
+  /** Redact PII spans with typed placeholders (order contract documented
+    * on the expression builder). Per-row codegen'd regex chain — one
+    * scan, no shuffle; at 100 TB this is exactly as parallel as the input
+    * split count. */
   def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, UrlRe, "<URL>"),
-          EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      PhoneRe, "<PHONE>")
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.TextCleanExprs.redactPii(
+        org.apache.spark.sql.GraftExpressionBridge.expression(text)))
 
   /** HTML → text extraction (the first transform of every web-crawl
     * ingest): drop `<script>`/`<style>` blocks WITH their contents (code
@@ -291,22 +282,17 @@ object TextAnalytics {
     * Java-regex/RE2 shared subset (`(?s)` dotall + lazy `.*?`), so an
     * independent engine replays the chain byte for byte. Per-row, one
     * scan, no shuffle. */
-  def htmlToText(html: Column): Column = {
-    val noBlocks = regexp_replace(
-      regexp_replace(html, "(?s)<script.*?</script>", " "),
-      "(?s)<style.*?</style>", " ")
-    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
-    val decoded = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-      "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
-  }
+  def htmlToText(html: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.TextCleanExprs.htmlToText(
+        org.apache.spark.sql.GraftExpressionBridge.expression(html)))
 
   /** `<title>` contents (first match; "" when absent) — the one structural
     * field worth keeping from stripped HTML. */
   def htmlTitle(html: Column): Column =
-    regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.TextCleanExprs.htmlTitle(
+        org.apache.spark.sql.GraftExpressionBridge.expression(html)))
 
   /** Redaction audit: the cleaned text plus per-category match counts
     * (counted on the RAW text, so the audit shows what was found even

@@ -44,6 +44,17 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT graft_md5_chunk_signature(array(1, 2, 3, 4, 5), 1) AS s")
         .first().getString(0)
       assert(sig.length == 5 && sig.matches("[0-9a-f]+"))
+      // composed text-cleaning functions share the DataFrame operators'
+      // definitions — same placeholders, same entity contract
+      assert(ext.sql(
+        "SELECT graft_redact_pii('mail a@b.co or +1-555-0100') AS r")
+        .first().getString(0) == "mail <EMAIL> or <PHONE>")
+      assert(ext.sql(
+        "SELECT graft_html_to_text('<p>a &amp; b</p><script>x<1</script>') AS r")
+        .first().getString(0) == "a & b")
+      assert(ext.sql(
+        "SELECT graft_html_title('<html><title>T</title></html>') AS t")
+        .first().getString(0) == "T")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

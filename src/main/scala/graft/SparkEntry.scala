@@ -367,6 +367,15 @@ object SparkEntry {
       TextAnalytics.heavyHitters(Tables.documents(s, dir), col("text"),
         k = 200)),
 
+    // ---- exact Pearson correlation matrix over lineitem numerics: all
+    // cross-moments in ONE scan/agg, integer-exact, rounded once ----------
+    "column_correlations" -> ((s, dir) =>
+      Profiler.correlations(Tables.lineitem(s, dir), Seq(
+        "l_discount" -> col("l_discount"),
+        "l_extendedprice" -> col("l_extendedprice"),
+        "l_quantity" -> col("l_quantity"),
+        "l_tax" -> col("l_tax")))),
+
     // ---- key-skew diagnosis: top-20 hottest user_ids with share and
     // cumulative share — rank + cum in ONE range shuffle -------------------
     "key_skew" -> ((s, dir) =>
@@ -2351,6 +2360,39 @@ object SparkEntry {
          |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
          |FROM c WHERE cum_tokens - n_tokens < 600
          |ORDER BY source, doc_id""".stripMargin,
+
+    "column_correlations" -> {
+      val colVars = Seq("l_discount" -> "d", "l_extendedprice" -> "e",
+        "l_quantity" -> "q", "l_tax" -> "t")
+      val moments = colVars.map { case (_, v) =>
+        s"sum(CAST($v AS HUGEINT)) AS s_$v, sum(CAST($v AS HUGEINT)*$v) AS ss_$v"
+      }.mkString(", ")
+      val crosses = (for {
+        (ia, i) <- colVars.zipWithIndex; (ib, j) <- colVars.zipWithIndex
+        if i < j
+      } yield s"sum(CAST(${ia._2} AS HUGEINT)*${ib._2}) AS sp_${ia._2}${ib._2}")
+        .mkString(", ")
+      val arms = (for {
+        (ia, i) <- colVars.zipWithIndex; (ib, j) <- colVars.zipWithIndex
+        if i < j
+      } yield {
+        val (na, a) = ia; val (nb, b) = ib
+        s"""SELECT '$na' AS col_a, '$nb' AS col_b,
+           |  CASE WHEN (n*ss_$a - s_$a*s_$a) > 0 AND (n*ss_$b - s_$b*s_$b) > 0
+           |       THEN round(CAST(n*sp_$a$b - s_$a*s_$b AS DOUBLE)
+           |              / (sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE))
+           |                 * sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE))), 6)
+           |  END AS corr_r FROM m""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT
+         |  ${colVars.map { case (n, v) =>
+              s"CAST(round($n*1e6) AS BIGINT) AS $v" }.mkString(", ")}
+         |  FROM lineitem),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, $moments, $crosses FROM v)
+         |SELECT col_a, col_b, corr_r FROM (
+         |$arms
+         |) ORDER BY col_a, col_b""".stripMargin
+    },
 
     "key_skew" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),

@@ -76,6 +76,72 @@ object Profiler {
       .orderBy("rule")
   }
 
+  /** Exact Pearson correlation matrix over numeric columns — the
+    * drift/redundancy signal of intake profiling ("these two features are
+    * 0.98-correlated, drop one"; "the corr between price and quantity
+    * flipped sign since last snapshot — upstream bug").
+    *
+    * ONE scan, one `agg`: every pairwise cross-moment Σxy plus per-column
+    * Σx and Σx² accumulate in the same pass (O(d²) aggregate states, no
+    * per-pair jobs). The dimStats discipline: values are integer-scaled
+    * to 1e-6 BIGINTs first and every moment is an exact DECIMAL(38,0)
+    * sum, so the only floating point is the final fixed-order covariance
+    * ratio, rounded to 6 places — bit-identical on any engine or
+    * partitioning. Rows with a NULL in either column of a pair would
+    * poison exactness, so the contract is NULL-free numeric columns
+    * (profile first; [[profile]] reports null counts).
+    *
+    * Output long format: (col_a, col_b, corr_r) for a < b. Zero-variance
+    * columns yield NULL corr (undefined), surfaced not dropped.
+    *
+    * Envelope: n·Σ(xy) must stay inside DECIMAL(38,0), i.e.
+    * rows·(maxAbs·scale)² ≲ 10³⁸ — corr is scale-invariant (the factors
+    * cancel exactly), so for wide-range columns or trillion-row tables
+    * pass a coarser `scale`; ANSI mode makes an overflow loud, never
+    * silent. */
+  def correlations(df: DataFrame, cols: Seq[(String, Column)],
+                   scale: Long = 1000000L): DataFrame = {
+    require(cols.size >= 2, "correlations needs at least two columns")
+    require(cols.map(_._1).distinct.size == cols.size,
+      "column names must be unique")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val dec = DecimalType(38, 0)
+    val scaled = cols.map { case (n, c) =>
+      n -> round(c * lit(scale.toDouble)).cast("long")
+    }
+    val pairs = for {
+      (a, i) <- scaled.zipWithIndex; (b, j) <- scaled.zipWithIndex if i < j
+    } yield (a, b)
+    val aggs =
+      (count(lit(1)).as("_n") +:
+        scaled.flatMap { case (n, c) => Seq(
+          sum(c.cast(dec)).as(s"_s_$n"),
+          sum(c.cast(dec) * c).as(s"_ss_$n"))
+        }) ++
+        pairs.map { case ((na, ca), (nb, cb)) =>
+          sum(ca.cast(dec) * cb).as(s"_sp_${na}_$nb")
+        }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // corr = (n·Σxy − Σx·Σy) / sqrt(n·Σx² − (Σx)²) / sqrt(n·Σy² − (Σy)²)
+    // — numerator/denominators computed exactly in decimal, ONE double
+    // division at the end (scale factors cancel)
+    def corrCol(na: String, nb: String): Column = {
+      val n = col("_n").cast(dec)
+      val num = n * col(s"_sp_${na}_$nb") - col(s"_s_$na") * col(s"_s_$nb")
+      val da = n * col(s"_ss_$na") - col(s"_s_$na") * col(s"_s_$na")
+      val db = n * col(s"_ss_$nb") - col(s"_s_$nb") * col(s"_s_$nb")
+      when(da > 0 && db > 0,
+        round(num.cast("double")
+          / (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 6))
+    }
+    wide.select(explode(array(pairs.map { case ((na, _), (nb, _)) =>
+      struct(lit(na).as("col_a"), lit(nb).as("col_b"),
+        corrCol(na, nb).as("corr_r"))
+    }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** Rolling (trailing-window) z-score outliers: events whose measure
     * deviates from the mean of their key's PRECEDING `lookback` rows by
     * more than `threshold` standard deviations — the time-series anomaly

@@ -147,6 +147,29 @@ class ProfilerSpec extends SparkSpec {
       (0L, "a", 3L, 1), (0L, "b", 2L, 2), (86400L, "b", 1L, 1)))
   }
 
+  test("correlations: matches Spark's corr to 1e-6; zero variance -> NULL") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      (i.toDouble, i * 2.0 + (i % 7), 200.0 - i + (i % 11), 5.0)
+    }.toDF("a", "b", "c", "flat")
+    val out = Profiler.correlations(df, Seq(
+      "a" -> col("a"), "b" -> col("b"), "c" -> col("c"),
+      "flat" -> col("flat")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val ref = Map(
+      ("a", "b") -> df.agg(corr(col("a"), col("b"))).head().getDouble(0),
+      ("a", "c") -> df.agg(corr(col("a"), col("c"))).head().getDouble(0),
+      ("b", "c") -> df.agg(corr(col("b"), col("c"))).head().getDouble(0))
+    ref.foreach { case (k, v) =>
+      assert(math.abs(out(k).get - v) < 1e-6, s"$k: ${out(k)} vs $v")
+    }
+    // constant column: undefined corr surfaces as NULL for all its pairs
+    assert(out(("a", "flat")).isEmpty && out(("b", "flat")).isEmpty
+      && out(("c", "flat")).isEmpty)
+    assert(out.size == 6)
+  }
+
   test("rollingOutliers: a spike vs the trailing window flags; cold start " +
     "and flat baselines do not") {
     import spark.implicits._

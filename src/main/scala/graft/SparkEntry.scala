@@ -428,6 +428,16 @@ object SparkEntry {
     "top_terms" -> ((s, dir) =>
       TextAnalytics.topTerms(Tables.documents(s, dir), col("text"), k = 25)),
 
+    // ---- deflate compression ratio (repetitiveness quality signal) —
+    // rows-only like the float32 kernels (zlib byte counts are library-
+    // version-specific); golden-tested in CompressSpec ---------------------
+    "doc_compress_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(graft.functions.CompressFunctions.compressRatio(col("text")), 4)
+            .as("compress_ratio"))
+        .orderBy("doc_id")),
+
     // ---- decontamination: train docs containing an eval example (eval =
     // 120-char prefixes of every 20th doc, offset ids) — broadcast eval
     // shingles, one corpus scan, containment ≥ 0.5 flags the leak --------

@@ -105,5 +105,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed("graft_html_title",
       "graft_html_title(html) - first <title> contents, '' when absent",
       TextCleanExprs.htmlTitle)
+
+    ext.injectFunction((FunctionIdentifier("graft_compress_ratio"),
+      info("graft_compress_ratio",
+        "graft_compress_ratio(text) - deflate bytes / raw bytes (repetitiveness signal)"),
+      (children: Seq[Expression]) => {
+        arity("graft_compress_ratio", children, 1, 1)
+        CompressRatio(children.head)
+      }))
   }
 }

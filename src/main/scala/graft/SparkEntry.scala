@@ -898,6 +898,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- quarantine parse: every 7th props corrupted, verdict per row,
+    // good-row field sums continue — dirty-feed ingest without job failure
+    "props_quarantine" -> ((s, dir) => {
+      // corrupt the PREFIX: Jackson tolerates trailing garbage, so a
+      // suffix corruption would diverge from the oracle's json_valid
+      val ev = Tables.events(s, dir).withColumn("props2",
+        when(col("event_id") % 7 === 0, concat(lit("{"), col("props")))
+          .otherwise(col("props")))
+      graft.sources.JsonTables.parseWithQuarantine(ev, col("props2"), "k LONG")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(!col("json_ok"), 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("json_ok"), col("parsed.k")).otherwise(0L))
+            .as("k_sum_good"))
+        .orderBy("event_type")
+    }),
+
     // ---- snapshot diff: added/removed/changed keys between two versions
     // of orders (every 13th key absent from base, every 11th from current,
     // every 7th repriced) — one full-outer sort-merge join ----------------
@@ -1590,6 +1607,17 @@ object SparkEntry {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "props_quarantine" ->
+      """WITH p AS (SELECT event_type,
+        |             CASE WHEN event_id % 7 = 0 THEN '{' || props
+        |                  ELSE props END AS pr
+        |           FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE NOT json_valid(pr)) AS BIGINT) AS n_bad,
+        |  CAST(sum(CASE WHEN json_valid(pr) THEN CAST(pr->>'$.k' AS BIGINT)
+        |               ELSE 0 END) AS BIGINT) AS k_sum_good
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "snapshot_diff" ->
       """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 13 <> 0),

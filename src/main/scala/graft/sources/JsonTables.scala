@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Paths
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -58,4 +58,33 @@ object JsonTables {
     spark.read
       .schema(eventsJsonSchema)
       .json(path)
+
+  /** Permissive JSON parse with an explicit quarantine verdict — the
+    * ingest contract for dirty feeds: NEVER fail the job on a corrupt
+    * record, NEVER silently drop it either. Adds `parsed` (the struct,
+    * NULL on syntactically invalid JSON) and `json_ok`; downstream splits
+    * on the flag (good rows continue, bad rows land in a quarantine sink
+    * with full provenance). Per-row, codegen'd, no shuffle — the verdict
+    * costs nothing beyond the parse the pipeline needed anyway.
+    *
+    * Semantics note: `json_ok = false` means NOT PARSEABLE (Spark's
+    * `from_json` yields a NULL struct). Valid JSON missing the schema's
+    * fields parses to a struct of NULLs with `json_ok = true` — schema
+    * drift is [[graft.ops.Profiler.profile]]'s job (null rates), not the
+    * quarantine's. Jackson stops at the first complete value, so TRAILING
+    * garbage after a valid object is tolerated (`{"k":1}{` is ok=true) —
+    * stricter whole-string validation would need a second parse; cross-
+    * engine checks must corrupt prefixes, not suffixes. */
+  def parseWithQuarantine(df: DataFrame, json: Column,
+                          schemaDdl: String): DataFrame = {
+    // PERMISSIVE mode never nulls the struct — corruption is detected the
+    // documented way: a columnNameOfCorruptRecord field that captures the
+    // raw record exactly when the parse failed
+    val schema = StructType.fromDDL(schemaDdl)
+      .add(StructField("_corrupt", StringType))
+    df.withColumn("parsed", from_json(json, schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+      .withColumn("json_ok",
+        json.isNotNull && col("parsed._corrupt").isNull)
+  }
 }

@@ -32,6 +32,30 @@ class JsonTablesSpec extends SparkSpec {
     assert(ks.filter(col("k").isNull).count() == 0)
   }
 
+  test("parseWithQuarantine: corrupt rows flag false, valid rows parse, " +
+    "schema drift stays ok") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 7}"""),      // valid
+      (2L, """{{"k": 7}"""),     // corrupt prefix → quarantine
+      (3L, """not json"""),      // → quarantine
+      (4L, """{"other": 1}"""),  // valid JSON, missing field → ok, k null
+      (5L, null.asInstanceOf[String]), // null input → quarantine
+      (6L, """{"k": 7}{"""))     // trailing garbage: Jackson TOLERATES it
+      .toDF("id", "js")
+    val out = JsonTables.parseWithQuarantine(df, col("js"), "k LONG")
+      .select(col("id"), col("json_ok"), col("parsed.k"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out(1L) == (true, Some(7L)))
+    assert(out(2L)._1 == false)
+    assert(out(3L)._1 == false)
+    assert(out(4L) == (true, None))
+    assert(out(5L)._1 == false)
+    assert(out(6L) == (true, Some(7L))) // documented Jackson semantics
+  }
+
   test("ensureEventsJsonl is idempotent by content marker") {
     val p1 = JsonTables.ensureEventsJsonl(spark, sf)
     val m1 = java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(p1))

@@ -898,6 +898,14 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- per-user daily resampling + linear interpolation of the value
+    // series (regular grid between first/last observed day, interior gaps
+    // filled from nearest neighbors — no extrapolation) -------------------
+    "value_resample_daily" -> ((s, dir) =>
+      Relational.resampleInterpolate(Tables.events(s, dir),
+        key = col("user_id"), tsSec = unix_timestamp(col("ts")),
+        value = col("value"), stepSec = 86400L)),
+
     // ---- quarantine parse: every 7th props corrupted, verdict per row,
     // good-row field sums continue — dirty-feed ingest without job failure
     "props_quarantine" -> ((s, dir) => {
@@ -1607,6 +1615,33 @@ object SparkEntry {
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "value_resample_daily" ->
+      """WITH o AS (SELECT user_id AS key,
+        |             (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS t,
+        |             max(CAST(round(value * 1e6) AS BIGINT)) AS v
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT key, min(t) AS t0, max(t) AS t1 FROM o GROUP BY 1),
+        |g AS (SELECT key, unnest(range(t0, t1 + 86400, 86400)) AS t FROM s),
+        |j AS (SELECT g.key, g.t, o.v FROM g LEFT JOIN o ON o.key = g.key AND o.t = g.t),
+        |w AS (SELECT key, t, v,
+        |        last_value(v IGNORE NULLS) OVER wb AS pv,
+        |        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS pt,
+        |        first_value(v IGNORE NULLS) OVER wf AS nv,
+        |        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt
+        |      FROM j
+        |      WINDOW wb AS (PARTITION BY key ORDER BY t
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             wf AS (PARTITION BY key ORDER BY t
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT key, t AS t_s,
+        |  round((CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |         ELSE CAST(pv AS DOUBLE)
+        |              + ((CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+        |                 * (CAST(t AS DOUBLE) - CAST(pt AS DOUBLE)))
+        |                / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)) END) / 1e6, 6) AS v_r,
+        |  (v IS NOT NULL) AS observed
+        |FROM w ORDER BY key, t_s""".stripMargin,
 
     "props_quarantine" ->
       """WITH p AS (SELECT event_type,

@@ -328,6 +328,59 @@ object Relational {
         states.tail.map(s => sum(col(s)).as(s)): _*)
   }
 
+  /** Per-key time-series resampling with linear interpolation: bucket
+    * observations to a fixed `stepSec` grid, then fill every interior gap
+    * by interpolating between the nearest observed neighbors — the
+    * feature-engineering prep that turns irregular event streams into
+    * the regular sequences models consume. Grid endpoints are each key's
+    * first/last observed bucket, so every gap has both neighbors (no
+    * extrapolation — that would be invented data).
+    *
+    * Plan: one groupBy to bucket (map-side combined), one tiny span
+    * aggregate whose `sequence()` explode GENERATES the grid (no
+    * calendar table to join), a left join back on (key, bucket), then
+    * forward/backward `last/first(ignoreNulls)` over ONE keyed window
+    * partitioning — O(1) state per task, no single-partition anything.
+    *
+    * Determinism: observations reduce to max(value_micro) per bucket
+    * (order-independent), and the interpolation runs in ONE fixed
+    * double-arithmetic shape — pv + ((nv − pv)·(t − pt)) / (nt − pt) —
+    * over exact integers, rounded once to 6 places. Output:
+    * (key, t_s, v_r, observed). */
+  def resampleInterpolate(df: DataFrame, key: Column, tsSec: Column,
+                          value: Column, stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    val obs = df
+      .select(key.as("key"), tsSec.cast("long").as("_ts"),
+        round(value * lit(1e6)).cast("long").as("_v"))
+      .select(col("key"),
+        expr(s"(_ts div ${stepSec}L) * ${stepSec}L").as("t"), col("_v"))
+      .groupBy("key", "t").agg(max(col("_v")).as("v"))
+    val grid = obs.groupBy("key").agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .select(col("key"),
+        explode(sequence(col("t0"), col("t1"), lit(stepSec))).as("t"))
+    val back = Window.partitionBy(col("key")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("key")).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col("v").isNotNull, col("t"))
+    def d(c: Column) = c.cast("double")
+    grid.join(obs, Seq("key", "t"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pt", last(obsT, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(obsT, ignoreNulls = true).over(fwd))
+      .select(col("key"), col("t").as("t_s"),
+        round(
+          when(col("v").isNotNull, d(col("v")))
+            .otherwise(d(col("pv")) +
+              ((d(col("nv")) - d(col("pv"))) * (d(col("t")) - d(col("pt"))))
+                / (d(col("nt")) - d(col("pt"))))
+          / lit(1e6), 6).as("v_r"),
+        col("v").isNotNull.as("observed"))
+      .orderBy("key", "t_s")
+  }
+
   /** Snapshot diff — row-level change detection between two versions of a
     * keyed table: one row per key that was `added`, `removed`, or
     * `changed`, with the compared columns' old/new values carried as

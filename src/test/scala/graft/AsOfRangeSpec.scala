@@ -109,6 +109,24 @@ class AsOfRangeSpec extends SparkSpec {
     assert(binned.keySet == errors.collect().map(_.getLong(0)).toSet)
   }
 
+  test("resampleInterpolate: interior gaps fill linearly, no extrapolation") {
+    import org.apache.spark.sql.functions.col
+    // key 1 observed at t=0 (v=10) and t=30 (v=40), step 10:
+    // grid 0,10,20,30 → interpolated 20, 30 at the gaps
+    val df = spark.createDataFrame(Seq(
+      (1L, 0L, 10.0), (1L, 30L, 40.0),
+      (2L, 5L, 7.0))) // single observation → one grid point, no gaps
+      .toDF("k", "ts", "v")
+    val out = Relational.resampleInterpolate(df,
+      key = col("k"), tsSec = col("ts"), value = col("v"), stepSec = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 10.0, true), (1L, 10L, 20.0, false),
+      (1L, 20L, 30.0, false), (1L, 30L, 40.0, true),
+      (2L, 0L, 7.0, true)))
+  }
+
   test("latestPerKey keeps exactly the newest row, ties to max tie-break") {
     val df = events(Seq((1L, 1L, 10L, "a"), (2L, 1L, 30L, "b"),
       (5L, 1L, 30L, "c"), (3L, 2L, 5L, "d")))

@@ -656,6 +656,13 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("docs"))
         .orderBy("split")),
 
+    // ---- unigram LM scoring: per-doc log-prob under the corpus's own
+    // unigram distribution, exact integer micro-nats (quality outliers) --
+    "unigram_logprob" -> ((s, dir) =>
+      TextAnalytics.unigramLogProb(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ---- data mixture: per-stratum sampling rates (en 50%, other 12.5%)
     // — the deterministic mixture-construction step of a training corpus -
     "doc_mixture" -> ((s, dir) => {
@@ -1041,6 +1048,18 @@ object SparkEntry {
         Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
         col("id_a"), col("id_b"))
         .orderBy("id")
+    }),
+
+    // ---- leakage-safe splits: near-dup clusters land in ONE split (rep-
+    // keyed hash); singletons behave like assignSplit on their own id ----
+    "cluster_safe_splits" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      Sampling.clusterSafeSplits(dupped, col("doc_id"),
+        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
+        col("id_a"), col("id_b"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
     }),
 
     // ---- the curation capstone: canonical exact dedup → quality filter →
@@ -2281,6 +2300,28 @@ object SparkEntry {
          |SELECT id, min(r) AS comp, (min(r) = id) AS keep FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // same reachability closure, then every doc inherits its component's
+    // min-id representative (or itself) and the split hashes the REP —
+    // cutoffs as doc_splits: 205→'cd', 230→'e6', else test
+    "cluster_safe_splits" ->
+      s"""WITH RECURSIVE $MinhashAllPairsCtes,
+         |pairs AS (SELECT id_a, id_b FROM p
+         |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT a, a FROM sym
+         |  UNION
+         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |rep AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep
+         |        FROM docs d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id, rep,
+         |  CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |       WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM rep ORDER BY doc_id""".stripMargin,
+
     "kmeans_clusters" -> kmeansOracleSql(5, 4),
 
     // PQ codes: per-subspace nearest centroid after the unrolled Lloyd
@@ -2669,6 +2710,24 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM documents)
         |SELECT split, count(*) AS docs FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // per-token score = floor(ln(cnt/total)·1e6) as BIGINT — one ln per
+    // DISTINCT token on an exact integer ratio, then pure integer sums
+    "unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
+         |sc AS (SELECT tok,
+         |         CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp
+         |       FROM f, tot),
+         |d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |             CAST(sum(sc.lp) AS BIGINT) AS logprob_micro
+         |      FROM t JOIN sc USING (tok) GROUP BY t.doc_id)
+         |SELECT documents.doc_id,
+         |       COALESCE(d.n_tokens, 0) AS n_tokens,
+         |       COALESCE(d.logprob_micro, 0) AS logprob_micro
+         |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+         |ORDER BY documents.doc_id""".stripMargin,
 
     "doc_mixture" -> {
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),

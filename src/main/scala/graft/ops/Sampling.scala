@@ -107,4 +107,32 @@ object Sampling {
       .filter(col("cum_tokens") - col("n_tokens") < budget)
       .drop("_src", "_key", "_tie")
   }
+
+  /** Leakage-safe split assignment: near-duplicate documents must never
+    * straddle train/test (a test doc with a 95%-identical twin in train
+    * is contamination [[assignSplit]]'s per-doc content hash cannot
+    * prevent — the twins hash differently). Assign splits at the
+    * NEAR-DUP-CLUSTER level instead: connected components over the
+    * similarity pairs pick a representative (min id) per cluster, every
+    * member inherits the representative, and the split is keyed off the
+    * representative's id — so a whole cluster moves together, and
+    * singletons (docs in no pair) behave exactly like [[assignSplit]] on
+    * their own id.
+    *
+    * Output: one (doc_id, rep, split) row per input doc — a doc-level
+    * dimension to join back onto the corpus. Scale: components is the
+    * lineage-checkpointed iterative operator (pairs-sized, not
+    * corpus-sized); the join back is a single keyed shuffle.
+    */
+  def clusterSafeSplits(docs: DataFrame, id: Column, pairs: DataFrame,
+                        idA: Column, idB: Column,
+                        splits: Seq[(String, Double)]): DataFrame = {
+    val comps = Graph.dedupClusters(pairs, idA, idB)
+      .select(col("id").as("_cid"), col("comp"))
+    docs.select(id.as("doc_id"))
+      .join(comps, col("doc_id") === col("_cid"), "left")
+      .withColumn("rep", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split", assignSplit(col("rep").cast("string"), splits))
+      .select("doc_id", "rep", "split")
+  }
 }

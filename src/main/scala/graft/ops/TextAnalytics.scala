@@ -600,4 +600,44 @@ object TextAnalytics {
       .select(col("rank"), col("doc_id"), col("n_terms"), col("score_r"))
       .orderBy("rank")
   }
+
+  /** Unigram language-model scoring: each document's total log-probability
+    * under the corpus's OWN unigram distribution — the classic
+    * "train a cheap LM on the corpus, flag the outliers" quality signal
+    * (documents full of rare tokens score low; boilerplate scores high).
+    *
+    * Exactness contract: per-token scores are ln(cnt/total) scaled to
+    * integer MICRO-nats (`floor(ln(p)·10⁶)` as BIGINT), so the per-doc
+    * total is an integer sum — associative, partition-order-independent,
+    * and reproducible by any engine (the only float step is one ln per
+    * DISTINCT token on an exact integer ratio; a boundary flip would need
+    * ln(p)·10⁶ within ~1e-9 of an integer).
+    *
+    * Plan shape at scale: the (doc, token) stream partial-aggregates to
+    * per-doc multiplicities before any join; the score table is
+    * vocabulary-sized (AQE broadcasts it when small, keyed join
+    * otherwise); the corpus total arrives as a broadcast one-row
+    * aggregate, never a driver collect. Token-less docs (NULL/empty
+    * text) surface with n_tokens = 0 rather than dropping.
+    */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val docs = df.select(id.as("doc_id"), text.as("text"))
+    val docTok = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("m"))
+    val freq = docTok.groupBy("token").agg(sum(col("m")).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val scored = freq.join(broadcast(total))
+      .select(col("token"),
+        floor(log(col("cnt").cast("double") / col("total").cast("double")) *
+          lit(1000000d)).as("lp_micro"))
+    val perDoc = docTok.join(scored, "token")
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(col("m") * col("lp_micro")).as("logprob_micro"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+  }
 }

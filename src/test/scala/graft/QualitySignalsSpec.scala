@@ -101,4 +101,23 @@ class QualitySignalsSpec extends SparkSpec {
     assert(once.length == 5 && twice.length == 5)
     assert(once.map(_.toSeq).toSeq == twice.map(_.toSeq).toSeq)
   }
+
+  test("unigramLogProb: hand-computed micro-nat sums; null text -> zeros") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a a b"), (2L, "b"), (3L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    // freq: a=2, b=2, total=4 -> ln(0.5)*1e6 = -693147.18 -> floor -693148
+    val lp = math.floor(math.log(0.5) * 1e6).toLong
+    assert(lp == -693148L)
+    val out = TextAnalytics.unigramLogProb(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 3 * lp), (2L, 1L, lp), (3L, 0L, 0L)))
+    // partition-order independence: integer sums cannot drift
+    val again = TextAnalytics.unigramLogProb(
+        docs.repartition(5), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
 }

@@ -118,4 +118,34 @@ class SamplingSpec extends SparkSpec {
       .select("row_id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(salted == plain && salted.size == 500)
   }
+
+  test("clusterSafeSplits: a near-dup cluster never straddles splits; " +
+    "singletons match assignSplit on their own id") {
+    val d = docs(50)
+    // pairs 1-2, 2-3 form one cluster {1,2,3}; 10-11 another
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L))).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.clusterSafeSplits(
+        d, col("doc_id"), pairs, col("id_a"), col("id_b"), splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 50)
+    val byId = out.map(r => r._1 -> r).toMap
+    // cluster members share the min-id rep AND the split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).forall(_ == 1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._2).forall(_ == 10L))
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.size == 1)
+    // a singleton is its own rep and gets the plain assignSplit value
+    val expected = d.filter(col("doc_id") === 7)
+      .select(Sampling.assignSplit(col("doc_id").cast("string"), splits))
+      .head().getString(0)
+    assert(byId(7L)._2 == 7L && byId(7L)._3 == expected)
+    // deterministic under repartitioning
+    val again = Sampling.clusterSafeSplits(
+        d.repartition(7), col("doc_id"), pairs.repartition(3),
+        col("id_a"), col("id_b"), splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.toSet == out.toSet)
+  }
 }

@@ -54,6 +54,8 @@ object Bench {
     graft.sources.BlogCorpus.ensureFixtures(spark, sfDir)
     graft.sources.ZipImages.ensureFixtures()
     graft.sources.CsvTables.ensureEventsCsv(spark, sfDir)
+    graft.sources.JsonTables.ensureEventsJsonl(spark, sfDir)
+    graft.sources.OrcTables.ensureEventsOrc(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -887,6 +887,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- ORC source: footer-schema read of the events ORC fixture; the
+    // oracle recomputes from parquet, hash-checking the typed columnar
+    // round trip (timestamps, nullable strings, doubles, longs) -----------
+    "orc_event_stats" -> ((s, dir) => {
+      val path = graft.sources.OrcTables.ensureEventsOrc(s, dir)
+      graft.sources.OrcTables.eventsFromOrc(s, path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(unix_timestamp(col("ts"))).as("first_s"),
+          max(unix_timestamp(col("ts"))).as("last_s"),
+          sum(round(col("value") * lit(1e6)).cast("long")).as("value_micro"),
+          sum(length(col("props"))).as("props_chars"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // ---- JSONL source: explicit-schema read of the events JSONL fixture
     // (JSON-in-JSON `props` escaping included); oracle recomputes from
     // parquet, hash-checking write→escape→parse→from_json end to end ------
@@ -1626,6 +1642,15 @@ object SparkEntry {
         |  CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
         |  CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "orc_event_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
+        |  CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro,
+        |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "jsonl_event_stats" ->

@@ -1128,6 +1128,15 @@ object SparkEntry {
         .select(col("item_id").as("vec_id"), col("cluster"), col("dist2"))
         .orderBy("vec_id")),
 
+    // ---- diversity sampling: 2 hash-picked representatives per k-means
+    // cluster — semantic-coverage selection for a training mixture -------
+    "diverse_sample" -> ((s, dir) =>
+      Clustering.diversitySample(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), k = 5, iters = 4, perCluster = 2)
+        .select(col("cluster"), col("rank"), col("item_id").as("vec_id"),
+          col("dist2"))
+        .orderBy("cluster", "rank")),
+
     // ---- product quantization: per-subspace integer-exact codebooks —
     // codes + quantization error per vector, replayed subspace-for-
     // subspace by an unrolled DuckDB oracle (m=2 × k=4 × 2 Lloyd rounds) --
@@ -2348,6 +2357,23 @@ object SparkEntry {
          |FROM rep ORDER BY doc_id""".stripMargin,
 
     "kmeans_clusters" -> kmeansOracleSql(5, 4),
+
+    // same unrolled Lloyd chain, then an md5-ordered row_number within
+    // each final cluster picks the 2 representatives
+    "diverse_sample" -> {
+      val chain = kmeansChainSql("dv", "q", 5, 4)
+      s"""WITH q AS (
+         |  SELECT vec_id AS item_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor((CAST(x AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |${chain}rk AS (SELECT item_id, cluster, dist2,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY md5(CAST(item_id AS VARCHAR)), item_id) AS rn
+         |  FROM dva4)
+         |SELECT cluster, CAST(rn AS BIGINT) AS rank, item_id AS vec_id, dist2
+         |FROM rk WHERE rn <= 2 ORDER BY cluster, rank""".stripMargin
+    },
 
     // PQ codes: per-subspace nearest centroid after the unrolled Lloyd
     // chains; recon_err = sum of the per-subspace assignment distances

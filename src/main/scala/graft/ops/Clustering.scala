@@ -115,4 +115,29 @@ object Clustering {
     q.unpersist()
     out
   }
+
+  /** Diversity sampling: `perCluster` representatives from each k-means
+    * cluster, picked in content-hash order within the cluster — the
+    * "cover the embedding space" selection step of a training mixture
+    * (cluster first so every semantic region is represented, then a
+    * uniform deterministic pick within each region; pure row-count
+    * sampling over-represents dense regions).
+    *
+    * Scale: the per-cluster rank is a `row_number <= m` window, which
+    * Spark's WindowGroupLimit rewrite prunes map-side to m rows per
+    * cluster per task BEFORE the exchange — so the shuffle carries
+    * O(k·m·tasks) rows, not the corpus, even with few clusters. Output:
+    * (cluster, rank, item_id, dist2), rank 1-based in hash order.
+    */
+  def diversitySample(df: DataFrame, id: Column, vec: Column,
+                      k: Int, iters: Int, perCluster: Int): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+    kmeansExact(df, id, vec, k, iters)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perCluster)
+      .select(col("cluster"), col("rank"), col("item_id"), col("dist2"))
+  }
 }

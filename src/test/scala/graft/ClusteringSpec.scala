@@ -68,4 +68,32 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
   }
+
+  test("diversitySample: perCluster hash-picked reps, every cluster " +
+    "covered, deterministic under repartitioning") {
+    // two tight blobs of 5 around 0.0 and around 4.0
+    val rows = (0L to 4L).map(i => i -> Seq(0.0 + i * 0.01)) ++
+      (10L to 14L).map(i => i -> Seq(4.0 + (i - 10) * 0.01))
+    val df = vecs(rows)
+    val out = Clustering.diversitySample(df, col("id"), col("v"),
+        k = 2, iters = 3, perCluster = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 2 clusters × 2 reps, ranks 1..2 in each
+    assert(out.length == 4)
+    assert(out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ==
+      Map(0L -> Seq(1L, 2L), 1L -> Seq(1L, 2L)))
+    // reps come from the right blob (cluster 0 holds ids 0-4 by init order)
+    val byCluster = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byCluster(0L).subsetOf((0L to 4L).toSet))
+    assert(byCluster(1L).subsetOf((10L to 14L).toSet))
+    val again = Clustering.diversitySample(df.repartition(7), col("id"),
+        col("v"), k = 2, iters = 3, perCluster = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == out.toSet)
+    // perCluster larger than the cluster keeps every member, ranked
+    val all = Clustering.diversitySample(df, col("id"), col("v"),
+        k = 2, iters = 3, perCluster = 100)
+      .collect()
+    assert(all.length == 10)
+  }
 }

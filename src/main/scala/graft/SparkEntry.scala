@@ -663,6 +663,13 @@ object SparkEntry {
         col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // ---- bigram LM scoring: add-one-smoothed conditional log-prob per
+    // doc (word-salad detector — unigram-normal, transition-improbable) --
+    "bigram_logprob" -> ((s, dir) =>
+      TextAnalytics.bigramLogProb(Tables.documents(s, dir),
+        col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // ---- data mixture: per-stratum sampling rates (en 50%, other 12.5%)
     // — the deterministic mixture-construction step of a training corpus -
     "doc_mixture" -> ((s, dir) => {
@@ -2776,6 +2783,33 @@ object SparkEntry {
          |      FROM t JOIN sc USING (tok) GROUP BY t.doc_id)
          |SELECT documents.doc_id,
          |       COALESCE(d.n_tokens, 0) AS n_tokens,
+         |       COALESCE(d.logprob_micro, 0) AS logprob_micro
+         |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+         |ORDER BY documents.doc_id""".stripMargin,
+
+    // bigrams built in-row (range over the token list), add-one smoothing
+    // against the leading-token totals and the corpus vocabulary size
+    "bigram_logprob" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+         |         i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |       FROM tt WHERE len(toks) >= 2),
+         |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+         |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+         |       FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         |      FROM (SELECT unnest(toks) AS tok FROM tt)),
+         |lp AS (SELECT c12.bg,
+         |         CAST(floor(ln(CAST(c12.c12 + 1 AS DOUBLE) /
+         |           CAST(c1.c1 + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+         |       FROM c12
+         |       JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1
+         |       CROSS JOIN v),
+         |d AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |             CAST(sum(lp.lp) AS BIGINT) AS logprob_micro
+         |      FROM bg b JOIN lp USING (bg) GROUP BY 1)
+         |SELECT documents.doc_id,
+         |       COALESCE(d.n_bigrams, 0) AS n_bigrams,
          |       COALESCE(d.logprob_micro, 0) AS logprob_micro
          |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
          |ORDER BY documents.doc_id""".stripMargin,

@@ -640,4 +640,50 @@ object TextAnalytics {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
   }
+
+  /** Bigram language-model scoring with add-one smoothing — the
+    * conditional twin of [[unigramLogProb]]: each document's total
+    * ln P(w_i | w_{i-1}) under the corpus's own bigram counts,
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = corpus vocabulary
+    * size. Catches word-salad documents whose unigram profile looks
+    * normal but whose transitions are improbable.
+    *
+    * Same exactness contract as the unigram scorer: per-bigram scores
+    * are floor(ln(p)·10⁶) BIGINTs computed once per DISTINCT bigram on
+    * an exact integer ratio (all counts and V are integers), then only
+    * integer sums. Bigrams are built inside the row (`zip_with` of the
+    * token array against its own tail — no positional self-join, no
+    * window); docs with < 2 tokens surface with n_bigrams = 0.
+    */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val docs = df.select(id.as("doc_id"), text.as("text"))
+    val withToks = docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
+    val len = greatest(size(col("t")) - 1, lit(0))
+    val bg = withToks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("t"), lit(1), len), slice(col("t"), lit(2), len),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val docBg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
+    val c12 = docBg.groupBy("bg").agg(sum(col("m")).as("c12"))
+    val c1 = c12.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = docs
+      .select(explode(tokensCol(col("text"))).as("token"))
+      .agg(count_distinct(col("token")).as("v"))
+    val lp = c12.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, "w1")
+      .join(broadcast(vocab))
+      .select(col("bg"),
+        floor(log((col("c12") + lit(1L)).cast("double") /
+          (col("c1") + col("v")).cast("double")) * lit(1000000d))
+          .as("lp_micro"))
+    val perDoc = docBg.join(lp, "bg")
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("lp_micro")).as("logprob_micro"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+  }
 }

@@ -120,4 +120,27 @@ class QualitySignalsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("bigramLogProb: hand-computed add-one-smoothed sums; short doc " +
+    "-> zeros") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a"), (2L, "b a"), (3L, "a")))
+      .toDF("doc_id", "text")
+    // bigrams: doc1 {"a b","b a"}, doc2 {"b a"}; c12: "a b"=1, "b a"=2
+    // c1: a=1, b=2; V=2 ("a","b" — doc3 adds no new token)
+    // lp("a b") = floor(ln(2/3)*1e6); lp("b a") = floor(ln(3/4)*1e6)
+    val lpAb = math.floor(math.log(2.0 / 3.0) * 1e6).toLong
+    val lpBa = math.floor(math.log(3.0 / 4.0) * 1e6).toLong
+    assert(lpAb == -405466L && lpBa == -287683L)
+    val out = TextAnalytics.bigramLogProb(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, lpAb + lpBa), (2L, 1L, lpBa), (3L, 0L, 0L)))
+    val again = TextAnalytics.bigramLogProb(
+        docs.repartition(5), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
 }

@@ -56,6 +56,7 @@ object Bench {
     graft.sources.CsvTables.ensureEventsCsv(spark, sfDir)
     graft.sources.JsonTables.ensureEventsJsonl(spark, sfDir)
     graft.sources.OrcTables.ensureEventsOrc(spark, sfDir)
+    graft.sources.PartitionedTables.ensureEventsPartitioned(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -910,6 +910,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- partitioned parquet sink + pruned read: the event_type
+    // predicate prunes whole partition directories at planning time
+    // (PartitionFilters, asserted by PartitionedTablesSpec) ---------------
+    "partitioned_click_stats" -> ((s, dir) => {
+      val path = graft.sources.PartitionedTables.ensureEventsPartitioned(s, dir)
+      graft.sources.PartitionedTables.eventsFromPartitioned(s, path)
+        .filter(col("event_type") === "click")
+        .groupBy((col("user_id") % 10).as("user_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * lit(1e6)).cast("long")).as("value_micro"),
+          min(unix_timestamp(col("ts"))).as("first_s"))
+        .orderBy("user_mod")
+    }),
+
     // ---- JSONL source: explicit-schema read of the events JSONL fixture
     // (JSON-in-JSON `props` escaping included); oracle recomputes from
     // parquet, hash-checking write→escape→parse→from_json end to end ------
@@ -1659,6 +1673,13 @@ object SparkEntry {
         |  CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "partitioned_click_stats" ->
+      """SELECT user_id % 10 AS user_mod, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro,
+        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "orc_event_stats" ->
       """SELECT event_type, count(*) AS n,

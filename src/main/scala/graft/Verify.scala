@@ -23,6 +23,7 @@ object Verify {
     graft.sources.CsvTables.ensureEventsCsv(spark, sfDir)
     graft.sources.JsonTables.ensureEventsJsonl(spark, sfDir)
     graft.sources.OrcTables.ensureEventsOrc(spark, sfDir)
+    graft.sources.PartitionedTables.ensureEventsPartitioned(spark, sfDir)
     // local-iteration filter (comma-separated names); driver sets nothing,
     // so the full registry runs in the gate
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -474,6 +474,20 @@ object SparkEntry {
         Tables.events(s, dir), key = "event_type", windowLen = "1 day")
         .orderBy("key", "win_start_s")),
 
+    // ---- stream-static enrichment: facts broadcast-join the dimension
+    // snapshot per micro-batch (batch twin; stream agreement in spec) ----
+    "enriched_segment_stats" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.streaming.EventStreams.enrichWithDim(
+          Tables.events(s, dir), dim, col("user_id"), col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * lit(1e6)).cast("long")).as("value_micro"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- as-of (backward) join: last click at-or-before each purchase,
     // per user — the point-in-time lookup Spark lacks natively, as ONE
     // shuffle + window (AsOf.scala scaladoc) ------------------------------
@@ -2668,6 +2682,13 @@ object SparkEntry {
         |  CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT) + 86400 AS win_end_s,
         |  count(*) AS cnt
         |FROM events GROUP BY key, win_start_s ORDER BY key, win_start_s""".stripMargin,
+
+    "enriched_segment_stats" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sessionize_stateful" ->
       """WITH g AS (

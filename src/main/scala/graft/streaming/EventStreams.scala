@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -237,6 +237,18 @@ object EventStreams {
           col("left_id") =!= col("right_id"))
       .select("left_id", "left_ts", "right_id", "right_ts")
   }
+
+  /** Stream-static dimension enrichment — the standard streaming join:
+    * every micro-batch of the fact stream hash-joins the (small,
+    * slowly-changing) dimension snapshot, `broadcast`-hinted so the
+    * stream side never shuffles and no join state accumulates. Unlike a
+    * stream-stream join, the static side is re-resolvable per batch, so
+    * the left-outer form needs no watermark and unmatched facts emit
+    * immediately with null dimension columns. Works identically on batch
+    * input — the batch twin is what the oracle hash-checks. */
+  def enrichWithDim(facts: DataFrame, dim: DataFrame,
+                    factKey: Column, dimKey: Column): DataFrame =
+    facts.join(broadcast(dim), factKey === dimKey, "left")
 
   /** Batch form of [[sessionize]] that also FLUSHES the final open session
     * per user (batch input is complete, so the open session is closed by

@@ -249,4 +249,33 @@ class EventStreamsSpec extends SparkSpec {
     // the near-dup and the exact copy are found; the unrelated doc is not
     assert(stream.map(p => (p._1, p._2)) == Set((101L, 1L), (102L, 2L)))
   }
+
+  test("enrichWithDim under readStream agrees with the batch twin, " +
+    "unmatched facts pass through with null dims") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq(1L -> "GOLD", 2L -> "SILVER").toDF("cust_id", "segment")
+    val facts = Seq((10L, 1L, "click"), (11L, 2L, "view"),
+      (12L, 2L, "click"), (13L, 99L, "click"))
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = EventStreams.enrichWithDim(
+        mem.toDF().toDF("event_id", "user_id", "event_type"),
+        dim, col("user_id"), col("cust_id"))
+      .select("event_id", "segment")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    mem.addData(facts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("enrich_out")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val batch = EventStreams.enrichWithDim(
+        facts.toDF("event_id", "user_id", "event_type"),
+        dim, col("user_id"), col("cust_id"))
+      .select("event_id", "segment")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(stream == batch)
+    assert(stream == Set(10L -> Some("GOLD"), 11L -> Some("SILVER"),
+      12L -> Some("SILVER"), 13L -> None))
+  }
 }

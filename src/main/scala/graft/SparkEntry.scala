@@ -1101,6 +1101,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- entity resolution: nation-blocked fuzzy name matching —
+    // blocking bounds candidates, levenshtein verifies each pair --------
+    "customer_fuzzy_pairs" -> ((s, dir) =>
+      graft.ops.Linkage.blockedFuzzyPairs(
+        Tables.customer(s, dir), col("c_custkey"), col("c_nationkey"),
+        col("c_name"), maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
     // ---- leakage-safe splits: near-dup clusters land in ONE split (rep-
     // keyed hash); singletons behave like assignSplit on their own id ----
     "cluster_safe_splits" -> ((s, dir) => {
@@ -2375,6 +2383,20 @@ object SparkEntry {
          |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id)
          |SELECT id, min(r) AS comp, (min(r) = id) AS keep FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
+
+    // block sizes mirrored (HAVING <= cap) so the cap is part of the
+    // checked semantics, not a fixture accident
+    "customer_fuzzy_pairs" ->
+      """WITH ok AS (SELECT c_nationkey FROM customer
+        |            GROUP BY 1 HAVING count(*) <= 10000),
+        |c AS (SELECT c_custkey, c_nationkey, c_name FROM customer
+        |      WHERE c_nationkey IN (SELECT c_nationkey FROM ok))
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // same reachability closure, then every doc inherits its component's
     // min-id representative (or itself) and the split hashes the REP —

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution / record linkage: find records that refer to the
+  * same real-world entity despite textual drift (typos, re-keyed ids,
+  * format changes). The classic two-phase shape:
+  *
+  *   1. BLOCKING — candidate generation by an equi key (nation, zip
+  *      prefix, phonetic code): only records sharing a block are ever
+  *      compared, turning the O(n²) cross product into a keyed
+  *      self-join whose cost is Σ blockSize².
+  *   2. VERIFICATION — exact pairwise edit distance (codegen'd
+  *      `levenshtein`) inside each block, thresholded.
+  *
+  * Scale posture: the join shuffles ids+strings once on the block key;
+  * blocks bigger than `maxBlock` are dropped WHOLE (the skew guard —
+  * same posture as the LSH bucket caps in [[Dedup.bucketPairs]]: a
+  * degenerate block like "empty zip" would otherwise go quadratic).
+  * Real deployments run several blocking passes with different keys and
+  * union the pairs; one pass is the verified building block.
+  */
+object Linkage {
+
+  /** All within-block record pairs at edit distance <= maxDist.
+    * Output: (id_a, id_b, dist) with id_a < id_b — symmetric pairs
+    * appear once, self-pairs never. */
+  def blockedFuzzyPairs(df: DataFrame, id: Column, block: Column,
+                        text: Column, maxDist: Int,
+                        maxBlock: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val t = df.select(block.as("blk"), id.as("rid"), text.as("txt"))
+    val sized = t.join(
+      t.groupBy("blk").agg(count(lit(1)).as("_bn")), Seq("blk"))
+      .filter(col("_bn") <= maxBlock)
+    val a = sized.select(col("blk"), col("rid").as("id_a"),
+      col("txt").as("txt_a"))
+    val b = sized.select(col("blk"), col("rid").as("id_b"),
+      col("txt").as("txt_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

@@ -1109,6 +1109,23 @@ object SparkEntry {
         col("c_name"), maxDist = 2)
         .orderBy("id_a", "id_b")),
 
+    // ---- sorted-neighborhood pass: sort by the comparison key, compare
+    // each record to its next 5 neighbors (catches typo-in-block-key
+    // matches; rank via range shuffle, neighbor join via rank bins) ------
+    "customer_snm_pairs" -> ((s, dir) =>
+      graft.ops.Linkage.sortedNeighborPairs(
+        Tables.customer(s, dir), col("c_custkey"), col("c_name"),
+        window = 5, maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
+    // ---- importance sampling: per-row keep probability n_chars/2000 —
+    // token-uniform rather than doc-uniform selection --------------------
+    "weighted_doc_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), col("text"),
+        col("n_chars").cast("double") / lit(2000.0))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // ---- leakage-safe splits: near-dup clusters land in ONE split (rep-
     // keyed hash); singletons behave like assignSplit on their own id ----
     "cluster_safe_splits" -> ((s, dir) => {
@@ -2397,6 +2414,27 @@ object SparkEntry {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "customer_snm_pairs" ->
+      """WITH r AS (SELECT c_custkey AS rid, c_name AS txt,
+        |             row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+        |           FROM customer)
+        |SELECT a.rid AS id_a, b.rid AS id_b,
+        |       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+        |WHERE levenshtein(a.txt, b.txt) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-row cutoff byte = floor(weight·256); md5(NULL text) is NULL and
+    // drops in both engines (three-valued OR)
+    "weighted_doc_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars, text,
+        |  least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) / 2000.0) * 256)
+        |                      AS BIGINT), 0), 256) AS cut
+        |FROM documents)
+        |SELECT doc_id, n_chars FROM w
+        |WHERE cut >= 256 OR substring(md5(text), 1, 2) < printf('%02x', cut)
+        |ORDER BY doc_id""".stripMargin,
 
     // same reachability closure, then every doc inherits its component's
     // min-id representative (or itself) and the split hashes the REP —

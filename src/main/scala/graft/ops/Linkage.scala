@@ -45,4 +45,43 @@ object Linkage {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Sorted-neighborhood linkage — the complementary candidate generator
+    * to [[blockedFuzzyPairs]]: globally sort records by the comparison
+    * key itself and compare each record to its next `window` neighbors
+    * in that order. Catches matches that equi-key blocking splits (a
+    * typo IN the blocking key) at Σ n·window comparisons.
+    *
+    * Scale: the global order comes from
+    * [[Relational.globalRowNumber]] (range shuffle + per-partition rank
+    * + offset merge — NO single-partition window), and the neighbor
+    * join is a bin equi-join: rows land in rank bins of width `window`,
+    * the left side duplicates into its own and the next bin, and the
+    * exact `0 < Δrank <= window` predicate filters after — the same
+    * re-key-the-non-equi-join pattern as [[RangeJoin]].
+    * Output: (id_a, id_b, dist), the pair ordered by rank. */
+  def sortedNeighborPairs(df: DataFrame, id: Column, text: Column,
+                          window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val ranked = Relational.globalRowNumber(
+      df.select(id.as("rid"), text.as("txt")),
+      Seq(col("txt"), col("rid")), alias = "rn")
+    val a = ranked
+      .select(col("rn").as("rn_a"), col("rid").as("id_a"),
+        col("txt").as("txt_a"),
+        explode(array(lit(0L), lit(1L))).as("_d"))
+      .withColumn("_bin", floor(col("rn_a") / window) + col("_d"))
+      .drop("_d")
+    val b = ranked.select(col("rn").as("rn_b"), col("rid").as("id_b"),
+      col("txt").as("txt_b"), floor(col("rn_b") / window).as("_bin"))
+    a.join(b, Seq("_bin"))
+      .filter(col("rn_b") > col("rn_a") &&
+        col("rn_b") <= col("rn_a") + window)
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      // no dedup needed: for any pair bin_b - bin_a is one value in
+      // {0, 1}, matched by exactly one of the two left-side copies
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -108,6 +108,23 @@ object Sampling {
       .drop("_src", "_key", "_tie")
   }
 
+  /** Weighted (importance) Bernoulli sample: each row keeps with its OWN
+    * probability `weight` (clamped to [0, 1], 1/256 granularity) instead
+    * of one global fraction — e.g. weight = n_tokens/maxTokens samples
+    * uniformly over TOKENS rather than documents, the correction for
+    * "short docs dominate a row-uniform sample". Same engine-independent
+    * selection contract as [[hashSample]]: the decision is a pure per-row
+    * compare of the md5 first byte against the row's cutoff, so the
+    * sample is identical on any cluster, partitioning, or engine, and
+    * weight-raising is monotone (a row kept at weight w stays kept at
+    * any w' > w — nested samples for curriculum schedules). */
+  def weightedSample(df: DataFrame, keyText: Column,
+                     weight: Column): DataFrame = {
+    val cut = least(greatest(floor(weight * 256), lit(0L)), lit(256L))
+    val byte = substring(md5(keyText), 1, 2)
+    df.filter(cut >= 256 || byte < lpad(lower(hex(cut.cast("int"))), 2, "0"))
+  }
+
   /** Leakage-safe split assignment: near-duplicate documents must never
     * straddle train/test (a test doc with a 95%-identical twin in train
     * is contamination [[assignSplit]]'s per-doc content hash cannot

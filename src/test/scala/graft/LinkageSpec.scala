@@ -31,6 +31,35 @@ class LinkageSpec extends SparkSpec {
     assert(out == Set((10L, 11L, 1L), (10L, 12L, 0L), (11L, 12L, 1L)))
   }
 
+  test("sortedNeighborPairs: matches brute-force within-window pairs, " +
+    "catches what a corrupted block key would split") {
+    // sorted by name: aaa1 aaa2 aaa3 aab1 zzz9
+    val df = recs(
+      (5L, "x", "aaa2"), (1L, "x", "aaa1"), (9L, "x", "zzz9"),
+      (3L, "x", "aab1"), (7L, "x", "aaa3"))
+    val out = Linkage.sortedNeighborPairs(df, col("id"), col("name"),
+        window = 2, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the name-sorted order with window 2
+    val sorted = Seq((1L, "aaa1"), (5L, "aaa2"), (7L, "aaa3"),
+      (3L, "aab1"), (9L, "zzz9"))
+    val brute = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + 3, sorted.length)
+      d = {
+        val (x, y) = (sorted(i)._2, sorted(j)._2)
+        // all same length here: count substitutions
+        x.zip(y).count { case (a, b) => a != b }.toLong
+      }
+      if d <= 2
+    } yield (sorted(i)._1, sorted(j)._1, d)).toSet
+    assert(out == brute && out.nonEmpty)
+    // window 1 under repartitioning stays deterministic
+    val again = Linkage.sortedNeighborPairs(df.repartition(5), col("id"),
+        col("name"), window = 2, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out)
+  }
+
   test("oversized blocks are dropped whole (skew guard)") {
     val big = (0L until 10L).map(i => (i, "hot", s"name$i"))
     val small = Seq((100L, "cold", "alpha"), (101L, "cold", "alphb"))

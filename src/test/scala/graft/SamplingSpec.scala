@@ -119,6 +119,31 @@ class SamplingSpec extends SparkSpec {
     assert(salted == plain && salted.size == 500)
   }
 
+  test("weightedSample: per-row probability, monotone nesting, " +
+    "deterministic, clamps") {
+    val d = docs(2000)
+    // weight 1 keeps everything, weight 0 (and negative) keeps nothing
+    assert(Sampling.weightedSample(d, col("text"), lit(1.0)).count() == 2000)
+    assert(Sampling.weightedSample(d, col("text"), lit(5.0)).count() == 2000)
+    assert(Sampling.weightedSample(d, col("text"), lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(d, col("text"), lit(-1.0)).count() == 0)
+    // constant weight w matches hashSample(w) exactly (same predicate)
+    val w25 = Sampling.weightedSample(d, col("text"), lit(0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val h25 = Sampling.hashSample(d, col("text"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(w25 == h25)
+    // raising a row's weight never drops it (nested samples)
+    val w50 = Sampling.weightedSample(d, col("text"), lit(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(w25.subsetOf(w50))
+    // per-row weights: rows with weight 1 all kept, weight 0 all dropped
+    val mixed = Sampling.weightedSample(d, col("text"),
+        when(col("doc_id") % 2 === 0, lit(1.0)).otherwise(lit(0.0)))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(mixed.length == 1000 && mixed.forall(_ % 2 == 0))
+  }
+
   test("clusterSafeSplits: a near-dup cluster never straddles splits; " +
     "singletons match assignSplit on their own id") {
     val d = docs(50)

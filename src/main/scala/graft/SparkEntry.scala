@@ -1118,6 +1118,27 @@ object SparkEntry {
         window = 5, maxDist = 2)
         .orderBy("id_a", "id_b")),
 
+    // ---- distribution-shape profiling: equi-width histogram, exact
+    // integer binning (micro-units) --------------------------------------
+    "value_histogram" -> ((s, dir) =>
+      Profiler.histogram(Tables.events(s, dir), col("value"), bins = 20)
+        .orderBy("bin")),
+
+    // ---- CDC MERGE: latest change per key wins, deletes remove, new
+    // keys insert, untouched base passes through -------------------------
+    "cdc_merged_balances" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("key"),
+          round(col("c_acctbal") * 100).cast("long").as("val"))
+      val changes = Tables.events(s, dir)
+        .select(col("user_id").as("key"),
+          round(col("value") * lit(1e6)).cast("long").as("val"),
+          col("event_type"), col("ts"), col("event_id"))
+      Relational.applyChanges(base, changes, "key",
+        col("event_type") === "error", col("ts"), col("event_id"))
+        .orderBy("key")
+    }),
+
     // ---- importance sampling: per-row keep probability n_chars/2000 —
     // token-uniform rather than doc-uniform selection --------------------
     "weighted_doc_sample" -> ((s, dir) =>
@@ -2424,6 +2445,32 @@ object SparkEntry {
         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
         |WHERE levenshtein(a.txt, b.txt) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // integer floor-division binning (// in DuckDB == floor of the exact
+    // quotient == Spark's floor over the correctly-rounded double)
+    "value_histogram" ->
+      """WITH v AS (SELECT CAST(round(value * 1e6) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v)
+        |SELECT ((v.v - b.lo) * 20) // (b.hi - b.lo + 1) AS bin,
+        |       count(*) AS n, min(v.v) AS lo_micro, max(v.v) AS hi_micro
+        |FROM v, b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "cdc_merged_balances" ->
+      """WITH ch AS (SELECT user_id AS key,
+        |             CAST(round(value * 1e6) AS BIGINT) AS val,
+        |             (event_type = 'error') AS del,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts DESC, event_id DESC) AS rn
+        |           FROM events),
+        |last AS (SELECT key, val, del FROM ch WHERE rn = 1),
+        |base AS (SELECT c_custkey AS key,
+        |           CAST(round(c_acctbal * 100) AS BIGINT) AS val
+        |         FROM customer)
+        |SELECT key, val FROM base
+        |WHERE key NOT IN (SELECT key FROM last)
+        |UNION ALL SELECT key, val FROM last WHERE NOT del
+        |ORDER BY key""".stripMargin,
 
     // per-row cutoff byte = floor(weight·256); md5(NULL text) is NULL and
     // drops in both engines (three-valued OR)

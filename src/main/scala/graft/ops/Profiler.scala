@@ -252,4 +252,31 @@ object Profiler {
       .filter(abs(col("z")) > threshold)
       .select(col("key"), col("id"), round(col("z"), 4).as("z_r"))
   }
+
+  /** Equi-width histogram in exact integer micro-units — the
+    * distribution-shape half of intake profiling ([[profile]] gives
+    * bounds and null rates; this gives the shape a skew/outlier decision
+    * needs). Two passes over the column, zero driver state: a one-row
+    * (min, max) aggregate broadcasts, then the bin index is pure BIGINT
+    * arithmetic `((v - lo) · bins) div (hi - lo + 1)` — no float
+    * boundaries, so every engine puts every row in the same bin.
+    * NULLs are excluded (they are [[profile]]'s `n_null` column, not a
+    * bin). Output one row per NON-EMPTY bin: (bin, n, lo_micro,
+    * hi_micro) with the bin's actual min/max micro-values. */
+  def histogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val rows = df.select(round(value * 1e6).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val bounds = rows.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    rows.join(broadcast(bounds))
+      // floor over the double quotient equals exact integer division
+      // here: |p/q - k| >= 1/q ~ 1e-9 for non-exact quotients, six orders
+      // above the 1e-15 rounding error of a correctly-rounded divide
+      .withColumn("bin",
+        floor((col("v") - col("lo")) * bins /
+          (col("hi") - col("lo") + 1)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo_micro"), max(col("v")).as("hi_micro"))
+  }
 }

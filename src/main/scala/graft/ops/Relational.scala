@@ -169,6 +169,37 @@ object Relational {
       .drop("_rn")
   }
 
+  /** MERGE semantics: apply a CDC change batch to a base snapshot. The
+    * LATEST change per key wins ([[latestPerKey]] on (version, tie));
+    * a delete marker removes the key, anything else upserts the new
+    * payload; base rows with no change pass through untouched.
+    *
+    * `base` and `changes` must share the (key, payload) columns;
+    * `changes` additionally carries the delete flag and ordering
+    * columns, which do not survive into the output. Plan: one window
+    * shuffle to compact the batch (changes-sized, not base-sized), one
+    * left-anti join against the compacted keys, one union — base never
+    * shuffles on anything but the join key, which at warehouse scale is
+    * the bucketed layout's sort key (exchange-free). The operation is
+    * idempotent: re-applying the same batch yields the same snapshot.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+                   isDelete: Column, version: Column,
+                   tieBreak: Column): DataFrame = {
+    val payload = base.columns.toSeq
+    require(payload.contains(keyCol), s"base must carry key '$keyCol'")
+    val latest = latestPerKey(
+      changes.select(col(keyCol), isDelete.as("_del"), version.as("_v"),
+        tieBreak.as("_tie"),
+        struct(payload.filterNot(_ == keyCol).map(col): _*).as("_p")),
+      Seq(col(keyCol)), col("_v"), col("_tie"))
+    val upserts = latest.filter(!col("_del"))
+      .select(col(keyCol) +: payload.filterNot(_ == keyCol)
+        .map(c => col(s"_p.$c").as(c)): _*)
+    base.join(latest.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Grouped exact percentiles (linear interpolation — the SQL-standard
     * percentile_cont semantics). Exact, not a sketch: correct at any
     * scale via Spark's built-in `percentile` aggregate (partial

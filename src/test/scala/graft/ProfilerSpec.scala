@@ -269,4 +269,50 @@ class ProfilerSpec extends SparkSpec {
         s"${r.getString(0)}: approx $a vs exact $e")
     }
   }
+
+  test("histogram: exact integer bins, nulls excluded, degenerate range") {
+    val df = spark.createDataFrame(
+      Seq(Some(0.0), Some(0.25), Some(0.5), Some(0.75), Some(1.0),
+        None).map(Tuple1(_))).toDF("v")
+    val out = graft.ops.Profiler.histogram(df, col("v"), bins = 4)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // micro-values 0, 250000, 500000, 750000, 1000000 over range width
+    // 1000001: bins (v*4)/1000001 = 0, 0, 1, 2, 3
+    assert(out.toSeq == Seq(
+      (0L, 2L, 0L, 250000L), (1L, 1L, 500000L, 500000L),
+      (2L, 1L, 750000L, 750000L), (3L, 1L, 1000000L, 1000000L)))
+    // all-equal values: one bin 0 holding everything
+    val one = graft.ops.Profiler.histogram(
+        spark.createDataFrame(Seq(2.5, 2.5, 2.5).map(Tuple1(_))).toDF("v"),
+        col("v"), bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq == Seq((0L, 3L)))
+  }
+
+  test("applyChanges: latest change wins, deletes remove, untouched " +
+    "base passes through, idempotent") {
+    import spark.implicits._
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("key", "val")
+    val changes = Seq(
+      // key 1: update then a LATER update — the later one wins
+      (1L, 11L, false, 100L, 1L), (1L, 12L, false, 200L, 2L),
+      // key 2: update then a LATER delete — deleted
+      (2L, 21L, false, 100L, 3L), (2L, 99L, true, 200L, 4L),
+      // key 4: brand-new insert
+      (4L, 40L, false, 100L, 5L))
+      .toDF("key", "val", "del", "v", "tie")
+    val out = graft.ops.Relational.applyChanges(base, changes, "key",
+        col("del"), col("v"), col("tie"))
+      .orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 12L), (3L, 30L), (4L, 40L)))
+    // idempotent: applying the same batch to the result changes nothing
+    val again = graft.ops.Relational.applyChanges(
+        out.toSeq.toDF("key", "val"), changes, "key",
+        col("del"), col("v"), col("tie"))
+      .orderBy("key")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == out.toSeq)
+  }
 }

@@ -31,7 +31,8 @@ object Probe {
     val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
     // comma-separated family filter (minhash,simhash,embdup,ann,cc,
-    // pagerank,asof,range,kmeans,jaccard,bloomjoin,decon,diff,buckets) —
+    // pagerank,asof,range,kmeans,jaccard,bloomjoin,decon,diff,linkage,
+    // buckets) —
     // unset runs everything; a full ×128 sweep exceeds a single dev
     // timebox, so focused re-probes select just the families under study
     val families = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
@@ -204,6 +205,25 @@ object Probe {
             when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
               .otherwise(col("text")))
         graft.ops.Relational.snapshotDiff(base, cur, Seq("doc_id")).count()
+      }
+      run("linkage", "snm_s", "snm_pairs") {
+        // sorted-neighborhood ER: candidates are n·window by construction
+        // — the LINEAR-in-corpus pass (16-char keys bound the per-pair
+        // Levenshtein DP)
+        graft.ops.Linkage.sortedNeighborPairs(
+          d.withColumn("text", substring(col("text"), 1, 16)),
+          col("doc_id"), col("text"), window = 3, maxDist = 12).count()
+      }
+      run("linkage", "blocked_s", "blocked_pairs") {
+        // blocked ER with blocking-key CARDINALITY scaling with the
+        // corpus (hash mod 500·m — hashed so the ×10⁷ copy-id stride
+        // can't alias into one residue class): block size stays ~10, so
+        // Σ blockSize² stays linear — the discipline that keeps
+        // blocking scale-safe
+        graft.ops.Linkage.blockedFuzzyPairs(
+          d.withColumn("text", substring(col("text"), 1, 16)),
+          col("doc_id"), pmod(xxhash64(col("doc_id")), lit(500L * m)),
+          col("text"), maxDist = 12).count()
       }
       if (want("buckets")) {
         val (maxB, overCap) = minhashBucketStats(d, 1000)

@@ -1203,6 +1203,13 @@ object SparkEntry {
     // and floor-division centroid means, so the whole run is a
     // deterministic function of the input and the DuckDB oracle replays it
     // move for move (unrolled iteration CTEs) ---------------------------
+    // ---- class geometry: exact integer centroids per label + pairwise
+    // squared distances (collapsing/confusable-class diagnostic) ---------
+    "label_centroid_dists" -> ((s, dir) =>
+      VectorOps.labelCentroidDists(Tables.embeddings(s, dir),
+        col("label"), col("embedding"))
+        .orderBy("label_a", "label_b")),
+
     "kmeans_clusters" -> ((s, dir) =>
       Clustering.kmeansExact(Tables.embeddings(s, dir),
         col("vec_id"), col("embedding"), k = 5, iters = 4)
@@ -2504,6 +2511,18 @@ object SparkEntry {
          |       WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM rep ORDER BY doc_id""".stripMargin,
+
+    "label_centroid_dists" ->
+      """WITH q AS (SELECT label, list_transform(embedding, x ->
+        |             CAST(floor((CAST(x AS DOUBLE) + 8.0) * 1000000.0) AS BIGINT)) AS q
+        |           FROM embeddings),
+        |e AS (SELECT label, q, unnest(range(len(q))) AS dim FROM q),
+        |c AS (SELECT label, dim, sum(q[dim+1]) // count(*) AS c
+        |      FROM e GROUP BY 1, 2)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |       CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2
+        |FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin,
 
     "kmeans_clusters" -> kmeansOracleSql(5, 4),
 

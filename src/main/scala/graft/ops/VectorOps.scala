@@ -188,4 +188,37 @@ object VectorOps {
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** Per-label centroid separation — the class-geometry diagnostic for a
+    * labeled embedding set (are classes collapsing? which pairs are
+    * confusable?): centroid per label in exact integer micro-units
+    * (sum div n per dimension — same quantization contract as
+    * [[Clustering]]), then pairwise squared L2 between centroids.
+    *
+    * Exact at any scale: per-(label, dim) sums partial-aggregate
+    * map-side, the centroid table is labels×dims rows no matter the
+    * corpus size, and the pairwise stage joins only that tiny table on
+    * `dim`. Output: (label_a, label_b, dist2) with label_a < label_b,
+    * dist2 in micro² units. */
+  def labelCentroidDists(df: DataFrame, label: Column,
+                         vec: Column): DataFrame = {
+    val cent = df
+      .select(label.as("label"), Clustering.quantize(vec, 8.0, 1e6).as("q"))
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      // nonnegative after the +8 shift, so floor(double quotient) ==
+      // integer division (quotient ~1e7, error 1e-9, gap-to-integer 1/n)
+      .select(col("label"), col("dim"),
+        floor(col("s") / col("n")).cast("long").as("c"))
+    val a = cent.select(col("label").as("label_a"), col("dim"),
+      col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("dim"),
+      col("c").as("cb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .as("dist2"))
+  }
 }

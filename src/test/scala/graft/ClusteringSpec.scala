@@ -96,4 +96,21 @@ class ClusteringSpec extends SparkSpec {
       .collect()
     assert(all.length == 10)
   }
+
+  test("labelCentroidDists: hand-computed centroid separation") {
+    import spark.implicits._
+    // label 0: (0.0), (1.0) -> centroid micro (0+8e6 + 1e6+8e6)/2 = 8.5e6
+    // label 1: (2.0)        -> centroid micro 1e7
+    // label 2: (2.0), (3.0) -> (1e7 + 1.1e7)/2 = 1.05e7
+    val df = Seq(
+      (0, Seq(0.0f)), (0, Seq(1.0f)), (1, Seq(2.0f)),
+      (2, Seq(2.0f)), (2, Seq(3.0f))).toDF("label", "v")
+    val out = graft.ops.VectorOps.labelCentroidDists(df, col("label"), col("v"))
+      .orderBy("label_a", "label_b")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val d01 = 1500000L * 1500000L   // 8.5e6 vs 1.0e7
+    val d02 = 2000000L * 2000000L   // 8.5e6 vs 1.05e7
+    val d12 = 500000L * 500000L     // 1.0e7 vs 1.05e7
+    assert(out.toSeq == Seq((0, 1, d01), (0, 2, d02), (1, 2, d12)))
+  }
 }

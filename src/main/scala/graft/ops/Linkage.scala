@@ -41,8 +41,11 @@ object Linkage {
       col("txt").as("txt_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // 3-arg levenshtein runs the BANDED DP — O(len·maxDist) per pair
+      // instead of O(len²), and returns -1 past the threshold
+      .withColumn("dist",
+        levenshtein(col("txt_a"), col("txt_b"), maxDist).cast("long"))
+      .filter(col("dist").between(0, maxDist))
       .select("id_a", "id_b", "dist")
   }
 
@@ -78,8 +81,9 @@ object Linkage {
     a.join(b, Seq("_bin"))
       .filter(col("rn_b") > col("rn_a") &&
         col("rn_b") <= col("rn_a") + window)
-      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("txt_a"), col("txt_b"), maxDist).cast("long"))
+      .filter(col("dist").between(0, maxDist))
       // no dedup needed: for any pair bin_b - bin_a is one value in
       // {0, 1}, matched by exactly one of the two left-side copies
       .select("id_a", "id_b", "dist")

@@ -79,4 +79,39 @@ class ScaleShapeSpec extends SparkSpec {
     assert(singlePartitionWindows(plan).isEmpty,
       s"single-partition WindowExec in:\n$plan")
   }
+
+  test("sortedNeighborPairs plans no single-partition window and no " +
+    "cartesian product") {
+    val df = (1L to 200L).map(i => (i, f"name$i%04d")).toDF("id", "name")
+    val plan = graft.ops.Linkage.sortedNeighborPairs(df, col("id"),
+        col("name"), window = 3, maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(singlePartitionWindows(plan).isEmpty,
+      s"single-partition WindowExec in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unkeyed join in:\n$plan")
+  }
+
+  test("enrichWithDim broadcasts the dimension (facts never shuffle)") {
+    val facts = (1L to 500L).map(i => (i, i % 50)).toDF("event_id", "uid")
+    val dim = (0L until 50L).map(i => (i, s"seg$i")).toDF("cust_id", "seg")
+    val plan = graft.streaming.EventStreams.enrichWithDim(facts, dim,
+        col("uid"), col("cust_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"facts shuffled in:\n$plan")
+  }
+
+  test("LM scorers plan no cartesian product beyond the one-row " +
+    "broadcast total") {
+    val docs = (1L to 100L).map(i => (i, s"alpha beta gamma doc $i"))
+      .toDF("doc_id", "text")
+    for (scored <- Seq(
+        TextAnalytics.unigramLogProb(docs, col("doc_id"), col("text")),
+        TextAnalytics.bigramLogProb(docs, col("doc_id"), col("text")))) {
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+      assert(singlePartitionWindows(plan).isEmpty)
+    }
+  }
 }

@@ -474,6 +474,24 @@ object SparkEntry {
         Tables.events(s, dir), key = "event_type", windowLen = "1 day")
         .orderBy("key", "win_start_s")),
 
+    // ---- native session windows: Spark's built-in gap-merge session
+    // aggregation (the declarative twin of the stateful sessionizer; in
+    // streaming the same expression runs under a watermark). Seconds-
+    // truncated event time so the oracle's epoch arithmetic is exact;
+    // an exactly-gap-sized silence MERGES — splits need gap exceeded
+    // (closed boundary, pinned by EventStreamsSpec) ----------------------
+    "session_window_counts" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("tss", date_trunc("second", col("ts")))
+      e.groupBy(col("user_id"), session_window(col("tss"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start_s"),
+          unix_timestamp(col("session_window.end")).as("end_s"),
+          col("n_events"))
+        .orderBy("user_id", "start_s")
+    }),
+
     // ---- stream-static enrichment: facts broadcast-join the dimension
     // snapshot per micro-batch (batch twin; stream agreement in spec) ----
     "enriched_segment_stats" -> ((s, dir) => {
@@ -2808,6 +2826,27 @@ object SparkEntry {
         |  CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT) + 86400 AS win_end_s,
         |  count(*) AS cnt
         |FROM events GROUP BY key, win_start_s ORDER BY key, win_start_s""".stripMargin,
+
+    // gap-merge replay: a new session starts only when the silence
+    // EXCEEDS the gap (an exactly-gap silence merges — closed boundary,
+    // pinned by the spec), end = last event + gap
+    "session_window_counts" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |             CASE WHEN lag(ts) OVER w IS NULL
+        |                    OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                       - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+        |                       > 1800
+        |                  THEN 1 ELSE 0 END AS new_sess
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, tsec,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, min(tsec) AS start_s, max(tsec) + 1800 AS end_s,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_s""".stripMargin,
 
     "enriched_segment_stats" ->
       """SELECT c_mktsegment, count(*) AS n,

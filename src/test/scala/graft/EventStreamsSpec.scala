@@ -278,4 +278,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream == Set(10L -> Some("GOLD"), 11L -> Some("SILVER"),
       12L -> Some("SILVER"), 13L -> None))
   }
+
+  test("session_window boundary semantics: an exactly-gap silence still " +
+    "MERGES (split only when the gap is exceeded — same as sessionize)") {
+    import spark.implicits._
+    val base = 86400L * 19500
+    // gaps: 10s (merge), exactly 1800s (merge — closed boundary),
+    // 1801s (split)
+    val df = Seq(
+      (1L, ts(base)), (1L, ts(base + 10)),
+      (1L, ts(base + 10 + 1800)),
+      (1L, ts(base + 10 + 1800 + 1801))).toDF("user_id", "ts")
+    val out = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("session_window.start")).as("s"),
+        unix_timestamp(col("session_window.end")).as("e"), col("n"))
+      .orderBy("s")
+      .collect().map(r => (r.getLong(0) - base, r.getLong(1) - base,
+        r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 1810L + 1800L, 3L),
+      (3611L, 3611L + 1800L, 1L)), out.toSeq.toString)
+  }
 }

@@ -229,4 +229,60 @@ class EdgeCaseSpec extends SparkSpec {
       col("src"), col("text"), col("doc_id"), col("n"), budget = 10)
       .isEmpty)
   }
+
+  test("round-7 batch-3 operators survive empty and degenerate inputs") {
+    import graft.ops.{Linkage, Profiler, Relational, Sampling}
+    val emptyDocs = docs()
+    // LM scorers: empty corpus (total = 0 never divides — no rows reach
+    // the ratio), and a corpus of only null text
+    assert(TextAnalytics.unigramLogProb(emptyDocs, col("doc_id"),
+      col("text")).isEmpty)
+    assert(TextAnalytics.bigramLogProb(emptyDocs, col("doc_id"),
+      col("text")).isEmpty)
+    val nulls = spark.createDataFrame(
+      Seq((1, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    assert(TextAnalytics.unigramLogProb(nulls, col("doc_id"), col("text"))
+      .head().getLong(1) == 0L)
+    // linkage: empty input, and a block of one record (no pairs)
+    val emptyRecs = spark.createDataFrame(Seq.empty[(Long, String, String)])
+      .toDF("id", "blk", "name")
+    assert(Linkage.blockedFuzzyPairs(emptyRecs, col("id"), col("blk"),
+      col("name"), maxDist = 2).isEmpty)
+    assert(Linkage.sortedNeighborPairs(emptyRecs, col("id"), col("name"),
+      window = 3, maxDist = 2).isEmpty)
+    assert(Linkage.blockedFuzzyPairs(
+      spark.createDataFrame(Seq((1L, "b", "x"))).toDF("id", "blk", "name"),
+      col("id"), col("blk"), col("name"), maxDist = 2).isEmpty)
+    // histogram: empty input and all-null column emit no bins
+    val noVals = spark.createDataFrame(Seq.empty[Tuple1[Option[Double]]])
+      .toDF("v")
+    assert(Profiler.histogram(noVals, col("v"), bins = 4).isEmpty)
+    assert(Profiler.histogram(
+      spark.createDataFrame(Seq(Tuple1(Option.empty[Double]))).toDF("v"),
+      col("v"), bins = 4).isEmpty)
+    // applyChanges: empty change batch returns the base unchanged
+    import spark.implicits._
+    val base = Seq((1L, 10L)).toDF("key", "val")
+    val noChanges = spark.createDataFrame(
+      Seq.empty[(Long, Long, Boolean, Long, Long)])
+      .toDF("key", "val", "del", "v", "tie")
+    assert(Relational.applyChanges(base, noChanges, "key", col("del"),
+      col("v"), col("tie")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((1L, 10L)))
+    // clusterSafeSplits with no similarity pairs: everyone is a singleton
+    val noPairs = spark.createDataFrame(Seq.empty[(Long, Long)])
+      .toDF("id_a", "id_b")
+    val css = Sampling.clusterSafeSplits(
+      spark.range(3).toDF("doc_id"), col("doc_id"), noPairs,
+      col("id_a"), col("id_b"), Seq("train" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(css.toSeq.sorted == Seq((0L, 0L), (1L, 1L), (2L, 2L)))
+    // weightedSample: null weight drops the row (three-valued filter)
+    assert(Sampling.weightedSample(docs(1 -> "abc"), col("text"),
+      lit(null).cast("double")).isEmpty)
+    // labelCentroidDists: single label -> no pairs
+    val oneLabel = Seq((0, Seq(1.0f)), (0, Seq(2.0f))).toDF("label", "v")
+    assert(graft.ops.VectorOps.labelCentroidDists(oneLabel, col("label"),
+      col("v")).isEmpty)
+  }
 }

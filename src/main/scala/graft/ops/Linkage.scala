@@ -25,21 +25,47 @@ object Linkage {
 
   /** All within-block record pairs at edit distance <= maxDist.
     * Output: (id_a, id_b, dist) with id_a < id_b — symmetric pairs
-    * appear once, self-pairs never. */
+    * appear once, self-pairs never.
+    *
+    * The self-join is SEGMENT-SALTED: the block count can be tiny (25
+    * nations, 50 states) no matter how big the data, so joining on the
+    * block key alone caps parallelism at #blocks — one straggler task
+    * per block doing the whole O(blockSize²) verify. Instead each
+    * b-side row gets a deterministic segment `hash(id) mod segments`,
+    * the a-side replicates across all segments, and the join key is
+    * (block, segment): every pair still matches exactly once (on the
+    * a-copy carrying the b-row's segment), but each block's pair work
+    * fans out over `segments` independent join keys. a-side shuffle
+    * grows ×segments — noise next to the O(blockSize²) verify.
+    *
+    * Both sides use an EXPLICIT `repartition(n, keys)`: this is an
+    * expanding join (tiny shuffle input, huge output), so AQE's
+    * byte-based partition coalescing would collapse the small input
+    * shuffle to one partition and serialize the verify regardless of
+    * key count. REPARTITION_BY_NUM exchanges are exempt from AQE
+    * coalescing, and the join reuses them (same keys, same count) with
+    * no extra exchange. */
   def blockedFuzzyPairs(df: DataFrame, id: Column, block: Column,
                         text: Column, maxDist: Int,
-                        maxBlock: Int = 10000): DataFrame = {
+                        maxBlock: Int = 10000,
+                        segments: Int = 16): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    require(segments >= 1, s"segments must be >= 1, got $segments")
     val t = df.select(block.as("blk"), id.as("rid"), text.as("txt"))
     val sized = t.join(
       t.groupBy("blk").agg(count(lit(1)).as("_bn")), Seq("blk"))
       .filter(col("_bn") <= maxBlock)
     val a = sized.select(col("blk"), col("rid").as("id_a"),
-      col("txt").as("txt_a"))
+      col("txt").as("txt_a"),
+      explode(sequence(lit(0L), lit(segments - 1L))).as("_seg"))
     val b = sized.select(col("blk"), col("rid").as("id_b"),
-      col("txt").as("txt_b"))
-    a.join(b, Seq("blk"))
+      col("txt").as("txt_b"),
+      pmod(xxhash64(col("rid")), lit(segments.toLong)).as("_seg"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    a.repartition(parts, col("blk"), col("_seg"))
+      .join(b.repartition(parts, col("blk"), col("_seg")),
+        Seq("blk", "_seg"))
       .filter(col("id_a") < col("id_b"))
       // 3-arg levenshtein runs the BANDED DP — O(len·maxDist) per pair
       // instead of O(len²), and returns -1 past the threshold

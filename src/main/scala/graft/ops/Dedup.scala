@@ -98,11 +98,24 @@ object Dedup {
       }
   }
 
+  /** `pinnedParts = Some(n)` pins the bucket aggregation to an explicit
+    * n-way repartition on (band, bucket). Use it when the per-bucket
+    * pair EXPANSION dominates the stage: AQE's byte-based coalescing
+    * sees only the small pre-aggregation shuffle and would collapse the
+    * stage that generates the O(bucketSize²) pairs to a few tasks
+    * (REPARTITION_BY_NUM exchanges are exempt; the aggregate reuses the
+    * exchange). Leave None for callers in iterative loops — there the
+    * many tiny shuffles genuinely want coalescing. */
   private[ops] def bucketPairs(banded: DataFrame, idCol: Column,
-                               maxBucket: Int): DataFrame = {
+                               maxBucket: Int,
+                               pinnedParts: Option[Int] = None): DataFrame = {
     CapMetrics.ensureListener(banded.sparkSession)
     val observeCaps = !sys.env.contains("SPARK_GRAFT_NO_CAP_OBSERVE")
-    val aggregated = banded.groupBy("band", "bucket")
+    val pinned = pinnedParts match {
+      case Some(n) => banded.repartition(n, col("band"), col("bucket"))
+      case None => banded
+    }
+    val aggregated = pinned.groupBy("band", "bucket")
       .agg(array_sort(collect_list(idCol)).as("ids"))
     val grouped = (if (!observeCaps) aggregated
       else aggregated
@@ -187,11 +200,16 @@ object Dedup {
     // 1 − ⌈t·1⌉ + 1 = 1 — the lemma covers it, and dropping such docs
     // would silently miss short-doc duplicate pairs the brute-force
     // oracle (and minhashDupPairs) report
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val s = docs
       .select(id.cast("long").as("doc_id"), shingleHashes64(text, n).as("sh"))
       .localCheckpoint()
     val prefix = jaccardPrefixBuckets(s, threshold)
-    bucketPairs(prefix, col("doc_id"), maxBucket)
+    // pin the expansion stages (pair generation, exact-Jaccard verify):
+    // their shuffle INPUTS are small, so AQE coalescing would serialize
+    // the quadratic work — same pathology as Linkage.blockedFuzzyPairs
+    bucketPairs(prefix, col("doc_id"), maxBucket, pinnedParts = Some(parts))
+      .repartition(parts, col("id_a"))
       .join(s.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(s.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -214,7 +232,12 @@ object Dedup {
     val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    // explicit repartition: the exploded token stream is many rows but
+    // few bytes, so AQE would coalesce the window's input shuffle down
+    // to a couple of tasks and serialize the per-doc rank sort
+    val parts = s.sparkSession.sessionState.conf.numShufflePartitions
     tok.join(dfreq, "g")
+      .repartition(parts, col("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("nsh") - ceil(col("nsh") * lit(threshold)).cast("long") + 1)

@@ -27,16 +27,20 @@ object Linkage {
     * Output: (id_a, id_b, dist) with id_a < id_b — symmetric pairs
     * appear once, self-pairs never.
     *
-    * The self-join is SEGMENT-SALTED: the block count can be tiny (25
-    * nations, 50 states) no matter how big the data, so joining on the
-    * block key alone caps parallelism at #blocks — one straggler task
-    * per block doing the whole O(blockSize²) verify. Instead each
-    * b-side row gets a deterministic segment `hash(id) mod segments`,
-    * the a-side replicates across all segments, and the join key is
-    * (block, segment): every pair still matches exactly once (on the
-    * a-copy carrying the b-row's segment), but each block's pair work
-    * fans out over `segments` independent join keys. a-side shuffle
-    * grows ×segments — noise next to the O(blockSize²) verify.
+    * The self-join is ADAPTIVELY SEGMENT-SALTED: the block count can be
+    * tiny (25 nations, 50 states) no matter how big the data, so joining
+    * on the block key alone caps parallelism at #blocks — one straggler
+    * task per block doing the whole O(blockSize²) verify. Each block's
+    * segment count is derived from its (already computed) size —
+    * `min(segments, ceil(size/256))` — so small blocks pay ZERO
+    * replication and only oversized blocks fan out: the b-side row gets
+    * a deterministic segment `hash(id) mod k(block)`, the a-side
+    * replicates across that block's k segments, and the join key is
+    * (block, segment). Every pair still matches exactly once (on the
+    * a-copy carrying the b-row's segment), and a block's pair work
+    * splits into k independent join keys. The ×128 probe with
+    * plentiful Poisson(10) blocks showed why adaptivity matters: a
+    * FLAT ×16 salt more than doubled its wall time for nothing.
     *
     * Both sides use an EXPLICIT `repartition(n, keys)`: this is an
     * expanding join (tiny shuffle input, huge output), so AQE's
@@ -56,12 +60,16 @@ object Linkage {
     val sized = t.join(
       t.groupBy("blk").agg(count(lit(1)).as("_bn")), Seq("blk"))
       .filter(col("_bn") <= maxBlock)
+    // per-block segment count: 1 for blocks under 256 rows, capped at
+    // `segments`; both sides derive it from the same _bn so the keys agree
+    val segOf = least(lit(segments.toLong),
+      greatest(lit(1L), ceil(col("_bn").cast("double") / 256d).cast("long")))
     val a = sized.select(col("blk"), col("rid").as("id_a"),
       col("txt").as("txt_a"),
-      explode(sequence(lit(0L), lit(segments - 1L))).as("_seg"))
+      explode(sequence(lit(0L), segOf - 1)).as("_seg"))
     val b = sized.select(col("blk"), col("rid").as("id_b"),
       col("txt").as("txt_b"),
-      pmod(xxhash64(col("rid")), lit(segments.toLong)).as("_seg"))
+      pmod(xxhash64(col("rid")), segOf).as("_seg"))
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     a.repartition(parts, col("blk"), col("_seg"))
       .join(b.repartition(parts, col("blk"), col("_seg")),

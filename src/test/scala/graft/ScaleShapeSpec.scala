@@ -114,4 +114,33 @@ class ScaleShapeSpec extends SparkSpec {
       assert(singlePartitionWindows(plan).isEmpty)
     }
   }
+
+  test("blockedFuzzyPairs pins its verify join with REPARTITION_BY_NUM " +
+    "exchanges (exempt from AQE coalescing)") {
+    // expanding join: its shuffle INPUT is tiny, so without the explicit
+    // pin AQE's byte-based coalescing would run the O(blockSize²)
+    // Levenshtein verify on one task regardless of cluster size
+    val df = (1L to 300L).map(i => (i, i % 3, f"name$i%04d"))
+      .toDF("id", "blk", "name")
+    val plan = graft.ops.Linkage.blockedFuzzyPairs(df, col("id"),
+        col("blk"), col("name"), maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"verify join exchanges not pinned in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unkeyed join in:\n$plan")
+  }
+
+  test("jaccardPrefixPairs pins its pair-expansion stages with " +
+    "REPARTITION_BY_NUM exchanges") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta token$i"))
+      .toDF("doc_id", "text")
+    val plan = graft.ops.Dedup.jaccardPrefixPairs(docs, col("doc_id"),
+        col("text")).queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"expansion stages not pinned in:\n$plan")
+    assert(singlePartitionWindows(plan).isEmpty,
+      s"single-partition WindowExec in:\n$plan")
+  }
 }

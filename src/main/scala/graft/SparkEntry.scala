@@ -268,6 +268,13 @@ object SparkEntry {
       TextAnalytics.duplicatedNgramFraction(Tables.documents(s, dir),
         col("doc_id"), col("text"), n = 3)),
 
+    // ---- cross-doc duplicated-SPAN removal: the Lee-et-al-style cleanup
+    // transform (measurement twin above ACTUALLY strips the boilerplate
+    // spans and reassembles the surviving tokens in order) ---------------
+    "span_clean_docs" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir),
+        col("doc_id"), col("text"), n = 3)),
+
     // ---- BM25 ranked retrieval: top-20 docs for a 3-term query (ranked on
     // the ROUNDED score so last-ulp ln() differences cannot reorder) ------
     "bm25_top_docs" -> ((s, dir) =>
@@ -2031,6 +2038,39 @@ object SparkEntry {
          |       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
          |             / len(grams), 6) AS rep_ratio_r
          |FROM g ORDER BY doc_id, n""".stripMargin,
+
+    // span removal: same tokenization and gram construction as
+    // dup_ngram_fraction; covered = union of positions under any gram
+    // seen in >= 2 distinct docs; rebuild filters by position
+    "span_clean_docs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+         |g AS (SELECT doc_id, u.s AS s, u.gram AS gram
+         |      FROM (SELECT doc_id,
+         |              unnest(list_transform(range(nt - 2),
+         |                i -> {'s': i,
+         |                      'gram': array_to_string(toks[i+1:i+3], ' ')}))
+         |                AS u
+         |            FROM base WHERE nt >= 3)),
+         |dup AS (SELECT gram
+         |        FROM (SELECT DISTINCT doc_id, gram FROM g)
+         |        GROUP BY gram HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 3)) AS p
+         |        FROM g WHERE gram IN (SELECT gram FROM dup)),
+         |covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id),
+         |fin AS (SELECT b.doc_id, b.nt,
+         |          CASE WHEN b.nt = 0 THEN []
+         |               ELSE list_filter(
+         |                 list_transform(range(b.nt),
+         |                   p -> {'p': p, 't': b.toks[p+1]}),
+         |                 x -> NOT list_contains(coalesce(c.ps, []), x.p))
+         |          END AS kept
+         |        FROM base b LEFT JOIN covl c USING (doc_id))
+         |SELECT doc_id, CAST(len(kept) AS BIGINT) AS kept_tokens,
+         |       CAST(nt - len(kept) AS BIGINT) AS dropped_tokens,
+         |       coalesce(array_to_string(list_transform(kept, x -> x.t),
+         |                                ' '), '') AS clean_text
+         |FROM fin ORDER BY doc_id""".stripMargin,
 
     "dup_ngram_fraction" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -528,4 +528,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Cross-document duplicated-SPAN removal — the transform behind the
+    * "deduplicate repeated substrings" step of training-data curation
+    * (Lee et al. 2022, at n-gram granularity): a token position is
+    * boilerplate if ANY n-gram covering it occurs in at least
+    * `minDocs` distinct documents; those positions are dropped and the
+    * surviving tokens reassembled in order. The measurement twin is
+    * [[TextAnalytics.duplicatedNgramFraction]] — this one actually
+    * cleans the text.
+    *
+    * Plan: one scan → positional gram stream (explode, n× token rows)
+    * → distinct (doc, gram) → gram document-frequency aggregate
+    * (partial-agg map-side) → equi-join dup grams back to the
+    * positional stream → per-doc covered-position sets via array union
+    * (groupBy doc) → left join to the corpus and an in-row filter
+    * rebuild. No windows, no pair space — linear in corpus token count.
+    * The per-row rebuild is O(tokens · covered) via `array_contains`;
+    * documents are bounded (chunk first for pathological lengths).
+    *
+    * Output per input doc: (doc_id, kept_tokens, dropped_tokens,
+    * clean_text) — docs shorter than n tokens (including empty/null
+    * text) pass through whole. */
+  def removeDuplicatedSpans(docs: DataFrame, id: Column, text: Column,
+                            n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(id.as("doc_id"),
+      coalesce(TextAnalytics.tokensCol(text), array()).as("_toks"))
+    val nt = size(col("_toks"))
+    val grams = base
+      .filter(nt >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nt - n),
+          s => concat_ws(" ", slice(col("_toks"), s + 1, lit(n))))))
+      .withColumnRenamed("pos", "_start").withColumnRenamed("col", "_gram")
+    val dupGrams = grams.select(col("doc_id"), col("_gram")).distinct()
+      .groupBy("_gram").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("_gram")
+    val covered = grams.join(dupGrams, "_gram")
+      .groupBy("doc_id")
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("_start"), col("_start") + (n - 1))))).as("_cov"))
+    val keptToks = when(nt === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        filter(zip_with(col("_toks"), sequence(lit(0), nt - 1),
+            (t, p) => struct(t.as("t"), p.as("p"))),
+          x => !array_contains(coalesce(col("_cov"), array()),
+            x.getField("p"))),
+        x => x.getField("t")))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_toks"), keptToks.as("_kept"))
+      .select(col("doc_id"),
+        size(col("_kept")).cast("long").as("kept_tokens"),
+        (size(col("_toks")) - size(col("_kept")))
+          .cast("long").as("dropped_tokens"),
+        concat_ws(" ", col("_kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -233,4 +233,40 @@ class DedupSpec extends SparkSpec {
       buckets(0) == buckets(1)
     }, minTests = 20)
   }
+
+  test("removeDuplicatedSpans drops exactly the cross-doc covered " +
+    "positions and passes short/empty docs through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // shares "the quick brown" w/ 2
+      (2L, "the quick brown cat sits"),
+      (3L, "totally unique words here today"),
+      (4L, "ab"),                        // < n tokens: no spans possible
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, col("doc_id"), col("text"),
+        n = 3).collect()
+    val by = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(by(1L) == ((2L, 3L, "fox jumps")))
+    assert(by(2L) == ((2L, 3L, "cat sits")))
+    assert(by(3L) == ((5L, 0L, "totally unique words here today")))
+    assert(by(4L) == ((1L, 0L, "ab")))
+    assert(by(5L) == ((0L, 0L, "")))
+  }
+
+  test("removeDuplicatedSpans: overlapping duplicated grams union their " +
+    "covered positions (no double-drop, no gap)") {
+    import spark.implicits._
+    // docs 1/2 share the 4-token run "a b c d": grams "a b c" and
+    // "b c d" are both duplicated, covering positions 0..3 exactly once
+    val docs = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "q r a b c d")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, col("doc_id"), col("text"),
+        n = 3).collect()
+    val by = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(by(1L) == ((3L, 4L, "x y z")))
+    assert(by(2L) == ((2L, 4L, "q r")))
+  }
 }

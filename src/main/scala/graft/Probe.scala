@@ -32,7 +32,7 @@ object Probe {
       .split(",").map(_.trim.toInt).toSeq
     // comma-separated family filter (minhash,simhash,embdup,ann,cc,
     // pagerank,asof,range,kmeans,jaccard,bloomjoin,decon,diff,linkage,
-    // buckets) —
+    // spanclean,buckets) —
     // unset runs everything; a full ×128 sweep exceeds a single dev
     // timebox, so focused re-probes select just the families under study
     val families = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
@@ -224,6 +224,19 @@ object Probe {
           d.withColumn("text", substring(col("text"), 1, 16)),
           col("doc_id"), pmod(xxhash64(col("doc_id")), lit(500L * m)),
           col("text"), maxDist = 12).count()
+      }
+      run("spanclean", "span_s", "span_docs") {
+        // duplicated-span removal is the linear dedup transform: gram
+        // explode → df aggregate → join back → per-doc cover union.
+        // Wall time must track corpus token count; the ×m planted
+        // copies guarantee cross-doc duplicated grams exist at every m.
+        // Aggregate over the OUTPUT columns — a bare count() would let
+        // column pruning skip the position-filter text rebuild entirely
+        val r = Dedup.removeDuplicatedSpans(d, col("doc_id"), col("text"),
+          n = 3)
+          .agg(count(lit(1)).as("n"), sum(length(col("clean_text"))).as("c"))
+          .collect()(0)
+        r.getLong(0)
       }
       if (want("buckets")) {
         val (maxB, overCap) = minhashBucketStats(d, 1000)

@@ -557,11 +557,15 @@ object Dedup {
     val base = docs.select(id.as("doc_id"),
       coalesce(TextAnalytics.tokensCol(text), array()).as("_toks"))
     val nt = size(col("_toks"))
+    // grams travel as 64-bit hashes: the strings are built (and
+    // discarded) inside the scan stage — the distinct/df-count/join
+    // shuffles carry 8 bytes per gram, not ~30-char text. Set semantics
+    // up to negligible 64-bit collisions, same trade as shingleHashes64.
     val grams = base
       .filter(nt >= n)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), nt - n),
-          s => concat_ws(" ", slice(col("_toks"), s + 1, lit(n))))))
+          s => xxhash64(concat_ws(" ", slice(col("_toks"), s + 1, lit(n)))))))
       .withColumnRenamed("pos", "_start").withColumnRenamed("col", "_gram")
     val dupGrams = grams.select(col("doc_id"), col("_gram")).distinct()
       .groupBy("_gram").agg(count(lit(1)).as("_nd"))
@@ -571,13 +575,16 @@ object Dedup {
       .groupBy("doc_id")
       .agg(array_distinct(flatten(collect_list(
         sequence(col("_start"), col("_start") + (n - 1))))).as("_cov"))
+    // kept positions via hash-based array_except — O(tokens + covered)
+    // per row (array_contains per position would be O(tokens·covered),
+    // which dominates on boilerplate-heavy corpora where the cover is
+    // most of the doc); order preserved because the left array is the
+    // ascending position sequence
     val keptToks = when(nt === 0, array().cast("array<string>"))
       .otherwise(transform(
-        filter(zip_with(col("_toks"), sequence(lit(0), nt - 1),
-            (t, p) => struct(t.as("t"), p.as("p"))),
-          x => !array_contains(coalesce(col("_cov"), array()),
-            x.getField("p"))),
-        x => x.getField("t")))
+        array_except(sequence(lit(0), nt - 1),
+          coalesce(col("_cov"), array())),
+        p => element_at(col("_toks"), p + 1)))
     base.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("_toks"), keptToks.as("_kept"))
       .select(col("doc_id"),

@@ -457,6 +457,16 @@ object SparkEntry {
         n = 3, threshold = 0.5)
     }),
 
+    // ---- semantic decontamination: the embedding-space twin — eval side
+    // broadcast, one audit row per corpus vector, flag on rounded cosine
+    // (every 50th vector doubles as the planted eval set → its own row is
+    // a guaranteed cos-1.0 hit) --------------------------------------------
+    "semantic_decontamination" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Dedup.semanticDecontaminate(e, e.filter(col("vec_id") % 50 === 0),
+        col("vec_id"), col("embedding"), cosThreshold = 0.95)
+    }),
+
     // ---- PII redaction audit: deterministic synthetic PII (email, phone,
     // IP, URL derived from doc_id) appended to every doc, then redacted
     // with typed placeholders + per-category counts; the oracle replays
@@ -2821,6 +2831,25 @@ object SparkEntry {
          |        FROM qe LEFT JOIN sk USING (j, cell) GROUP BY term)
          |SELECT t.term, t.cnt, e.est FROM top t JOIN est e USING (term)
          |ORDER BY term""".stripMargin,
+
+    // semantic decontamination: same double-cast + operation-order cosine
+    // as knn_cosine_pairs (q first), threshold on the ROUNDED value
+    "semantic_decontamination" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT c.vec_id,
+        |        round(list_dot_product(q.qv, c.v)
+        |          / (sqrt(list_dot_product(q.qv, q.qv))
+        |             * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_r
+        |      FROM e c, q)
+        |SELECT vec_id, max(cos_r) AS max_eval_cos_r,
+        |       CAST(sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_eval_hits,
+        |       sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END) > 0
+        |         AS contaminated
+        |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "decontamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

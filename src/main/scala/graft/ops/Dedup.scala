@@ -383,6 +383,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Semantic decontamination — the embedding-space twin of
+    * [[decontaminate]]: flag TRAINING rows whose embedding is
+    * near-identical (cosine ≥ `cosThreshold`) to ANY eval-set
+    * embedding. Catches the leak the lexical containment gate misses —
+    * a paraphrased or re-tokenized eval example with the same meaning.
+    *
+    * Output: one AUDIT row per corpus vector — (vec_id,
+    * max_eval_cos_r, n_eval_hits, contaminated) — so the caller can
+    * both filter and report.
+    *
+    * Scale shape: eval sets are benchmark-sized, the corpus is the
+    * 100 TB side — the eval vectors broadcast, the corpus streams
+    * through one scan; the |corpus|·|eval| cosine work happens inside
+    * the broadcast nested-loop stage and the per-row aggregate
+    * partial-aggregates map-side, so the only shuffle carries ONE row
+    * per corpus vector. For eval sets too big to broadcast, prefilter
+    * candidates with [[embeddingNearDupLsh]]'s hyperplane buckets and
+    * verify only collisions. Determinism: max over the ROUNDED cosine
+    * (round is monotone, so max∘round = round∘max) and the threshold
+    * applied to the rounded value, mirroring the knn_cosine_pairs
+    * cross-engine contract. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            id: Column, vec: Column,
+                            cosThreshold: Double = 0.95): DataFrame = {
+    require(cosThreshold > 0.0 && cosThreshold <= 1.0,
+      s"cosThreshold must be in (0,1], got $cosThreshold")
+    val c = corpus.select(id.as("vec_id"), vec.as("cv"))
+    val q = evalSet.select(id.as("eval_id"), vec.as("qv"))
+    c.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("qv"), col("cv")), 4).as("cos_r"))
+      .groupBy("vec_id")
+      .agg(max(col("cos_r")).as("max_eval_cos_r"),
+        sum(when(col("cos_r") >= cosThreshold, 1L).otherwise(0L))
+          .as("n_eval_hits"))
+      .select(col("vec_id"), col("max_eval_cos_r"), col("n_eval_hits"),
+        (col("n_eval_hits") > 0).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** 64-bit SimHash as a single long — native codegen kernel
     * ([[graft.functions.SimHash64]]): per token, xxhash64 contributes ±1 to
     * each bit position; final bit = sign of the sum. */

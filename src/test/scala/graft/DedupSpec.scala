@@ -254,6 +254,27 @@ class DedupSpec extends SparkSpec {
     assert(by(5L) == ((0L, 0L, "")))
   }
 
+  test("semanticDecontaminate flags exact and near matches, passes " +
+    "orthogonal vectors, and emits one audit row per corpus vector") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),   // exact eval duplicate
+      (2L, Array(0.999f, 0.04f, 0f)), // near-duplicate (cos ~0.9992)
+      (3L, Array(0f, 1f, 0f)),   // orthogonal — clean
+      (4L, Array(0f, 0f, 1f)))   // orthogonal — clean
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(corpus, evalSet,
+        col("vec_id"), col("embedding"), cosThreshold = 0.95).collect()
+    assert(out.length == 4)
+    val by = out.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getBoolean(3))).toMap
+    assert(by(1L) == ((1L, true)))
+    assert(by(2L) == ((1L, true)))
+    assert(by(3L) == ((0L, false)))
+    assert(by(4L) == ((0L, false)))
+  }
+
   test("removeDuplicatedSpans: overlapping duplicated grams union their " +
     "covered positions (no double-drop, no gap)") {
     import spark.implicits._

@@ -403,7 +403,9 @@ object Dedup {
     * verify only collisions. Determinism: max over the ROUNDED cosine
     * (round is monotone, so max∘round = round∘max) and the threshold
     * applied to the rounded value, mirroring the knn_cosine_pairs
-    * cross-engine contract. */
+    * cross-engine contract. An EMPTY eval set yields no audit rows
+    * (the cross join is inner-shaped) — callers gate on eval-set
+    * emptiness before relying on the per-vector audit. */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
                             id: Column, vec: Column,
                             cosThreshold: Double = 0.95): DataFrame = {

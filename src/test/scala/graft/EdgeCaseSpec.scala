@@ -284,5 +284,28 @@ class EdgeCaseSpec extends SparkSpec {
     val oneLabel = Seq((0, Seq(1.0f)), (0, Seq(2.0f))).toDF("label", "v")
     assert(graft.ops.VectorOps.labelCentroidDists(oneLabel, col("label"),
       col("v")).isEmpty)
+    // removeDuplicatedSpans: empty corpus -> no rows; null text rides
+    // through whole as zero tokens (the coalesce-to-empty tokenization)
+    assert(Dedup.removeDuplicatedSpans(
+      spark.createDataFrame(Seq.empty[(Long, String)])
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text")).isEmpty)
+    val nullDoc = spark.createDataFrame(
+      Seq((7L, null.asInstanceOf[String]), (8L, "x y z"),
+        (9L, "x y z q"))).toDF("doc_id", "text")
+    val spanOut = Dedup.removeDuplicatedSpans(nullDoc, col("doc_id"),
+      col("text")).collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(spanOut(7L) == ((0L, 0L, "")))
+    assert(spanOut(8L) == ((0L, 3L, ""))) // "x y z" duplicated in doc 9
+    assert(spanOut(9L) == ((1L, 3L, "q")))
+    // semanticDecontaminate: an EMPTY eval set yields no audit rows (the
+    // cross join is inner-shaped) — callers gate on eval-set emptiness,
+    // same contract as the lexical decontaminate's flagged-only output
+    val vecs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Dedup.semanticDecontaminate(vecs,
+      spark.createDataFrame(Seq.empty[(Long, Array[Float])])
+        .toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding")).isEmpty)
   }
 }

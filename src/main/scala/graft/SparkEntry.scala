@@ -569,6 +569,13 @@ object SparkEntry {
         lookback = 20, threshold = 2.5)
         .orderBy("key", "id")),
 
+    // ---- per-user EWMA of the value stream: windowless ordered fold,
+    // alpha=0.25 so alpha AND 1-alpha are exact binary doubles (DuckDB's
+    // list_reduce seeds with the first element, same as the Spark fold) --
+    "user_value_ewma" -> ((s, dir) =>
+      Profiler.ewmaPerKey(Tables.events(s, dir), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("value"), alpha = 0.25)),
+
     // ---- binned range join (no equi-key): events within ±300 s of each
     // error event — equi-join on time bins, not a cartesian product -------
     "events_near_errors" -> ((s, dir) => {
@@ -2966,6 +2973,18 @@ object SparkEntry {
         |SELECT e.user_id, e.e_event_id, e.e_ts_s, r.p_event_id, r.p_ts_s
         |FROM e ASOF JOIN r ON e.user_id = r.user_id AND e.e_ts_s <= r.p_ts_s
         |ORDER BY e_event_id""".stripMargin,
+
+    // EWMA: the DOUBLE casts matter — bare 0.25/0.75 literals parse as
+    // DECIMAL in DuckDB and would run the whole fold in decimal arithmetic
+    "user_value_ewma" ->
+      """WITH s AS (SELECT user_id AS key,
+        |             list(value ORDER BY ts, event_id) AS vs
+        |           FROM events WHERE value IS NOT NULL GROUP BY user_id)
+        |SELECT key, CAST(len(vs) AS BIGINT) AS n_events,
+        |       round(list_reduce(vs,
+        |         (acc, x) -> CAST(0.25 AS DOUBLE) * x
+        |                     + CAST(0.75 AS DOUBLE) * acc), 6) AS ewma_r
+        |FROM s ORDER BY key""".stripMargin,
 
     "rolling_outliers" ->
       """WITH v AS (SELECT user_id, event_id, ts, CAST(round(value * 1e6) AS BIGINT) AS vs FROM events),

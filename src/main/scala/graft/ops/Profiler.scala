@@ -279,4 +279,38 @@ object Profiler {
       .agg(count(lit(1)).as("n"),
         min(col("v")).as("lo_micro"), max(col("v")).as("hi_micro"))
   }
+
+  /** Per-key exponentially-weighted moving average of an ordered value
+    * stream — the "smoothed activity level" feature (monitoring,
+    * per-user signal smoothing). ewma = fold(α·x + (1−α)·acc) over the
+    * (order)-sorted values, seeded with the FIRST value: the windowless
+    * ordered-fold shape — one shuffle on the key, per-key state is the
+    * collected value list (bounded by events-per-key; chunk upstream
+    * for pathological keys).
+    *
+    * Cross-engine determinism: the fold is a left fold in explicit
+    * order, mirrored by DuckDB's `list_reduce` (which also seeds with
+    * the first element); use an `alpha` whose value AND complement are
+    * exact binary doubles (0.5, 0.25, 0.75…) — for any other alpha the
+    * two engines may disagree in the last ulp of the literal itself.
+    * Null values are excluded before ordering. */
+  def ewmaPerKey(df: DataFrame, key: Column, order: Seq[Column],
+                 value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0,1], got $alpha")
+    require(order.nonEmpty, "ewmaPerKey needs at least one order column")
+    val ordStruct = struct(
+      order.zipWithIndex.map { case (c, i) => c.as(s"o$i") } :+
+        value.cast("double").as("v"): _*)
+    val vs = transform(col("_s"), x => x.getField("v"))
+    df.filter(value.isNotNull)
+      .groupBy(key.as("key"))
+      .agg(array_sort(collect_list(ordStruct)).as("_s"))
+      .select(col("key"),
+        size(col("_s")).cast("long").as("n_events"),
+        round(aggregate(slice(vs, lit(2), size(vs) - 1), element_at(vs, 1),
+          (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc), 6)
+          .as("ewma_r"))
+      .orderBy("key")
+  }
 }

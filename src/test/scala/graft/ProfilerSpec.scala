@@ -315,4 +315,23 @@ class ProfilerSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("ewmaPerKey: hand-computed fold, order independence of input " +
+    "row order, single-value seed, null exclusion") {
+    import spark.implicits._
+    // key 1 in SCRAMBLED row order; sorted values are 1,2,3:
+    // seed 1 → 0.5·2+0.5·1 = 1.5 → 0.5·3+0.5·1.5 = 2.25
+    val df = Seq(
+      (1L, 3L, Some(3.0)), (1L, 1L, Some(1.0)), (1L, 2L, Some(2.0)),
+      (2L, 1L, Some(7.5)),                       // single value: seed only
+      (3L, 1L, Some(4.0)), (3L, 2L, None))       // null excluded
+      .toDF("k", "ord", "v")
+    val out = Profiler.ewmaPerKey(df, col("k"), Seq(col("ord")),
+        col("v"), alpha = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 2.25)))
+    assert(out(2L) == ((1L, 7.5)))
+    assert(out(3L) == ((1L, 4.0)))
+  }
 }

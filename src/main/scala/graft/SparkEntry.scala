@@ -1119,6 +1119,20 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- the stateful streaming EWMA run in batch mode (one micro-batch
+    // = the whole table): same oracle as user_value_ewma — the stream and
+    // batch folds must agree row for row ---------------------------------
+    "user_value_ewma_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[graft.streaming.EventStreams.ValueEvent]
+      graft.streaming.EventStreams.ewmaStream(ev, alpha = 0.25).toDF()
+        .withColumnRenamed("user_id", "key")
+        .orderBy("key")
+    }),
+
     // ============ composed similarity / multimodal pipelines =============
     // (mixed checking: most are hash-green against brute-force DuckDB
     // oracles; the xxhash64/md5/SVD-sign-dependent ones are rows-only with
@@ -2973,6 +2987,17 @@ object SparkEntry {
         |SELECT e.user_id, e.e_event_id, e.e_ts_s, r.p_event_id, r.p_ts_s
         |FROM e ASOF JOIN r ON e.user_id = r.user_id AND e.e_ts_s <= r.p_ts_s
         |ORDER BY e_event_id""".stripMargin,
+
+    // the stateful-streaming twin shares the fold oracle verbatim
+    "user_value_ewma_stateful" ->
+      """WITH s AS (SELECT user_id AS key,
+        |             list(value ORDER BY ts, event_id) AS vs
+        |           FROM events WHERE value IS NOT NULL GROUP BY user_id)
+        |SELECT key, CAST(len(vs) AS BIGINT) AS n_events,
+        |       round(list_reduce(vs,
+        |         (acc, x) -> CAST(0.25 AS DOUBLE) * x
+        |                     + CAST(0.75 AS DOUBLE) * acc), 6) AS ewma_r
+        |FROM s ORDER BY key""".stripMargin,
 
     // EWMA: the DOUBLE casts matter — bare 0.25/0.75 literals parse as
     // DECIMAL in DuckDB and would run the whole fold in decimal arithmetic

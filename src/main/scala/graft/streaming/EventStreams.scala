@@ -131,6 +131,45 @@ object EventStreams {
       }
   }
 
+  final case class ValueEvent(user_id: Long, event_id: Long, ts: Timestamp,
+                              value: Double)
+  final case class EwmaState(acc: Double, n: Long)
+  final case class EwmaRow(user_id: Long, n_events: Long, ewma_r: Double)
+
+  /** Streaming per-user EWMA — the running twin of
+    * [[graft.ops.Profiler.ewmaPerKey]]: O(1) state per user (the
+    * current accumulator and count), each micro-batch folds its new
+    * events in (ts, event_id) order into the running value and emits
+    * the user's updated row (update mode).
+    *
+    * Agreement with the batch fold is exact when events arrive in
+    * order per user across batches (the spec's shape); a late
+    * out-of-order arrival folds at arrival position — the standard
+    * running-metric approximation. Rounding matches Catalyst's
+    * `round(_, 6)` (Scala BigDecimal HALF_UP), so stream and batch
+    * rows compare equal, not just close. */
+  def ewmaStream(events: Dataset[ValueEvent],
+                 alpha: Double = 0.25): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0,1], got $alpha")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[ValueEvent], state: GroupState[EwmaState]) =>
+          val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          sorted.foreach { e =>
+            st = if (st.n == 0L) EwmaState(e.value, 1L)
+                 else EwmaState(alpha * e.value + (1.0 - alpha) * st.acc,
+                   st.n + 1L)
+          }
+          state.update(st)
+          EwmaRow(uid, st.n, BigDecimal(st.acc)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+  }
+
   /** Streaming exact dedup for a document stream: content-hash the payload
     * and keep the first arrival, dropping later duplicates that arrive
     * within `horizon` of each other (state is bounded by the watermark —

@@ -250,6 +250,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(stream.map(p => (p._1, p._2)) == Set((101L, 1L), (102L, 2L)))
   }
 
+  test("ewmaStream across two in-order micro-batches agrees with the " +
+    "batch ewmaPerKey fold, row for row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = 86400L * 19300
+    val b1 = Seq(
+      EventStreams.ValueEvent(1L, 1L, ts(base), 1.0),
+      EventStreams.ValueEvent(1L, 2L, ts(base + 10), 2.0),
+      EventStreams.ValueEvent(2L, 3L, ts(base + 20), 7.5))
+    val b2 = Seq(
+      EventStreams.ValueEvent(1L, 4L, ts(base + 30), 3.0),
+      EventStreams.ValueEvent(2L, 5L, ts(base + 40), 2.5))
+    val mem = MemoryStream[EventStreams.ValueEvent]
+    val q = EventStreams.ewmaStream(mem.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // update mode emits one row per (user, batch); the LAST update per
+    // user is the running value after all events
+    val stream = spark.table("ewma_out")
+      .groupBy("user_id").agg(max_by(
+        struct(col("n_events"), col("ewma_r")), col("n_events")).as("s"))
+      .collect().map(r => (r.getLong(0),
+        r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1))).toSet
+    val batch = graft.ops.Profiler.ewmaPerKey(
+        (b1 ++ b2).toDF(), col("user_id"),
+        Seq(col("ts"), col("event_id")), col("value"), alpha = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(stream == batch, s"stream=$stream batch=$batch")
+    // hand check: user 1 = fold(1,2,3) = 0.25·3 + 0.75·(0.25·2+0.75·1)
+    assert(batch.exists(t => t._1 == 1L && t._3 == 1.68750))
+  }
+
   test("enrichWithDim under readStream agrees with the batch twin, " +
     "unmatched facts pass through with null dims") {
     import spark.implicits._

@@ -435,6 +435,12 @@ object SparkEntry {
     "top_terms" -> ((s, dir) =>
       TextAnalytics.topTerms(Tables.documents(s, dir), col("text"), k = 25)),
 
+    // ---- OOV rate vs the corpus top-20 vocabulary: tokenizer-coverage
+    // check (vocab broadcast, token stream never joins pairwise) ----------
+    "doc_oov_rate" -> ((s, dir) =>
+      TextAnalytics.oovRate(Tables.documents(s, dir), col("doc_id"),
+        col("text"), vocabSize = 20)),
+
     // ---- deflate compression ratio (repetitiveness quality signal) —
     // rows-only like the float32 kernels (zlib byte counts are library-
     // version-specific); golden-tested in CompressSpec ---------------------
@@ -2770,6 +2776,21 @@ object SparkEntry {
          |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
          |             term, cnt FROM c)
          |SELECT rank, term, cnt FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    // OOV rate: vocabulary tie-break (cnt DESC, term) mirrors topTerms'
+    // globalRowNumber ordering exactly
+    "doc_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS term
+         |           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         |v AS (SELECT term FROM c ORDER BY cnt DESC, term LIMIT 20)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN term IN (SELECT term FROM v)
+         |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |       round(CAST(sum(CASE WHEN term IN (SELECT term FROM v)
+         |                          THEN 0 ELSE 1 END) AS DOUBLE)
+         |             / count(*), 6) AS oov_rate_r
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "token_budget_sample" ->
       s"""WITH t AS (SELECT doc_id, source, md5(text) AS h,

@@ -83,6 +83,34 @@ object TextAnalytics {
       .orderBy("rank")
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` terms — the tokenizer-coverage check a curation
+    * pipeline runs before committing to a vocabulary: a doc whose
+    * tokens mostly fall outside the candidate vocab is either noise or
+    * a domain the tokenizer will shred.
+    *
+    * Plan: one token explode feeds BOTH the vocabulary ranking
+    * ([[topTerms]] — range-shuffle row numbers, no single-partition
+    * window) and the per-doc membership count; the vocab (bounded at
+    * `vocabSize` rows) broadcasts into a left join, so the token stream
+    * shuffles once for the ranking and once per-doc — never pairwise.
+    * Docs with zero tokens are excluded (mirrored in the oracle). */
+  def oovRate(df: DataFrame, id: Column, text: Column,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val tok = df.select(id.as("doc_id"), explode(tokensCol(text)).as("term"))
+    val vocab = topTerms(df, text, vocabSize)
+      .select(col("term"), lit(1L).as("_inv"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"),
+          6).as("oov_rate_r"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: per-document token statistics — token count, distinct
     * tokens, mean token length, stopword ratio, digit-character ratio.
     * Pure per-row array math (no shuffle at all). */

@@ -143,4 +143,21 @@ class QualitySignalsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("oovRate: vocab tie-break by (count desc, term), zero-token docs " +
+    "excluded, hand-counted rates") {
+    // counts: a=4, b=3, c=2, d=2, e=1 → vocabSize=3 keeps a,b,c
+    // (c beats d on the term tie-break)
+    val docs = Seq(
+      1L -> "a a b c d",    // oov: d → 1/5
+      2L -> "a b c d e",    // oov: d,e → 2/5
+      3L -> "a a b",        // oov: none → 0/3
+      4L -> "").toDF("doc_id", "text")
+    val out = TextAnalytics.oovRate(docs, col("doc_id"), col("text"),
+        vocabSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 1L, 0.2), (2L, 5L, 2L, 0.4), (3L, 3L, 0L, 0.0)))
+  }
 }

@@ -281,6 +281,26 @@ object SparkEntry {
       TextAnalytics.bm25TopK(Tables.documents(s, dir),
         col("doc_id"), col("text"), Bm25Terms, k = 20)),
 
+    // ---- hybrid retrieval: BM25 top-50 fused with embedding-cosine
+    // top-50 (query = vec 0) via reciprocal-rank fusion — the standard
+    // lexical ⊕ semantic RAG retrieval combiner --------------------------
+    "hybrid_retrieval" -> ((s, dir) => {
+      val bm = TextAnalytics.bm25TopK(Tables.documents(s, dir),
+          col("doc_id"), col("text"), Bm25Terms, k = 50)
+        .select(col("doc_id").as("id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cosScored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          round(graft.ops.VectorOps.cosine(col("qv"), col("embedding")), 4)
+            .as("cos_r"))
+      val cosRank = Relational.globalRowNumber(cosScored,
+          Seq(col("cos_r").desc, col("id")), alias = "rank")
+        .filter(col("rank") <= 50).select(col("id"), col("rank"))
+      Relational.rrfFuse(Seq(bm, cosRank), k = 20)
+    }),
+
     // ---- P7/P9/P10/S3/S4 + J2 + A10: the reference blog pipeline --------
     // (a1p2b_ahuja.py end-to-end: wholetext files → malformed-XML parse →
     // industry vocabulary from filenames → mention counts per year-month)
@@ -1461,6 +1481,40 @@ object SparkEntry {
     * and the DuckDB oracle filter the identical term set. */
   private val Bm25Terms = Seq("spark", "vector", "window")
 
+  // BM25 ranking CTE chain (unlimited rank table `rk`), shared by the
+  // bm25_top_docs oracle and the hybrid_retrieval fusion oracle — every
+  // float step mirrors TextAnalytics.bm25TopK's operation order
+  private lazy val bm25Ctes: String = {
+    val termList = Bm25Terms.sorted.map(t => s"'$t'").mkString(", ")
+    val pivotSum = Bm25Terms.sorted.map(t =>
+      s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+      .mkString(" + ")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+       |      FROM t WHERE len(toks) > 0),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
+       |tf AS (SELECT doc_id, any_value(dl) AS dl, term,
+       |              CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT doc_id,
+       |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |           * tf * (1.2 + 1.0)
+       |           / (tf + 1.2 * (0.25 + 0.75 * dl
+       |                / (CAST(sumdl AS DOUBLE) / n_docs))) AS s,
+       |         term
+       |       FROM tf JOIN df USING (term) CROSS JOIN st),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |          round($pivotSum, 6) AS score_r
+       |        FROM sc GROUP BY doc_id),
+       |rk AS (SELECT doc_id, score_r, n_terms,
+       |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id)
+       |           AS BIGINT) AS rank
+       |       FROM agg)""".stripMargin
+  }
+
   /** Shared CTE chain: all-pairs shingle-Jaccard over the self-unioned
     * documents corpus (the brute-force truth behind `minhash_dup_pairs`,
     * reused as the edge list for `dedup_components`). Ends at CTE `p`
@@ -2134,38 +2188,42 @@ object SparkEntry {
     // COMPUTED (the literal 2.2 is a different double), per-term scores
     // added in sorted-term order via the pivot chain, rank on the ROUNDED
     // score. n_docs/sumdl are corpus scalars; terms pinned in Bm25Terms.
-    "bm25_top_docs" -> {
-      val termList = Bm25Terms.sorted.map(t => s"'$t'").mkString(", ")
-      val pivotSum = Bm25Terms.sorted.map(t =>
-        s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
-         |      FROM t WHERE len(toks) > 0),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |              CAST(sum(dl) AS BIGINT) AS sumdl FROM d),
-         |tf AS (SELECT doc_id, any_value(dl) AS dl, term,
-         |              CAST(count(*) AS BIGINT) AS tf
-         |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
-         |       WHERE term IN ($termList) GROUP BY doc_id, term),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT doc_id,
-         |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |           * tf * (1.2 + 1.0)
-         |           / (tf + 1.2 * (0.25 + 0.75 * dl
-         |                / (CAST(sumdl AS DOUBLE) / n_docs))) AS s,
-         |         term
-         |       FROM tf JOIN df USING (term) CROSS JOIN st),
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-         |          round($pivotSum, 6) AS score_r
-         |        FROM sc GROUP BY doc_id),
-         |rk AS (SELECT doc_id, score_r, n_terms,
-         |         CAST(row_number() OVER (ORDER BY score_r DESC, doc_id)
-         |           AS BIGINT) AS rank
-         |       FROM agg)
+    "bm25_top_docs" ->
+      s"""WITH $bm25Ctes
          |SELECT rank, doc_id, n_terms, score_r FROM rk
-         |WHERE rank <= 20 ORDER BY rank""".stripMargin
-    },
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // hybrid retrieval: bm25 rank CTEs reused verbatim; the cosine arm
+    // mirrors knn_cosine_pairs; each RRF term is one double division on
+    // small ints (CAST matters — bare 1.0 is DECIMAL in DuckDB) and the
+    // fusion sum is fixed-order (bm25 term + cosine term)
+    "hybrid_retrieval" ->
+      s"""WITH $bm25Ctes,
+         |br AS (SELECT doc_id AS id, rank FROM rk WHERE rank <= 50),
+         |e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         |cs AS (SELECT vec_id AS id,
+         |         round(list_dot_product(q, v)
+         |           / (sqrt(list_dot_product(q, q))
+         |              * sqrt(list_dot_product(v, v))), 4) AS cos_r
+         |       FROM e, qv WHERE vec_id <> 0),
+         |crk AS (SELECT id, CAST(row_number()
+         |          OVER (ORDER BY cos_r DESC, id) AS BIGINT) AS rank
+         |        FROM cs),
+         |cr AS (SELECT id, rank FROM crk WHERE rank <= 50),
+         |fused AS (SELECT coalesce(br.id, cr.id) AS id,
+         |            round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.rank),
+         |                           CAST(0.0 AS DOUBLE))
+         |                + coalesce(CAST(1.0 AS DOUBLE) / (60 + cr.rank),
+         |                           CAST(0.0 AS DOUBLE)), 9) AS rrf_r
+         |          FROM br FULL OUTER JOIN cr ON br.id = cr.id)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY rrf_r DESC, id)
+         |           AS BIGINT) AS rank, id, rrf_r
+         |  FROM fused)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // z-order: ntile twice (equi-depth bucket per dimension), interleave
     // the bucket bits arithmetically, split into 16 z-key ranges, footer

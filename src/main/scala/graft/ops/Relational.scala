@@ -618,4 +618,35 @@ object Relational {
       .withColumn("trail_n",
         count(lit(1)).over(w.rowsBetween(-(k - 1).toLong, Window.currentRow)))
   }
+
+  /** Reciprocal-rank fusion of ranked lists — the standard hybrid-
+    * retrieval combiner (lexical BM25 ⊕ embedding cosine ⊕ …):
+    * rrf(id) = Σ_r 1/(kRrf + rank_r(id)) over the rankers that listed
+    * the id. Each input frame must carry (id, rank).
+    *
+    * Scale + determinism: ranked lists are k-bounded by construction,
+    * so the full-outer join chain joins small frames; the fusion sum is
+    * a FIXED-ORDER expression over the ranker list (not an aggregate),
+    * and each term 1/(kRrf+rank) is one double division on small
+    * integers — both engines produce the identical value, so the
+    * rounded score hash-matches. Final ranking reuses
+    * [[globalRowNumber]] (no single-partition window). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    val prepared = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col("id"),
+        (lit(1.0) / (lit(kRrf) + col("rank"))).as(s"_c$i"))
+    }
+    val joined = prepared.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val rrf = round(prepared.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0.0)))
+      .reduce(_ + _), 9)
+    globalRowNumber(joined.select(col("id"), rrf.as("rrf_r")),
+        Seq(col("rrf_r").desc, col("id")), alias = "rank")
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("id"), col("rrf_r"))
+      .orderBy("rank")
+  }
 }

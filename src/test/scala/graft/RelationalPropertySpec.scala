@@ -77,4 +77,22 @@ class RelationalPropertySpec extends SparkSpec {
       }
     }, minTests = 15)
   }
+
+  test("rrfFuse: hand-computed fusion — both-lists id outranks " +
+    "single-list ids, absent ranker contributes zero") {
+    import spark.implicits._
+    // id 10 in both lists (ranks 2 and 1): 1/62 + 1/61
+    // id 20 only lexical (rank 1):         1/61
+    // id 30 only semantic (rank 2):        1/62
+    val lex = Seq((20L, 1L), (10L, 2L)).toDF("id", "rank")
+    val sem = Seq((10L, 1L), (30L, 2L)).toDF("id", "rank")
+    val out = Relational.rrfFuse(Seq(lex, sem), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      (1L, 10L, r9(1.0 / 62 + 1.0 / 61)),
+      (2L, 20L, r9(1.0 / 61)),
+      (3L, 30L, r9(1.0 / 62))))
+  }
 }

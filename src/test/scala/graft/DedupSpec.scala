@@ -275,6 +275,38 @@ class DedupSpec extends SparkSpec {
     assert(by(4L) == ((0L, false)))
   }
 
+  test("removeDuplicatedSpans invariants on random corpora: counts add " +
+    "up and clean text is an ordered subsequence of the original " +
+    "(property)") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, doc))
+    checkProp(Prop.forAll(corpus) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.ops.Dedup.removeDuplicatedSpans(df, col("doc_id"),
+          col("text"), n = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      docs.zipWithIndex.forall { case (ws, i) =>
+        val (kept, dropped, clean) = out(i.toLong)
+        val cleanToks = clean.split(" ").filter(_.nonEmpty).toList
+        // counts consistent with the original token count
+        kept + dropped == ws.length && kept == cleanToks.length &&
+        // clean text is an ordered subsequence of the original tokens
+        {
+          var rest = ws
+          cleanToks.forall { t =>
+            val at = rest.indexOf(t)
+            if (at < 0) false else { rest = rest.drop(at + 1); true }
+          }
+        }
+      }
+    }, minTests = 15)
+  }
+
   test("removeDuplicatedSpans: overlapping duplicated grams union their " +
     "covered positions (no double-drop, no gap)") {
     import spark.implicits._

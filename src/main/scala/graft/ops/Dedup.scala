@@ -124,13 +124,19 @@ object Dedup {
             .as("capped_buckets"),
           max(size(col("ids"))).as("max_bucket")))
       .filter(size(col("ids")).between(2, maxBucket))
-    grouped
+    val pairs = grouped
       .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2),
         i => transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1),
           b => struct(element_at(col("ids"), i + 1).as("id_a"), b.as("id_b"))))))
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    // pinned callers also pin the pair dedup: its shuffle input is many
+    // 16-byte rows, which AQE's byte-based coalescing would squeeze onto
+    // one final-aggregate task
+    (pinnedParts match {
+      case Some(n) => pairs.repartition(n, col("id_a"), col("id_b"))
+      case None => pairs
+    }).distinct()
   }
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.

@@ -166,7 +166,8 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(minhashBandBuckets(col("sh"), k, rowsPerBand))
           .as(Seq("band", "bucket")))
-    bucketPairs(banded, col("doc_id"), maxBucket)
+    bucketPairs(banded, col("doc_id"), maxBucket,
+        pinnedParts = Some(df.sparkSession.sessionState.conf.numShufflePartitions))
       .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -279,7 +280,9 @@ object Dedup {
       .select(struct(col("side"), col("doc_id")).as("sid"),
         posexplode(minhashBandBuckets(col("sh"), k, rowsPerBand))
           .as(Seq("band", "bucket")))
-    bucketPairs(banded, col("sid"), maxBucket)
+    bucketPairs(banded, col("sid"), maxBucket,
+        pinnedParts =
+          Some(existing.sparkSession.sessionState.conf.numShufflePartitions))
       .filter(col("id_a.side") === 0 && col("id_b.side") === 1)
       .select(col("id_a.doc_id").as("existing_id"),
         col("id_b.doc_id").as("incoming_id"))
@@ -475,7 +478,9 @@ object Dedup {
         }: _*)).as("bb"))
       .select(col("ds"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // struct sort order is lexicographic: distinct doc_ids ⇒ id_a < id_b
-    bucketPairs(banded, col("ds"), maxBucket)
+    bucketPairs(banded, col("ds"), maxBucket,
+        pinnedParts =
+          Some(sims.sparkSession.sessionState.conf.numShufflePartitions))
       .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"),
         hamming64(col("id_a.sim"), col("id_b.sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -565,7 +570,8 @@ object Dedup {
     val banded = df.select(id.as("vec_id"),
       explode(hyperplaneBands(vec, planes, bands)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    bucketPairs(banded, col("vec_id"), maxBucket)
+    bucketPairs(banded, col("vec_id"), maxBucket,
+        pinnedParts = Some(df.sparkSession.sessionState.conf.numShufflePartitions))
       .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),

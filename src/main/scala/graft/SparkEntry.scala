@@ -740,6 +740,27 @@ object SparkEntry {
 
     // ---- unigram LM scoring: per-doc log-prob under the corpus's own
     // unigram distribution, exact integer micro-nats (quality outliers) --
+    // ---- curriculum phases: docs bucketed into 4 training phases by
+    // per-token LM difficulty (easy → hard), exact integer mean + the
+    // range-shuffle ntileExact — the curriculum-learning prep step -------
+    "curriculum_phases" -> ((s, dir) => {
+      val scored = TextAnalytics.unigramLogProb(Tables.documents(s, dir),
+          col("doc_id"), col("text"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("logprob_micro").cast("double") / col("n_tokens"))
+            .cast("long").as("mean_lp_micro"))
+      Relational.ntileExact(scored,
+          Seq(col("mean_lp_micro").desc, col("doc_id")), buckets = 4,
+          alias = "phase")
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("phase_tokens"),
+          max(col("mean_lp_micro")).as("easiest_lp"),
+          min(col("mean_lp_micro")).as("hardest_lp"))
+        .orderBy("phase")
+    }),
+
     "unigram_logprob" -> ((s, dir) =>
       TextAnalytics.unigramLogProb(Tables.documents(s, dir),
         col("doc_id"), col("text"))
@@ -1480,6 +1501,19 @@ object SparkEntry {
   /** Query terms for the BM25 retrieval query — pinned so the Spark query
     * and the DuckDB oracle filter the identical term set. */
   private val Bm25Terms = Seq("spark", "vector", "window")
+
+  // unigram-LM CTE chain (per-doc micro-nat table `d`, zero-token docs
+  // absent), shared by unigram_logprob and curriculum_phases
+  private lazy val unigramCtes: String =
+    s"""t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
+       |sc AS (SELECT tok,
+       |         CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp
+       |       FROM f, tot),
+       |d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |             CAST(sum(sc.lp) AS BIGINT) AS logprob_micro
+       |      FROM t JOIN sc USING (tok) GROUP BY t.doc_id)""".stripMargin
 
   // BM25 ranking CTE chain (unlimited rank table `rk`), shared by the
   // bm25_top_docs oracle and the hybrid_retrieval fusion oracle — every
@@ -3171,20 +3205,31 @@ object SparkEntry {
     // per-token score = floor(ln(cnt/total)·1e6) as BIGINT — one ln per
     // DISTINCT token on an exact integer ratio, then pure integer sums
     "unigram_logprob" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
-         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f),
-         |sc AS (SELECT tok,
-         |         CAST(floor(ln(CAST(cnt AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp
-         |       FROM f, tot),
-         |d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |             CAST(sum(sc.lp) AS BIGINT) AS logprob_micro
-         |      FROM t JOIN sc USING (tok) GROUP BY t.doc_id)
+      s"""WITH $unigramCtes
          |SELECT documents.doc_id,
          |       COALESCE(d.n_tokens, 0) AS n_tokens,
          |       COALESCE(d.logprob_micro, 0) AS logprob_micro
          |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
          |ORDER BY documents.doc_id""".stripMargin,
+
+    // curriculum: per-token mean difficulty from the shared unigram CTEs
+    // (floor of the double quotient == exact floor: |lp| < 2^53 and the
+    // non-integer quotient gap 1/n_tokens >> the divide's rounding error),
+    // ntile(4) over (difficulty desc, doc_id) = ntileExact's assignment
+    "curriculum_phases" ->
+      s"""WITH $unigramCtes,
+         |m AS (SELECT doc_id, n_tokens,
+         |        CAST(floor(CAST(logprob_micro AS DOUBLE) / n_tokens)
+         |             AS BIGINT) AS mean_lp_micro
+         |      FROM d WHERE n_tokens > 0),
+         |p AS (SELECT *, CAST(ntile(4) OVER
+         |        (ORDER BY mean_lp_micro DESC, doc_id) AS BIGINT) AS phase
+         |      FROM m)
+         |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS phase_tokens,
+         |       max(mean_lp_micro) AS easiest_lp,
+         |       min(mean_lp_micro) AS hardest_lp
+         |FROM p GROUP BY phase ORDER BY phase""".stripMargin,
 
     // bigrams built in-row (range over the token list), add-one smoothing
     // against the leading-token totals and the corpus vocabulary size

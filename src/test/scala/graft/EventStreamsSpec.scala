@@ -286,6 +286,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exists(t => t._1 == 1L && t._3 == 1.68750))
   }
 
+  test("ewmaStream folds a LATE cross-batch arrival at arrival position " +
+    "(the documented running-metric approximation)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = 86400L * 19400
+    val mem = MemoryStream[EventStreams.ValueEvent]
+    val q = EventStreams.ewmaStream(mem.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_late_out")
+      .outputMode("update").start()
+    // batch 1: events at t+10 and t+20 (sorted within the batch)
+    mem.addData(EventStreams.ValueEvent(1L, 1L, ts(base + 10), 1.0),
+      EventStreams.ValueEvent(1L, 2L, ts(base + 20), 2.0))
+    q.processAllAvailable()
+    // batch 2: an event EARLIER than both — folds last, not re-sorted
+    mem.addData(EventStreams.ValueEvent(1L, 3L, ts(base), 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("ewma_late_out")
+      .filter(col("n_events") === 3).head()
+    // seed 1.0 → 0.25·2 + 0.75·1 = 1.25 → 0.25·8 + 0.75·1.25 = 2.9375
+    assert(last.getDouble(2) == 2.9375)
+    // whereas the batch fold sorts globally: seed 8 → fold(1, 2)
+    val batch = graft.ops.Profiler.ewmaPerKey(
+        Seq((1L, 1L, ts(base + 10), 1.0), (1L, 2L, ts(base + 20), 2.0),
+          (1L, 3L, ts(base), 8.0)).toDF("user_id", "event_id", "ts", "value"),
+        col("user_id"), Seq(col("ts"), col("event_id")), col("value"),
+        alpha = 0.25).head()
+    // seed 8 → 0.25·1 + 0.75·8 = 6.25 → 0.25·2 + 0.75·6.25 = 5.1875
+    assert(batch.getDouble(2) == 5.1875)
+  }
+
   test("enrichWithDim under readStream agrees with the batch twin, " +
     "unmatched facts pass through with null dims") {
     import spark.implicits._

@@ -546,7 +546,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("n_users"),
           sum(round(col("value") * lit(1e6)).cast("long")).as("value_micro"))
-        .orderBy("c_mktsegment")
+        // left join ⇒ a user_id with no customer row groups under NULL;
+        // Spark sorts NULLS FIRST by default, DuckDB NULLS LAST — pin it
+        .orderBy(col("c_mktsegment").asc_nulls_last)
     }),
 
     // ---- as-of (backward) join: last click at-or-before each purchase,
@@ -3056,7 +3058,7 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1 NULLS LAST""".stripMargin,
 
     "sessionize_stateful" ->
       """WITH g AS (

@@ -135,9 +135,14 @@ object Clustering {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
       .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+    // filter on the RAW row_number attribute, cast afterwards: the
+    // InferWindowGroupLimit rule matches rank-predicate filters on the
+    // window expression itself, and an interposed Cast defeats the
+    // map-side prune (plan-asserted in ClusteringSpec)
     kmeansExact(df, id, vec, k, iters)
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= perCluster)
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("cluster"), col("rank"), col("item_id"), col("dist2"))
   }
 }

@@ -102,7 +102,8 @@ object EventStreams {
             state.update(SessState(st.nextSessionId, 0L, Long.MinValue, Long.MinValue))
             Iterator.single(Session(userId, st.nextSessionId, st.n, st.startS, st.endS))
           } else {
-            val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toArray
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             var st = state.getOption.getOrElse(
               SessState(0L, 0L, Long.MinValue, Long.MinValue))
@@ -157,7 +158,10 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[ValueEvent], state: GroupState[EwmaState]) =>
-          val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          // full microsecond resolution (getTime truncates to ms; the
+          // batch twin and the DuckDB oracle order by the micros ts)
+          val sorted = it.toArray
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
           sorted.foreach { e =>
             st = if (st.n == 0L) EwmaState(e.value, 1L)

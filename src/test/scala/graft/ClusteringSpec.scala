@@ -97,6 +97,18 @@ class ClusteringSpec extends SparkSpec {
     assert(all.length == 10)
   }
 
+  test("diversitySample plan keeps the WindowGroupLimit map-side prune") {
+    // the rank filter must sit on the RAW row_number attribute (a Cast in
+    // between defeats InferWindowGroupLimit and the shuffle would carry
+    // the whole corpus instead of perCluster rows per task)
+    val rows = (0L until 30L).map(i => i -> Seq(i.toDouble % 3))
+    val plan = Clustering.diversitySample(vecs(rows), col("id"), col("v"),
+        k = 3, iters = 2, perCluster = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in plan:\n$plan")
+  }
+
   test("labelCentroidDists: hand-computed centroid separation") {
     import spark.implicits._
     // label 0: (0.0), (1.0) -> centroid micro (0+8e6 + 1e6+8e6)/2 = 8.5e6

@@ -30,7 +30,7 @@ object Probe {
       Runtime.getRuntime.availableProcessors.toString)
     val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
-    // comma-separated family filter (minhash,simhash,embdup,ann,cc,
+    // comma-separated family filter (minhash,simhash,embdup,ann,cc,ccstar,
     // pagerank,asof,range,kmeans,jaccard,bloomjoin,decon,diff,linkage,
     // spanclean,buckets) —
     // unset runs everything; a full ×128 sweep exceeds a single dev
@@ -38,9 +38,17 @@ object Probe {
     val families = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(f: String): Boolean = families.forall(_.contains(f))
+    // shuffle-partition override, independent of core count: a real
+    // cluster sizes partitions to the data (each stays in executor
+    // memory), while local[N] defaults to N — which makes ×128 exploded
+    // streams sort-spill. Scaling this to the exploded-row count
+    // emulates the cluster posture on one box (cores bound parallelism,
+    // partitions bound per-sort memory).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -148,6 +156,28 @@ object Probe {
       run("cc", "cc_s", "cc_nodes")(graft.ops.Graph.dedupClusters(
         Dedup.minhashDupPairs(d, col("doc_id"), col("text")),
         col("id_a"), col("id_b")).count())
+      run("ccstar", "ccstar_s", "ccstar_nodes") {
+        // star contraction on the similarity graph — must match the cc
+        // family's wall-time band (near-clique components, few rounds)
+        val (labels, rounds) = graft.ops.Graph.starContraction(
+          Dedup.minhashDupPairs(d, col("doc_id"), col("text")),
+          col("id_a"), col("id_b"), maxIter = 50)
+        fields += s""""ccstar_simgraph_rounds":$rounds"""
+        labels.count()
+      }
+      run("ccstar", "ccstar_chain_s", "ccstar_chain_nodes") {
+        // the adversarial-diameter case star contraction exists for: ONE
+        // chain of 5000·m nodes (label propagation would need 5000·m
+        // rounds — structurally impossible); round count must grow
+        // logarithmically with the chain, wall time near-linearly
+        val n = 5000L * m
+        val chain = spark.range(n - 1)
+          .select(col("id").as("a"), (col("id") + 1L).as("b"))
+        val (labels, rounds) = graft.ops.Graph.starContraction(
+          chain, col("a"), col("b"), maxIter = 50)
+        fields += s""""ccstar_chain_rounds":$rounds"""
+        labels.count()
+      }
       run("pagerank", "pagerank_s", "pagerank_nodes") {
         // pair list checkpointed before the two-branch symmetrization
         // (same as the doc_pagerank query) — this timing covers one

@@ -1206,6 +1206,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- same clustering via large-star/small-star contraction — the
+    // O(log² n)-rounds twin for adversarial diameters (label propagation
+    // pays one round per hop of the longest chain); identical semantics,
+    // so it shares dedup_components' recursive-CTE oracle ----------------
+    "dedup_components_star" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      Graph.connectedComponentsStar(
+        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
+        col("id_a"), col("id_b"))
+        .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
+        .orderBy("id")
+    }),
+
     // ---- entity resolution: nation-blocked fuzzy name matching —
     // blocking bounds candidates, levenshtein verifies each pair --------
     "customer_fuzzy_pairs" -> ((s, dir) =>
@@ -1570,6 +1584,23 @@ object SparkEntry {
       |        count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
       |      FROM x a JOIN x b USING (g) WHERE a.doc_id < b.doc_id
       |      GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  /** Min-reachable-id clustering over the minhash dup-pair graph — shared
+    * verbatim by `dedup_components` (label propagation) and
+    * `dedup_components_star` (large-star/small-star contraction): both
+    * compute the same fixpoint, so both must match the same recursion. */
+  private val DedupComponentsOracle =
+    s"""WITH RECURSIVE $MinhashAllPairsCtes,
+       |pairs AS (SELECT id_a, id_b FROM p
+       |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id)
+       |SELECT id, min(r) AS comp, (min(r) = id) AS keep FROM reach
+       |GROUP BY id ORDER BY id""".stripMargin
 
   /** Shared brute-force oracle for both ANN index types (`ann_lsh_topk`,
     * `ann_ivf_topk`): exact top-10 by cosine over the planted corpus of
@@ -2605,18 +2636,11 @@ object SparkEntry {
     // recursive-CTE reachability closure is the independent truth for the
     // iterative min-label-propagation components (tiny per-component
     // closures here; the Spark side is the one that must scale)
-    "dedup_components" ->
-      s"""WITH RECURSIVE $MinhashAllPairsCtes,
-         |pairs AS (SELECT id_a, id_b FROM p
-         |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
-         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-         |        UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT a, a FROM sym
-         |  UNION
-         |  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.id)
-         |SELECT id, min(r) AS comp, (min(r) = id) AS keep FROM reach
-         |GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_components" -> DedupComponentsOracle,
+
+    // identical semantics by construction (comp = min reachable id), so
+    // the star-contraction twin is checked against the SAME oracle
+    "dedup_components_star" -> DedupComponentsOracle,
 
     // block sizes mirrored (HAVING <= cap) so the cap is part of the
     // checked semantics, not a fixture accident

@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * round is one equi-join + one groupBy-min over the edge list — linear
   * shuffles, no driver-side graph state (the driver sees only a one-row
   * convergence count per round). For adversarial long-chain graphs the
-  * round count grows with the chain length; the published fix
-  * (alternating large-star/small-star, which contracts paths in
-  * O(log n) rounds) drops into the same loop shape if ever needed.
+  * round count grows with the chain length; [[connectedComponentsStar]]
+  * (alternating large-star/small-star contraction, O(log² n) rounds on
+  * any diameter) is the drop-in twin for that regime.
   */
 object Graph {
 
@@ -75,8 +75,9 @@ object Graph {
     // several, duplicate keepers downstream) — fail loudly, never return it
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — the graph " +
-        "has a longer path than expected; raise maxIter (or switch this loop " +
-        "to large-star/small-star contraction for adversarial diameters)")
+        "has a longer path than expected; raise maxIter or use " +
+        "connectedComponentsStar (large-star/small-star) for adversarial " +
+        "diameters")
     labels
   }
 
@@ -85,6 +86,108 @@ object Graph {
   def dedupClusters(pairs: DataFrame, idA: Column, idB: Column): DataFrame =
     connectedComponents(pairs, idA, idB)
       .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the adversarial-diameter twin of
+    * [[connectedComponents]]: label propagation needs `diameter` rounds
+    * (a 100-node chain = 99 rounds), star contraction halves path
+    * lengths every round and converges in O(log² n) rounds on ANY graph
+    * shape. Same output contract: (id, comp), comp = min reachable id,
+    * every node that appears in an edge emitted (self-loop-only nodes
+    * included). Prefer the label-propagation twin for near-clique
+    * similarity graphs (2–3 cheaper rounds); prefer this one when the
+    * graph may carry long chains (e.g. transitive boilerplate dup paths
+    * in a web crawl).
+    *
+    * Round shape: each phase is ONE groupBy-min plus ONE equi-join on the
+    * SAME key (co-partitioned — the join reuses the groupBy's exchange),
+    * over edges kept in canonical child>parent orientation. Edges only
+    * ever re-point to smaller ids, no driver-side graph state; the
+    * per-round convergence check is a single (count, hash-sum) scalar
+    * aggregate, O(1) driver rows. Each round's result is checkpointed
+    * ([[Checkpoints.cut]]) so plans stay constant-size. */
+  def connectedComponentsStar(edges: DataFrame, src: Column, dst: Column,
+                              maxIter: Int = 50): DataFrame =
+    starContraction(edges, src, dst, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the converged round count — the
+    * probe/spec entry point (round growth is the scale contract). */
+  private[graft] def starContraction(edges: DataFrame, src: Column,
+                                     dst: Column, maxIter: Int)
+      : (DataFrame, Int) = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val base = Checkpoints.cut(edges
+      .select(src.cast("long").as("a"), dst.cast("long").as("b")))
+    val nodes = base.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct()
+    // canonical orientation child > parent; self-loops carry no
+    // connectivity (their nodes re-enter via the final left join)
+    var e = Checkpoints.cut(base.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct())
+
+    // large-star: every node strictly LARGER than u re-points to the min
+    // of u's closed neighborhood — emitted (v, m), v > u ≥ m keeps the
+    // canonical orientation invariant
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.union(ed.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.filter(col("b") > col("a"))
+        .join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    // small-star: every SMALLER neighbor of u (and u itself) re-points to
+    // the min of u's smaller neighborhood — with edges already oriented
+    // child>parent, every neighbor in the group is smaller by invariant
+    def smallStar(ed: DataFrame): DataFrame = {
+      val mins = ed.groupBy("a").agg(min(col("b")).as("m"))
+      ed.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // a round leaves the edge multiset (distinct, so set) unchanged ⇔
+    // converged: compare (count, order-independent hash sum) — one scalar
+    // aggregate per round, same O(1)-driver-rows posture as the label
+    // twin's sum check (hash SUM in decimal, not xor: xor of an even
+    // number of identical values degenerates)
+    def checksum(ed: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = ed.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = checksum(e)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = Checkpoints.cut(smallStar(largeStar(e)))
+      val cur = checksum(next)
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "this should not happen (star contraction is O(log² n) on any " +
+        "graph); raise maxIter")
+    // converged edge set is a star forest (child, root): every non-root
+    // node has exactly one parent edge; roots and self-loop-only nodes
+    // label themselves via the left join
+    val labels = nodes
+      .join(e.select(col("a").as("id"), col("b").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    (labels, iter)
+  }
 
   /** PageRank over a directed edge list, in EXACT integer micro-units —
     * rank mass is carried as BIGINT millionths so every engine (and every

@@ -317,6 +317,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.getDouble(2) == 5.1875)
   }
 
+  test("ewmaStream sorts within a micro-batch at full microsecond " +
+    "resolution: same-millisecond events fold in time order, not " +
+    "event_id order") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def tsMicro(s: Long, micros: Int): Timestamp = {
+      val t = new Timestamp(s * 1000)
+      t.setNanos(micros * 1000)
+      t
+    }
+    val base = 86400L * 19500
+    // two events 500µs apart inside the SAME millisecond, with event_id
+    // order REVERSED vs time order (a ms-truncated sort falls back to
+    // event_id and folds them backwards), delivered scrambled in ONE batch
+    val evs = Seq(
+      EventStreams.ValueEvent(1L, 5L, tsMicro(base, 750), 4.0),
+      EventStreams.ValueEvent(1L, 7L, ts(base + 1), 2.0),
+      EventStreams.ValueEvent(1L, 9L, tsMicro(base, 250), 1.0))
+    val mem = MemoryStream[EventStreams.ValueEvent]
+    val q = EventStreams.ewmaStream(mem.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_micro_out")
+      .outputMode("update").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ewma_micro_out")
+      .filter(col("n_events") === 3).head().getDouble(2)
+    // time order is id 9 (250µs), id 5 (750µs), id 7 (+1s):
+    // seed 1.0 → 0.25·4 + 0.75·1 = 1.75 → 0.25·2 + 0.75·1.75 = 1.8125
+    // (the ms-truncated sort would fold 4,1,2 → 2.9375)
+    assert(got == 1.8125, s"stream folded out of microsecond order: $got")
+    // and the batch twin (TimestampType is micros end to end) agrees
+    val batch = graft.ops.Profiler.ewmaPerKey(
+        evs.toDF(), col("user_id"), Seq(col("ts"), col("event_id")),
+        col("value"), alpha = 0.25).head().getDouble(2)
+    assert(batch == got, s"stream=$got batch=$batch")
+  }
+
   test("enrichWithDim under readStream agrees with the batch twin, " +
     "unmatched facts pass through with null dims") {
     import spark.implicits._

@@ -98,6 +98,46 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset(graft.ops.Checkpoints.DirConf)
   }
 
+  test("star contraction: 100-node path converges in O(log² n) rounds " +
+    "with every node labeled 0") {
+    // the adversarial shape for label propagation (99 rounds); star
+    // contraction must land well under the default budget
+    val e = edges((0 until 99).map(i => (i.toLong, i + 1L)))
+    val (labels, rounds) = Graph.starContraction(e, col("a"), col("b"),
+      maxIter = 50)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 100 && out.values.forall(_ == 0L))
+    assert(rounds <= 12, s"path-100 took $rounds star rounds")
+  }
+
+  test("star contraction agrees with label propagation on mixed shapes") {
+    // clique + chain + pair + self-loop-only node + negative ids
+    val shapes = Seq(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 10L), (11L, 12L),
+        (12L, 13L), (20L, 21L), (30L, 30L), (-7L, -3L), (-3L, 40L)),
+      (0 until 9).map(i => (i.toLong, i + 1L)),
+      Seq((5L, 9L), (9L, 7L), (100L, 101L), (101L, 102L), (102L, 100L)))
+    shapes.foreach { pairs =>
+      val e = edges(pairs)
+      val star = Graph.connectedComponentsStar(e, col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val label = Graph.connectedComponents(e, col("a"), col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == label, s"divergence on $pairs")
+    }
+  }
+
+  test("star contraction: self-loop-only node labels itself; empty edge " +
+    "set yields empty labels") {
+    val out = Graph.connectedComponentsStar(
+        edges(Seq((42L, 42L), (1L, 2L))), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(42L -> 42L, 1L -> 1L, 2L -> 1L))
+    val empty = Graph.connectedComponentsStar(
+        edges(Seq.empty[(Long, Long)]), col("a"), col("b")).collect()
+    assert(empty.isEmpty)
+  }
+
   test("pageRank: symmetric pair converges to equal ranks; isolated-in-" +
     "edge-list singleton keeps base-plus-self rank semantics") {
     // 1↔2 symmetric: each sends its whole rank to the other — ranks stay

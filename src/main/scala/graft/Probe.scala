@@ -31,8 +31,8 @@ object Probe {
     val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
     // comma-separated family filter (minhash,simhash,embdup,ann,cc,ccstar,
-    // pagerank,asof,range,kmeans,jaccard,bloomjoin,decon,diff,linkage,
-    // spanclean,buckets) —
+    // pagerank,asof,range,kmeans,jaccard,bloomjoin,decon,diff,diffbucketed,
+    // linkage,spanclean,buckets) —
     // unset runs everything; a full ×128 sweep exceeds a single dev
     // timebox, so focused re-probes select just the families under study
     val families = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
@@ -235,6 +235,30 @@ object Probe {
             when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
               .otherwise(col("text")))
         graft.ops.Relational.snapshotDiff(base, cur, Seq("doc_id")).count()
+      }
+      if (want("diffbucketed")) {
+        // warehouse posture: both snapshots bucketed on the key at ingest
+        // (write untimed), then the diff join runs with ZERO hash
+        // exchanges — the timed body is the diff alone, and the row
+        // records the exchange count so the claim is measured, not argued
+        val base = d.filter(col("doc_id") % 13 =!= 0)
+        val cur = d.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")))
+        graft.ops.Relational.writeBucketed(base, "probe_diff_base", "doc_id", 64)
+        graft.ops.Relational.writeBucketed(cur, "probe_diff_cur", "doc_id", 64)
+        run("diffbucketed", "diffb_s", "diffb_rows") {
+          val diff = graft.ops.Relational.snapshotDiff(
+            spark.table("probe_diff_base"), spark.table("probe_diff_cur"),
+            Seq("doc_id"))
+          val nHashEx = diff.queryExecution.executedPlan.toString
+            .linesIterator.count(_.contains("Exchange hashpartitioning"))
+          fields += s""""diffb_hash_exchanges":$nHashEx"""
+          diff.count()
+        }
+        spark.sql("DROP TABLE IF EXISTS probe_diff_base")
+        spark.sql("DROP TABLE IF EXISTS probe_diff_cur")
       }
       run("linkage", "snm_s", "snm_pairs") {
         // sorted-neighborhood ER: candidates are n·window by construction

@@ -1470,6 +1470,40 @@ object SparkEntry {
         queryImages = Seq("img0.zip"), tileSize = 50, factor = 2)
     }),
 
+    // ---- the composed candidate DAG under the oracle END TO END: tiling →
+    // M1 intensity → M2 block mean → M3 gradient quantize → M4 chunked-md5
+    // signature → M5 banding → J3 candidate lists, over the deterministic
+    // image_features fixture (closed-form pixels DuckDB regenerates from
+    // range()). Features are shifted +1 → {0,1,2} before the signature so
+    // the oracle's chr()-based md5 encoding applies (the md5-twin move of
+    // lsh_candidates_md5); the production pipeline's unshifted run keeps
+    // its structural asserts in ImageSimilaritySpec. Valid in double
+    // precision because the fixture's gradient margins to the ±1 quantize
+    // thresholds (min 0.032) dwarf float32 accumulation error — the
+    // float32-vs-double agreement is spec-asserted per tile. -------------
+    "image_similarity_md5" -> ((s, dir) => {
+      val imgs = (0 until 4).map { i =>
+        val rows = 100; val cols = 100
+        val bytes = Array.tabulate(rows * cols * 4) { p =>
+          val pix = p / 4; val ch = p % 4
+          (((pix * (i + 3) + ch * 7) % 251) & 0xff).toByte
+        }
+        (s"img$i.zip", bytes, rows, cols)
+      }
+      val df = s.createDataFrame(imgs).toDF("name", "img", "rows", "cols")
+      val tiles = ImageOps.tiles(df, col("name"), col("img"),
+        col("rows"), col("cols"), t = 50)
+      val feats = ImageOps.tileFeatures(tiles, factor = 5)
+        .select(col("tile_name"),
+          transform(col("features"), x => x + 1).as("features"))
+      val banded = Lsh.withSignatureBuckets(feats, col("tile_name"),
+        col("features"))
+      val qids = for (i <- Seq(0, 3); t <- 0 until 4) yield s"img$i.zip-$t"
+      Lsh.candidateLists(banded, qids)
+        .select(col("query_id"), col("n_candidates"),
+          concat_ws(",", col("candidates")).as("candidates"))
+    }),
+
     // ---- M8 correctness invariant, oracle-checkable: full-rank PCA is an
     // isometry of standardized data (orthogonal U), so projection-space
     // distances equal z-space distances — which DuckDB computes directly
@@ -2505,6 +2539,53 @@ object SparkEntry {
         |q AS (SELECT item_id AS query_id, band, bucket FROM bkts WHERE item_id IN (0,1,2,3)),
         |cand AS (SELECT DISTINCT q.query_id, c.item_id AS candidate_id
         |         FROM q JOIN bkts c USING (band, bucket))
+        |SELECT query_id, count(*) AS n_candidates,
+        |       string_agg(candidate_id, ',' ORDER BY candidate_id) AS candidates
+        |FROM cand GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // Self-contained replay of the composed image-candidate DAG: the
+    // fixture pixels are a closed form over range(), intensity/block-mean
+    // run in DOUBLE (valid: quantize margins ≥0.032 vs float32 error ~1e-3,
+    // agreement spec-asserted), and the signature/banding mirror the
+    // lsh_candidates_md5 encoding with n=180 chunk geometry (chunks 0–51
+    // carry 2 elements, 52–127 one).
+    "image_similarity_md5" ->
+      """WITH tl AS (
+        |  SELECT i, ti, tj FROM (SELECT unnest(range(4)) AS i),
+        |       (SELECT unnest(range(2)) AS ti), (SELECT unnest(range(2)) AS tj)),
+        |px AS (
+        |  SELECT i, ti, tj, bi, bj,
+        |    ((ti*50 + bi*5 + r) * 100 + (tj*50 + bj*5 + c)) AS pix
+        |  FROM tl, (SELECT unnest(range(10)) AS bi), (SELECT unnest(range(10)) AS bj),
+        |       (SELECT unnest(range(5)) AS r), (SELECT unnest(range(5)) AS c)),
+        |inten AS (
+        |  SELECT i, ti, tj, bi, bj,
+        |    (CAST(1 AS DOUBLE)/3) * (((pix*(i+3)) % 251) + ((pix*(i+3)+7) % 251) + ((pix*(i+3)+14) % 251))
+        |      * (CAST(0.01 AS DOUBLE) * ((pix*(i+3)+21) % 251)) AS v
+        |  FROM px),
+        |sub AS (SELECT i, ti, tj, bi, bj, sum(v)/25 AS m FROM inten GROUP BY i, ti, tj, bi, bj),
+        |rowd AS (SELECT a.i, a.ti, a.tj, a.bi*9 + a.bj AS p, b.m - a.m AS d
+        |         FROM sub a JOIN sub b ON a.i=b.i AND a.ti=b.ti AND a.tj=b.tj AND a.bi=b.bi AND b.bj=a.bj+1),
+        |cold AS (SELECT a.i, a.ti, a.tj, 90 + a.bi*10 + a.bj AS p, b.m - a.m AS d
+        |         FROM sub a JOIN sub b ON a.i=b.i AND a.ti=b.ti AND a.tj=b.tj AND b.bi=a.bi+1 AND a.bj=b.bj),
+        |feats AS (
+        |  SELECT 'img' || i || '.zip-' || (2*ti + tj) AS item_id, p,
+        |    CASE WHEN d < -1 THEN 0 WHEN d > 1 THEN 2 ELSE 1 END AS v
+        |  FROM (SELECT * FROM rowd UNION ALL SELECT * FROM cold)),
+        |e2 AS (SELECT item_id, p, v, CASE WHEN p < 104 THEN p // 2 ELSE 52 + (p - 104) END AS ci FROM feats),
+        |chunks AS (SELECT item_id, ci,
+        |    substring(md5(string_agg(chr(v) || chr(0) || chr(0) || chr(0), '' ORDER BY p)), 2, 1) AS h
+        |  FROM e2 GROUP BY item_id, ci),
+        |sigs AS (SELECT item_id, string_agg(h, '' ORDER BY ci) AS sig FROM chunks GROUP BY item_id),
+        |bits AS (SELECT item_id, b, t,
+        |    (strpos('0123456789abcdef', substring(sig, (b*13+t)//4 + 1, 1)) - 1
+        |      >> (3 - (b*13+t)%4)) & 1 AS bit
+        |  FROM sigs, (SELECT unnest(range(39)) AS b) bs, (SELECT unnest(range(13)) AS t) ts),
+        |bkts AS (SELECT item_id, b AS band, sum(CAST(bit AS BIGINT) << (4*(12 - t))) AS bucket
+        |  FROM bits GROUP BY item_id, b),
+        |q AS (SELECT item_id AS query_id, band, bucket FROM bkts
+        |      WHERE item_id LIKE 'img0.zip-%' OR item_id LIKE 'img3.zip-%'),
+        |cand AS (SELECT DISTINCT q.query_id, c.item_id AS candidate_id FROM q JOIN bkts c USING (band, bucket))
         |SELECT query_id, count(*) AS n_candidates,
         |       string_agg(candidate_id, ',' ORDER BY candidate_id) AS candidates
         |FROM cand GROUP BY query_id ORDER BY query_id""".stripMargin,

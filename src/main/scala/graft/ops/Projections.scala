@@ -94,12 +94,24 @@ object Projections {
 
   /** M8: top-k eigenvectors (d×k, row-major rows of length k) of the Gram/
     * covariance matrix via driver-side breeze SVD — the matrix is O(d²),
-    * tiny by construction. */
+    * tiny by construction.
+    *
+    * Signs are CANONICALIZED: each eigenvector's first nonzero component
+    * (tolerance 1e-9 against LAPACK noise on true zeros) is made
+    * positive. An eigenvector's sign is arbitrary — different LAPACK
+    * drivers/versions legally flip it — so without this, projections are
+    * only deterministic per-build. With it they are a property of the
+    * data, reproducible across linear-algebra backends (and replayable
+    * by an independent oracle). */
   def topEigenvectors(gramFlat: Array[Double], d: Int, k: Int): Array[Array[Double]] = {
     val m = new DenseMatrix(d, d, gramFlat.clone(), 0, d, isTranspose = true)
     val svd.SVD(u, _, _) = svd(m)
     // column i of breeze DenseMatrix u = i-th left singular vector
-    Array.tabulate(d)(r => Array.tabulate(k)(c => u(r, c)))
+    val flip = Array.tabulate(k) { c =>
+      val lead = (0 until d).find(r => math.abs(u(r, c)) > 1e-9)
+      if (lead.exists(r => u(r, c) < 0.0)) -1.0 else 1.0
+    }
+    Array.tabulate(d)(r => Array.tabulate(k)(c => u(r, c) * flip(c)))
   }
 
   /** A fitted PCA as one affine map x ↦ x·w − c (standardization folded

@@ -155,6 +155,48 @@ class ImageSimilaritySpec extends SparkSpec {
       q.startsWith("img0.zip") && c.startsWith("img1.zip") })
   }
 
+  test("image_similarity_md5 fixture: float32 kernels and a double replica " +
+    "quantize identically, with margin — the contract that lets the " +
+    "DuckDB oracle replay the pipeline in double precision") {
+    import graft.ops.ImageOps
+    var minMargin = Double.MaxValue
+    (0 until 4).foreach { i =>
+      val bytes = Array.tabulate(100 * 100 * 4) { p =>
+        val pix = p / 4; val ch = p % 4
+        (((pix * (i + 3) + ch * 7) % 251) & 0xff).toByte
+      }
+      ImageOps.tileImage(bytes, 100, 100, 50).foreach { case (_, tile) =>
+        // production path: float32 intensity → float32 block mean → quantize
+        val f32 = ImageOps.gradientFeatures(
+          ImageOps.blockMean(ImageOps.intensity(tile), 50, 50, 5), 10, 10)
+        // double replica of the same arithmetic (the oracle's precision)
+        val n = tile.length / 4
+        val inten = Array.tabulate(n) { p =>
+          val r = tile(4 * p) & 0xff; val g = tile(4 * p + 1) & 0xff
+          val b = tile(4 * p + 2) & 0xff; val ir = tile(4 * p + 3) & 0xff
+          (1.0 / 3.0) * (r + g + b) * (0.01 * ir)
+        }
+        val sub = Array.tabulate(10, 10) { (bi, bj) =>
+          var s = 0.0
+          for (r <- 0 until 5; c <- 0 until 5)
+            s += inten((bi * 5 + r) * 50 + bj * 5 + c)
+          s / 25.0
+        }
+        val diffs =
+          (for (bi <- 0 until 10; bj <- 0 until 9)
+            yield sub(bi)(bj + 1) - sub(bi)(bj)) ++
+          (for (bi <- 0 until 9; bj <- 0 until 10)
+            yield sub(bi + 1)(bj) - sub(bi)(bj))
+        val f64 = diffs.map(d => if (d < -1) -1 else if (d > 1) 1 else 0)
+        assert(f32.toSeq == f64.toSeq, s"quantize divergence on img$i")
+        minMargin = math.min(minMargin,
+          diffs.map(d => math.abs(math.abs(d) - 1.0)).min)
+      }
+    }
+    // margin to the ±1 thresholds dwarfs float32 accumulation error
+    assert(minMargin > 0.01, s"quantize margin too thin: $minMargin")
+  }
+
   test("candidate counts stay within LSH bounds (not the full corpus)") {
     val dir = ZipImages.ensureFixtures(n = 6, rows = 100, cols = 100)
     val out = ImageSimilarity.run(spark, dir, queryImages = Seq("img0.zip"))

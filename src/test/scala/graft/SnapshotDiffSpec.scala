@@ -38,6 +38,34 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(row.getAs[org.apache.spark.sql.Row]("new").getAs[Double]("v") == 99.0)
   }
 
+  test("both snapshots bucketed on the key: the diff join plans NO hash " +
+    "exchange (the warehouse-scale posture — pay the shuffle at ingest)") {
+    val cur = Seq((1L, "a", 10.0), (2L, "b", 21.0), (5L, "e", 50.0))
+      .toDF("k", "s", "v")
+    Relational.writeBucketed(base, "sd_base", "k", buckets = 4)
+    Relational.writeBucketed(cur, "sd_cur", "k", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val diff = Relational.snapshotDiff(
+        spark.table("sd_base"), spark.table("sd_cur"), Seq("k"))
+      val physical = diff.queryExecution.executedPlan.toString
+      // the full-outer join itself must be exchange-free; the only
+      // exchange allowed is the final presentation orderBy's range
+      // partitioning (droppable at scale)
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"bucketed diff join must not shuffle:\n$physical")
+      val out = diff.select(col("k"), col("change"))
+        .as[(Long, String)].collect().toMap
+      assert(out == Map(2L -> "changed", 3L -> "removed",
+        4L -> "removed", 5L -> "added"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS sd_base")
+      spark.sql("DROP TABLE IF EXISTS sd_cur")
+    }
+  }
+
   test("mismatched schemas are rejected loudly") {
     intercept[IllegalArgumentException] {
       Relational.snapshotDiff(base, base.drop("v"), Seq("k"))

@@ -966,6 +966,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- seed-set expansion: personalized PageRank over the same graph,
+    // teleport restricted to doc_id < 50 — "docs similar to the curated
+    // seeds rank high, disconnected regions stay exactly 0" ---------------
+    "doc_pagerank_seeded" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val pairs = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
+        .localCheckpoint()
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+      Graph.personalizedPageRank(sym, col("src"), col("dst"),
+          seeds = d.select(col("doc_id")).filter(col("doc_id") < 50),
+          seed = col("doc_id"), iterations = 5)
+        .select(col("node").as("doc_id"), col("r").as("rank_micro"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact per-node triangle counts over the same near-dup similarity
     // graph (degree-ordered orientation bounds wedges at O(m^{3/2}); a
     // natural near-dup pair plus its two copies forms a K4 → triangles) ---
@@ -1242,6 +1259,21 @@ object SparkEntry {
     "value_histogram" -> ((s, dir) =>
       Profiler.histogram(Tables.events(s, dir), col("value"), bins = 20)
         .orderBy("bin")),
+
+    // ---- distribution-drift gate: PSI of the value distribution between
+    // the first and second half of the time range (midpoint = integer mean
+    // of min/max epoch seconds — exact in both engines) ------------------
+    "value_drift_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mid = ev.agg(expr(
+        "(min(unix_timestamp(ts)) + max(unix_timestamp(ts))) div 2")
+        .as("mid"))
+      val flagged = ev.crossJoin(broadcast(mid))
+        .select(col("value"),
+          (unix_timestamp(col("ts")) <= col("mid")).as("is_base"))
+      Profiler.psiDrift(flagged, col("value"), col("is_base"),
+        bins = 20, binWidth = 25.0)
+    }),
 
     // ---- CDC MERGE: latest change per key wins, deletes remove, new
     // keys insert, untouched base passes through -------------------------
@@ -2095,6 +2127,33 @@ object SparkEntry {
          |SELECT node AS doc_id, r AS rank_micro FROM pr WHERE iter = 5
          |ORDER BY doc_id""".stripMargin,
 
+    // Same recursion with the teleport term gated on the seed predicate
+    // (dst < 50 is constant per group, so it sits outside the aggregates)
+    "doc_pagerank_seeded" ->
+      s"""WITH RECURSIVE $MinhashAllPairsCtes,
+         |pairs AS (SELECT id_a, id_b FROM p
+         |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |          SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs)),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |           SELECT src AS node FROM sym UNION ALL SELECT dst FROM sym)),
+         |outdeg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+         |aug AS (SELECT s.src, s.dst, o.d FROM sym s JOIN outdeg o USING (src)
+         |        UNION ALL SELECT node, node, NULL FROM nodes),
+         |pr(node, r, iter) AS (
+         |  SELECT node, CAST(CASE WHEN node < 50 THEN 1000000 ELSE 0 END AS BIGINT), 0 FROM nodes
+         |  UNION ALL
+         |  SELECT a.dst,
+         |         CAST(CASE WHEN a.dst < 50 THEN 150000 ELSE 0 END
+         |           + (85 * sum(CASE WHEN a.d IS NOT NULL THEN pr.r // a.d ELSE 0 END)) // 100 AS BIGINT),
+         |         pr.iter + 1
+         |  FROM pr JOIN aug a ON pr.node = a.src
+         |  WHERE pr.iter < 5
+         |  GROUP BY a.dst, pr.iter)
+         |SELECT node AS doc_id, r AS rank_micro FROM pr WHERE iter = 5
+         |ORDER BY doc_id""".stripMargin,
+
     "top3_orders_per_cust" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -2756,6 +2815,25 @@ object SparkEntry {
         |SELECT ((v.v - b.lo) * 20) // (b.hi - b.lo + 1) AS bin,
         |       count(*) AS n, min(v.v) AS lo_micro, max(v.v) AS hi_micro
         |FROM v, b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "value_drift_psi" ->
+      """WITH b AS (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+        |             + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+        |           FROM events),
+        |r AS (SELECT CAST(round(value * 1e6) AS BIGINT) AS v,
+        |             CAST(floor(epoch(ts)) AS BIGINT) <= b.mid AS is_base
+        |      FROM events, b WHERE value IS NOT NULL),
+        |c AS (SELECT least(19, greatest(0, v // 25000000)) AS bin,
+        |        CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt,
+        |        CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+        |      FROM r GROUP BY 1),
+        |t AS (SELECT sum(base_cnt) AS bt, sum(cur_cnt) AS ct FROM c)
+        |SELECT bin, base_cnt, cur_cnt,
+        |  round(((base_cnt + 1) / CAST(bt + 20 AS DOUBLE)
+        |          - (cur_cnt + 1) / CAST(ct + 20 AS DOUBLE))
+        |    * ln(((base_cnt + 1) / CAST(bt + 20 AS DOUBLE))
+        |          / ((cur_cnt + 1) / CAST(ct + 20 AS DOUBLE))), 6) AS psi_r
+        |FROM c, t ORDER BY bin""".stripMargin,
 
     "cdc_merged_balances" ->
       """WITH ch AS (SELECT user_id AS key,

@@ -268,6 +268,72 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank in the same EXACT integer micro-units as
+    * [[pageRank]], with teleport restricted to a SEED set — the
+    * "expand a curated seed corpus through the similarity/link graph"
+    * primitive of a training-data pipeline: scores measure graph
+    * proximity to the seeds (docs similar to known-good docs rank high,
+    * disconnected regions stay at exactly 0), and the keep-list is one
+    * filter on the output.
+    *
+    * Semantics per iteration (all integral, remainders dropped as in
+    * [[pageRank]]):
+    *   r'(n) = (n ∈ S ? 150000 : 0) + (85 · Σ_{(s→n)} (r(s) div deg(s))) div 100
+    * from r₀ = 1_000_000 on seeds, 0 elsewhere. Seed ids not present in
+    * the edge list are ignored (the graph defines the node set).
+    *
+    * Plan shape is [[pageRank]]'s: co-partitioned cached augmented
+    * edges, one equi-join + one partial-aggregated groupBy per round,
+    * lazy rounds fused into one job. The seed base rides the weight-0
+    * self-loop rows (one per node), so no per-round broadcast join is
+    * added — `sum(base)` inside the existing aggregate recovers it. */
+  def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
+                           seeds: DataFrame, seed: Column,
+                           iterations: Int = 5,
+                           checkpointInterval: Int = 10): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    require(checkpointInterval > 0,
+      s"checkpointInterval must be positive, got $checkpointInterval")
+    val e = edges
+      .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .distinct().persist()
+    e.count()
+    val sd = seeds.select(seed.cast("long").as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    // seed flag resolved ONCE against the node set (seeds are small —
+    // broadcast); it then rides the cached self-loop rows below
+    val flagged = nodes
+      .join(broadcast(sd.withColumn("_s", lit(1L))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(0L)).as("is_seed"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val aug = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("d"), lit(0L).as("base"))
+      .union(flagged.select(col("node"), col("node"),
+        lit(null).cast("long"), (col("is_seed") * 150000L).as("base")))
+      .repartition(col("src"))
+      .persist()
+    aug.count()
+    var ranks = Checkpoints.cut(flagged.select(col("node"),
+      (col("is_seed") * 1000000L).as("r")))
+    for (i <- 1 to iterations) {
+      ranks = aug.join(ranks, aug("src") === ranks("node"))
+        .select(aug("dst").as("to"),
+          when(col("d").isNotNull, expr("r div d"))
+            .otherwise(lit(0L)).as("c"),
+          col("base"))
+        .groupBy(col("to").as("node"))
+        .agg(expr("CAST(sum(base) + (85 * sum(c)) div 100 AS BIGINT)")
+          .as("r"))
+      if (i % checkpointInterval == 0 && i < iterations)
+        ranks = Checkpoints.cut(ranks)
+    }
+    val out = Checkpoints.cut(ranks)
+    e.unpersist(blocking = false)
+    aug.unpersist(blocking = false)
+    out
+  }
+
   /** Exact per-node triangle counts over an undirected edge list —
     * (node, triangles) for every node that appears in an edge, zeros
     * included.

@@ -280,6 +280,49 @@ object Profiler {
         min(col("v")).as("lo_micro"), max(col("v")).as("hi_micro"))
   }
 
+  /** Population Stability Index between a base and a current period —
+    * THE standard distribution-drift gate of a data intake pipeline
+    * (did this crawl's value distribution shift vs the last one?).
+    * One scan: rows are flagged base/current, bucketed into fixed-width
+    * bins on integer micro-units, and counted with conditional
+    * aggregation; per-bin contribution (p−q)·ln(p/q) with add-one
+    * smoothing so empty-in-one-period bins stay finite. PSI > 0.25 is
+    * the conventional "investigate" threshold — emitted per bin so the
+    * alert can name WHERE the mass moved, Σ psi_r is the headline.
+    *
+    * Cross-engine exactness: bins by INTEGER division of micro-units
+    * (clamped, so engines' negative-division conventions never apply);
+    * p and q are exact-integer ratios evaluated in one double division
+    * each; the single ln per bin runs on a bit-identical argument (the
+    * 1-ulp engine spread is six orders below the round(6) grain).
+    * Scale: shuffle is O(bins) rows after map-side partial aggregation;
+    * the totals join is a one-row broadcast. */
+  def psiDrift(df: DataFrame, value: Column, isBase: Column,
+               bins: Int, binWidth: Double): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val widthMicro = math.round(binWidth * 1e6)
+    val counts = df
+      .select(round(value * 1e6).cast("long").as("v"), isBase.as("is_base"))
+      .filter(col("v").isNotNull && col("is_base").isNotNull)
+      .withColumn("bin",
+        least(lit(bins - 1L), greatest(lit(0L), expr(s"v div $widthMicro"))))
+      .groupBy("bin")
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("base_cnt"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("cur_cnt"))
+    val tot = counts.agg(
+      coalesce(sum("base_cnt"), lit(0L)).as("bt"),
+      coalesce(sum("cur_cnt"), lit(0L)).as("ct"))
+    val p = (col("base_cnt") + 1).cast("double") /
+      (col("bt") + lit(bins.toLong)).cast("double")
+    val q = (col("cur_cnt") + 1).cast("double") /
+      (col("ct") + lit(bins.toLong)).cast("double")
+    counts.join(broadcast(tot))
+      .select(col("bin"), col("base_cnt"), col("cur_cnt"),
+        round((p - q) * log(p / q), 6).as("psi_r"))
+      .orderBy("bin")
+  }
+
   /** Per-key exponentially-weighted moving average of an ordered value
     * stream — the "smoothed activity level" feature (monitoring,
     * per-user signal smoothing). ewma = fold(α·x + (1−α)·acc) over the

@@ -138,6 +138,20 @@ class GraphSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("personalizedPageRank: hand-computed seed-restricted teleport; " +
+    "components without seeds stay exactly 0; off-graph seeds ignored") {
+    import spark.implicits._
+    // two disjoint symmetric pairs; seed = node 1 (plus off-graph 99)
+    val e = edges(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)))
+    val seeds = Seq(1L, 99L).toDF("doc_id")
+    val out = Graph.personalizedPageRank(e, col("a"), col("b"),
+        seeds, col("doc_id"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // i1: r1=150000, r2=850000; i2: r1=872500, r2=127500;
+    // i3: r1=150000+(85*127500) div 100=258375, r2=(85*872500) div 100=741625
+    assert(out == Map(1L -> 258375L, 2L -> 741625L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("pageRank: symmetric pair converges to equal ranks; isolated-in-" +
     "edge-list singleton keeps base-plus-self rank semantics") {
     // 1↔2 symmetric: each sends its whole rank to the other — ranks stay

@@ -24,4 +24,25 @@ class PageRankScaleSpec extends SparkSpec {
     assert(cnt == n)
     assert(secs < 60.0, f"pageRank took $secs%.1f s on 120k edges")
   }
+
+  test("personalizedPageRank: same graph size, seed mass stays in the " +
+    "seeded region of a segmented graph") {
+    // 600 disjoint 100-node rings; seeds = ring 0's nodes. Rank must be
+    // nonzero exactly on ring 0 — the seed-restricted teleport contract
+    // at probe scale, plus the wall-clock bound.
+    val n = 60000L
+    val ring = spark.range(n).select(col("id").as("src"),
+      ((col("id") % 100 + 1) % 100 + (col("id") - col("id") % 100)).as("dst"))
+    val seeds = spark.range(100).select(col("id").as("doc_id"))
+    val t0 = System.nanoTime()
+    val out = Graph.personalizedPageRank(ring, col("src"), col("dst"),
+      seeds, col("doc_id"), iterations = 5)
+    val nonzero = out.filter(col("r") > 0).count()
+    val total = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"personalized pageRank 5 iters over 60k edges: $secs%.1f s")
+    assert(total == n)
+    assert(nonzero == 100L, s"seed mass leaked: $nonzero nodes > 0")
+    assert(secs < 60.0, f"personalizedPageRank took $secs%.1f s")
+  }
 }

@@ -316,6 +316,34 @@ class ProfilerSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("psiDrift: hand-checked bins, out-of-range clamping, add-one " +
+    "smoothing keeps empty-in-one-period bins finite") {
+    import spark.implicits._
+    // base: 0.5, 1.5, 1.5, 10.0 (clamps to top bin); cur: 0.5, 2.5,
+    // -3.0 (clamps to bin 0)
+    val df = Seq((0.5, true), (1.5, true), (1.5, true), (10.0, true),
+      (0.5, false), (2.5, false), (-3.0, false)).toDF("value", "is_base")
+    val out = Profiler.psiDrift(df, col("value"), col("is_base"),
+        bins = 4, binWidth = 1.0)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def psi(b: Long, c: Long): Double = {
+      val p = (b + 1).toDouble / 8 // bt=4, +bins
+      val q = (c + 1).toDouble / 7 // ct=3, +bins
+      BigDecimal((p - q) * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.toSeq == Seq(
+      (0L, 1L, 2L, psi(1, 2)), (1L, 2L, 0L, psi(2, 0)),
+      (2L, 0L, 1L, psi(0, 1)), (3L, 1L, 0L, psi(1, 0))))
+    // identical distributions → every contribution is exactly 0
+    val same = Seq((0.5, true), (0.5, false), (1.5, true), (1.5, false))
+      .toDF("value", "is_base")
+    val zero = Profiler.psiDrift(same, col("value"), col("is_base"),
+      bins = 4, binWidth = 1.0).collect()
+    assert(zero.forall(_.getDouble(3) == 0.0))
+  }
+
   test("ewmaPerKey: hand-computed fold, order independence of input " +
     "row order, single-value seed, null exclusion") {
     import spark.implicits._

@@ -301,6 +301,18 @@ object SparkEntry {
       Relational.rrfFuse(Seq(bm, cosRank), k = 20)
     }),
 
+    // ---- retrieval evaluation: per-rank MRR/DCG contributions of the
+    // BM25 top-10 against the RRF-fused top-20 as graded consensus truth
+    // (gain = 21 − fused rank) — the metric step of a RAG pipeline -------
+    "retrieval_eval" -> ((s, dir) => {
+      val sys = TextAnalytics.bm25TopK(Tables.documents(s, dir),
+          col("doc_id"), col("text"), Bm25Terms, k = 10)
+        .select(col("rank"), col("doc_id"))
+      val truth = queries("hybrid_retrieval")(s, dir)
+        .select(col("id").as("doc_id"), (lit(21L) - col("rank")).as("rel"))
+      Relational.retrievalEval(sys, truth)
+    }),
+
     // ---- P7/P9/P10/S3/S4 + J2 + A10: the reference blog pipeline --------
     // (a1p2b_ahuja.py end-to-end: wholetext files → malformed-XML parse →
     // industry vocabulary from filenames → mention counts per year-month)
@@ -2384,6 +2396,45 @@ object SparkEntry {
          |           AS BIGINT) AS rank, id, rrf_r
          |  FROM fused)
          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // retrieval eval: bm25 + fusion CTE chains reused verbatim; truth =
+    // fused top-20 with gain 21 − rank; one exact-integer division per
+    // metric cell plus one log2 on a bit-identical small-int argument
+    "retrieval_eval" ->
+      s"""WITH $bm25Ctes,
+         |br AS (SELECT doc_id AS id, rank FROM rk WHERE rank <= 50),
+         |e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         |cs AS (SELECT vec_id AS id,
+         |         round(list_dot_product(q, v)
+         |           / (sqrt(list_dot_product(q, q))
+         |              * sqrt(list_dot_product(v, v))), 4) AS cos_r
+         |       FROM e, qv WHERE vec_id <> 0),
+         |crk AS (SELECT id, CAST(row_number()
+         |          OVER (ORDER BY cos_r DESC, id) AS BIGINT) AS rank
+         |        FROM cs),
+         |cr AS (SELECT id, rank FROM crk WHERE rank <= 50),
+         |fused AS (SELECT coalesce(br.id, cr.id) AS id,
+         |            round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.rank),
+         |                           CAST(0.0 AS DOUBLE))
+         |                + coalesce(CAST(1.0 AS DOUBLE) / (60 + cr.rank),
+         |                           CAST(0.0 AS DOUBLE)), 9) AS rrf_r
+         |          FROM br FULL OUTER JOIN cr ON br.id = cr.id),
+         |t20 AS (SELECT id, frank FROM (
+         |          SELECT id, CAST(row_number() OVER (ORDER BY rrf_r DESC, id)
+         |                   AS BIGINT) AS frank FROM fused)
+         |        WHERE frank <= 20),
+         |sys AS (SELECT rank, doc_id FROM rk WHERE rank <= 10)
+         |SELECT s.rank, s.doc_id, coalesce(21 - t.frank, CAST(0 AS BIGINT)) AS rel,
+         |  round(CASE WHEN t.frank IS NOT NULL
+         |             THEN CAST(1.0 AS DOUBLE) / s.rank
+         |             ELSE CAST(0.0 AS DOUBLE) END, 6) AS rr_r,
+         |  round(coalesce(21 - t.frank, CAST(0 AS BIGINT))
+         |    / log2(CAST(s.rank AS DOUBLE) + 1), 6) AS dcg_r
+         |FROM sys s LEFT JOIN t20 t ON s.doc_id = t.id
+         |ORDER BY s.rank""".stripMargin,
 
     // z-order: ntile twice (equi-depth bucket per dimension), interleave
     // the bucket bits arithmetically, split into 16 z-key ranges, footer

@@ -456,6 +456,33 @@ object Relational {
       .orderBy(keyCols.map(col): _*)
   }
 
+  /** Ranked-retrieval evaluation: per-rank MRR and DCG contributions of a
+    * system ranking against a graded-relevance truth set — the metric
+    * step of a retrieval/RAG pipeline (Σ dcg_r over ranks is the DCG@k,
+    * the first nonzero rr_r is the reciprocal rank).
+    *
+    * `sys`: (rank, doc_id), 1-based dense ranks; `rel`: (doc_id, rel)
+    * integer gains > 0 for relevant docs (absent = irrelevant). Emitted
+    * per system rank: (rank, doc_id, rel, rr_r, dcg_r) with
+    * rr_r = 1/rank if relevant else 0, dcg_r = rel/log₂(rank+1), both
+    * rounded — exact-integer ratios into one division (+ one log2 per
+    * rank on bit-identical arguments), so cross-engine hash-stable.
+    * Scale: the truth set is k-bounded by construction — broadcast;
+    * the system ranking never shuffles. */
+  def retrievalEval(sys: DataFrame, rel: DataFrame): DataFrame =
+    sys.select(col("rank"), col("doc_id"))
+      .join(broadcast(rel.select(col("doc_id"), col("rel"))),
+        Seq("doc_id"), "left")
+      .select(col("rank"), col("doc_id"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+      .withColumn("rr_r",
+        round(when(col("rel") > 0, lit(1.0) / col("rank"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("dcg_r",
+        round(col("rel").cast("double")
+          / log2(col("rank").cast("double") + 1), 6))
+      .orderBy("rank")
+
   /** First-order Markov transition matrix over per-key ordered state
     * sequences — the sequence-modeling prep operator (user journey
     * analysis, synthetic-session generation, next-event baselines).

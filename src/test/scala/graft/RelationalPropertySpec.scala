@@ -95,4 +95,21 @@ class RelationalPropertySpec extends SparkSpec {
       (2L, 20L, r9(1.0 / 61)),
       (3L, 30L, r9(1.0 / 62))))
   }
+
+  test("retrievalEval: hand-computed MRR/DCG contributions, irrelevant " +
+    "docs contribute exactly zero") {
+    import spark.implicits._
+    val sys = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("rank", "doc_id")
+    val rel = Seq((10L, 3L), (30L, 1L), (99L, 5L)).toDF("doc_id", "rel")
+    val out = Relational.retrievalEval(sys, rel)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // rank1 doc10 rel3: rr 1, dcg 3/log2(2)=3; rank2 doc20 rel0: zeros;
+    // rank3 doc30 rel1: rr 1/3, dcg 1/log2(4)=0.5; off-list doc99 ignored
+    assert(out.toSeq == Seq(
+      (1L, 10L, 3L, 1.0, 3.0),
+      (2L, 20L, 0L, 0.0, 0.0),
+      (3L, 30L, 1L, BigDecimal(1.0 / 3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, 0.5)))
+  }
 }

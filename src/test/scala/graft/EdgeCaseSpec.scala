@@ -114,6 +114,40 @@ class EdgeCaseSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("round-8 operators survive empty and degenerate inputs") {
+    import spark.implicits._
+    // psiDrift: every row in ONE period — the other side is all add-one
+    // smoothing mass, finite and exact; empty input yields zero rows
+    val onePeriod = Seq((1.0, true), (2.0, true)).toDF("value", "is_base")
+    val psi = graft.ops.Profiler.psiDrift(onePeriod, col("value"),
+      col("is_base"), bins = 4, binWidth = 1.0).collect()
+    assert(psi.length == 2 && psi.forall(r => !r.getDouble(3).isNaN
+      && !r.getDouble(3).isInfinite))
+    val noRows = spark.createDataFrame(Seq.empty[(Double, Boolean)])
+      .toDF("value", "is_base")
+    assert(graft.ops.Profiler.psiDrift(noRows, col("value"),
+      col("is_base"), bins = 4, binWidth = 1.0).isEmpty)
+    // personalized PageRank: seed set disjoint from the graph — every
+    // node scores exactly 0 (no teleport mass anywhere)
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    val ppr = graft.ops.Graph.personalizedPageRank(e, col("a"), col("b"),
+        Seq(99L).toDF("doc_id"), col("doc_id"), iterations = 2)
+      .collect().map(r => r.getLong(1))
+    assert(ppr.length == 2 && ppr.forall(_ == 0L))
+    // retrievalEval: empty truth — all ranks emitted with zero metrics
+    val sys = Seq((1L, 10L)).toDF("rank", "doc_id")
+    val noRel = spark.createDataFrame(Seq.empty[(Long, Long)])
+      .toDF("doc_id", "rel")
+    val ev = graft.ops.Relational.retrievalEval(sys, noRel).collect()
+    assert(ev.length == 1 && ev(0).getLong(2) == 0L
+      && ev(0).getDouble(3) == 0.0 && ev(0).getDouble(4) == 0.0)
+    // star contraction on a two-node graph: one round, both labeled min
+    val star = graft.ops.Graph.connectedComponentsStar(
+        Seq((7L, 3L)).toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(3L -> 3L, 7L -> 3L))
+  }
+
   test("round-6 operators survive empty and degenerate inputs") {
     import graft.ops.{Graph, Profiler, Relational}
     val empty = spark.createDataFrame(Seq.empty[(Long, Long, Double)])

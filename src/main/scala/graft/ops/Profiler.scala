@@ -302,14 +302,18 @@ object Profiler {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val widthMicro = math.round(binWidth * 1e6)
-    val counts = df
+    // the O(bins)-row counts frame feeds BOTH the totals aggregate and
+    // the final join — cut its lineage so the input scan runs ONCE, not
+    // once per plan subtree (the duplicated-scalar-subtree trap the
+    // Explain audit caught on the first version of this operator)
+    val counts = Checkpoints.cut(df
       .select(round(value * 1e6).cast("long").as("v"), isBase.as("is_base"))
       .filter(col("v").isNotNull && col("is_base").isNotNull)
       .withColumn("bin",
         least(lit(bins - 1L), greatest(lit(0L), expr(s"v div $widthMicro"))))
       .groupBy("bin")
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("base_cnt"),
-        sum(when(!col("is_base"), 1L).otherwise(0L)).as("cur_cnt"))
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("cur_cnt")))
     val tot = counts.agg(
       coalesce(sum("base_cnt"), lit(0L)).as("bt"),
       coalesce(sum("cur_cnt"), lit(0L)).as("ct"))

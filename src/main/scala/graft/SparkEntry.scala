@@ -1526,14 +1526,8 @@ object SparkEntry {
     // thresholds (min 0.032) dwarf float32 accumulation error — the
     // float32-vs-double agreement is spec-asserted per tile. -------------
     "image_similarity_md5" -> ((s, dir) => {
-      val imgs = (0 until 4).map { i =>
-        val rows = 100; val cols = 100
-        val bytes = Array.tabulate(rows * cols * 4) { p =>
-          val pix = p / 4; val ch = p % 4
-          (((pix * (i + 3) + ch * 7) % 251) & 0xff).toByte
-        }
-        (s"img$i.zip", bytes, rows, cols)
-      }
+      val imgs = (0 until 4).map(i =>
+        (s"img$i.zip", ImageOps.syntheticImage(i), 100, 100))
       val df = s.createDataFrame(imgs).toDF("name", "img", "rows", "cols")
       val tiles = ImageOps.tiles(df, col("name"), col("img"),
         col("rows"), col("cols"), t = 50)
@@ -1569,14 +1563,8 @@ object SparkEntry {
 
     // ---- P8/M1–M3 multimodal image pipeline on deterministic fixtures ---
     "image_features" -> ((s, dir) => {
-      val imgs = (0 until 4).map { i =>
-        val rows = 100; val cols = 100
-        val bytes = Array.tabulate(rows * cols * 4) { p =>
-          val pix = p / 4; val ch = p % 4
-          (((pix * (i + 3) + ch * 7) % 251) & 0xff).toByte
-        }
-        (s"img$i.zip", bytes, rows, cols)
-      }
+      val imgs = (0 until 4).map(i =>
+        (s"img$i.zip", ImageOps.syntheticImage(i), 100, 100))
       val df = s.createDataFrame(imgs).toDF("name", "img", "rows", "cols")
       val tiles = ImageOps.tiles(df, col("name"), col("img"),
         col("rows"), col("cols"), t = 50)
@@ -1642,6 +1630,36 @@ object SparkEntry {
        |           AS BIGINT) AS rank
        |       FROM agg)""".stripMargin
   }
+
+  // RRF fusion CTE chain (bm25 top-50 ⊕ embedding-cosine top-50, ends at
+  // CTE `fused` (id, rrf_r)) — shared VERBATIM by hybrid_retrieval (which
+  // ranks it) and retrieval_eval (which grades BM25 against it), so the
+  // eval's "truth" can never drift from the ranking it claims to grade.
+  // Must follow $bm25Ctes in the WITH list (reads `rk`); the cosine arm
+  // mirrors knn_cosine_pairs; each RRF term is one double division on
+  // small ints (CAST matters — bare 1.0 is DECIMAL in DuckDB) and the
+  // fusion sum is fixed-order (bm25 term + cosine term)
+  private val HybridFusionCtes =
+    """br AS (SELECT doc_id AS id, rank FROM rk WHERE rank <= 50),
+      |e AS (SELECT vec_id,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+      |cs AS (SELECT vec_id AS id,
+      |         round(list_dot_product(q, v)
+      |           / (sqrt(list_dot_product(q, q))
+      |              * sqrt(list_dot_product(v, v))), 4) AS cos_r
+      |       FROM e, qv WHERE vec_id <> 0),
+      |crk AS (SELECT id, CAST(row_number()
+      |          OVER (ORDER BY cos_r DESC, id) AS BIGINT) AS rank
+      |        FROM cs),
+      |cr AS (SELECT id, rank FROM crk WHERE rank <= 50),
+      |fused AS (SELECT coalesce(br.id, cr.id) AS id,
+      |            round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.rank),
+      |                           CAST(0.0 AS DOUBLE))
+      |                + coalesce(CAST(1.0 AS DOUBLE) / (60 + cr.rank),
+      |                           CAST(0.0 AS DOUBLE)), 9) AS rrf_r
+      |          FROM br FULL OUTER JOIN cr ON br.id = cr.id)""".stripMargin
 
   /** Shared CTE chain: all-pairs shingle-Jaccard over the self-unioned
     * documents corpus (the brute-force truth behind `minhash_dup_pairs`,
@@ -2365,63 +2383,23 @@ object SparkEntry {
          |SELECT rank, doc_id, n_terms, score_r FROM rk
          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
-    // hybrid retrieval: bm25 rank CTEs reused verbatim; the cosine arm
-    // mirrors knn_cosine_pairs; each RRF term is one double division on
-    // small ints (CAST matters — bare 1.0 is DECIMAL in DuckDB) and the
-    // fusion sum is fixed-order (bm25 term + cosine term)
+    // hybrid retrieval: bm25 rank CTEs + the shared fusion chain (ends at
+    // `fused`), ranked and cut to the top 20
     "hybrid_retrieval" ->
       s"""WITH $bm25Ctes,
-         |br AS (SELECT doc_id AS id, rank FROM rk WHERE rank <= 50),
-         |e AS (SELECT vec_id,
-         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |      FROM embeddings),
-         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
-         |cs AS (SELECT vec_id AS id,
-         |         round(list_dot_product(q, v)
-         |           / (sqrt(list_dot_product(q, q))
-         |              * sqrt(list_dot_product(v, v))), 4) AS cos_r
-         |       FROM e, qv WHERE vec_id <> 0),
-         |crk AS (SELECT id, CAST(row_number()
-         |          OVER (ORDER BY cos_r DESC, id) AS BIGINT) AS rank
-         |        FROM cs),
-         |cr AS (SELECT id, rank FROM crk WHERE rank <= 50),
-         |fused AS (SELECT coalesce(br.id, cr.id) AS id,
-         |            round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.rank),
-         |                           CAST(0.0 AS DOUBLE))
-         |                + coalesce(CAST(1.0 AS DOUBLE) / (60 + cr.rank),
-         |                           CAST(0.0 AS DOUBLE)), 9) AS rrf_r
-         |          FROM br FULL OUTER JOIN cr ON br.id = cr.id)
+         |$HybridFusionCtes
          |SELECT * FROM (
          |  SELECT CAST(row_number() OVER (ORDER BY rrf_r DESC, id)
          |           AS BIGINT) AS rank, id, rrf_r
          |  FROM fused)
          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
-    // retrieval eval: bm25 + fusion CTE chains reused verbatim; truth =
-    // fused top-20 with gain 21 − rank; one exact-integer division per
-    // metric cell plus one log2 on a bit-identical small-int argument
+    // retrieval eval: the SAME fusion chain grades the BM25 top-10 —
+    // truth = fused top-20 with gain 21 − rank; one exact-integer
+    // division per metric cell plus one log2 on a bit-identical argument
     "retrieval_eval" ->
       s"""WITH $bm25Ctes,
-         |br AS (SELECT doc_id AS id, rank FROM rk WHERE rank <= 50),
-         |e AS (SELECT vec_id,
-         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |      FROM embeddings),
-         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
-         |cs AS (SELECT vec_id AS id,
-         |         round(list_dot_product(q, v)
-         |           / (sqrt(list_dot_product(q, q))
-         |              * sqrt(list_dot_product(v, v))), 4) AS cos_r
-         |       FROM e, qv WHERE vec_id <> 0),
-         |crk AS (SELECT id, CAST(row_number()
-         |          OVER (ORDER BY cos_r DESC, id) AS BIGINT) AS rank
-         |        FROM cs),
-         |cr AS (SELECT id, rank FROM crk WHERE rank <= 50),
-         |fused AS (SELECT coalesce(br.id, cr.id) AS id,
-         |            round(coalesce(CAST(1.0 AS DOUBLE) / (60 + br.rank),
-         |                           CAST(0.0 AS DOUBLE))
-         |                + coalesce(CAST(1.0 AS DOUBLE) / (60 + cr.rank),
-         |                           CAST(0.0 AS DOUBLE)), 9) AS rrf_r
-         |          FROM br FULL OUTER JOIN cr ON br.id = cr.id),
+         |$HybridFusionCtes,
          |t20 AS (SELECT id, frank FROM (
          |          SELECT id, CAST(row_number() OVER (ORDER BY rrf_r DESC, id)
          |                   AS BIGINT) AS frank FROM fused)
@@ -2873,7 +2851,7 @@ object SparkEntry {
         |           FROM events),
         |r AS (SELECT CAST(round(value * 1e6) AS BIGINT) AS v,
         |             CAST(floor(epoch(ts)) AS BIGINT) <= b.mid AS is_base
-        |      FROM events, b WHERE value IS NOT NULL),
+        |      FROM events, b WHERE value IS NOT NULL AND ts IS NOT NULL),
         |c AS (SELECT least(19, greatest(0, v // 25000000)) AS bin,
         |        CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt,
         |        CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt

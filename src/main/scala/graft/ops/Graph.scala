@@ -130,12 +130,15 @@ object Graph {
 
     // large-star: every node strictly LARGER than u re-points to the min
     // of u's closed neighborhood — emitted (v, m), v > u ≥ m keeps the
-    // canonical orientation invariant
+    // canonical orientation invariant. With edges held child>parent, the
+    // larger-neighbor rows ARE the reversed edge list — so the join side
+    // reads the |E|-row checkpoint directly instead of filtering the
+    // 2|E|-row union back down to the same set every round
     def largeStar(ed: DataFrame): DataFrame = {
       val sym = ed.union(ed.select(col("b").as("a"), col("a").as("b")))
       val mins = sym.groupBy("a").agg(min(col("b")).as("mb"))
         .select(col("a"), least(col("a"), col("mb")).as("m"))
-      sym.filter(col("b") > col("a"))
+      ed.select(col("b").as("a"), col("a").as("b"))
         .join(mins, "a")
         .select(col("b").as("a"), col("m").as("b"))
         .distinct()

@@ -32,6 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object ImageOps {
 
+  /** Deterministic synthetic RGBI fixture shared by the `image_features`
+    * and `image_similarity_md5` queries and their specs: byte p of image
+    * i is ((p/4)·(i+3) + (p%4)·7) mod 251 — a closed form the DuckDB
+    * oracle regenerates from range(), and the ONE definition the
+    * float32-vs-double quantize-margin spec asserts against, so the
+    * oracle's double-precision replay always covers the exact bytes the
+    * queries hash. */
+  def syntheticImage(i: Int, rows: Int = 100, cols: Int = 100): Array[Byte] =
+    Array.tabulate(rows * cols * 4) { p =>
+      val pix = p / 4; val ch = p % 4
+      (((pix * (i + 3) + ch * 7) % 251) & 0xff).toByte
+    }
+
   /** P8: one (rows×cols×4) image → ⌊r/t⌋·⌊c/t⌋ tiles of t×t×4, row-major
     * index. Returns array<struct<idx:int, tile:binary>>. */
   def tileImage(img: Array[Byte], rows: Int, cols: Int, t: Int): Array[(Int, Array[Byte])] = {

@@ -302,6 +302,10 @@ object Profiler {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val widthMicro = math.round(binWidth * 1e6)
+    // the micro-unit width is what actually divides — a sub-microbin
+    // width would round to 0 and divide by zero inside every task
+    require(widthMicro > 0,
+      s"binWidth $binWidth rounds to 0 micro-units; minimum is 1e-6")
     // the O(bins)-row counts frame feeds BOTH the totals aggregate and
     // the final join — cut its lineage so the input scan runs ONCE, not
     // once per plan subtree (the duplicated-scalar-subtree trap the

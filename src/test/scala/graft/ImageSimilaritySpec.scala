@@ -161,10 +161,9 @@ class ImageSimilaritySpec extends SparkSpec {
     import graft.ops.ImageOps
     var minMargin = Double.MaxValue
     (0 until 4).foreach { i =>
-      val bytes = Array.tabulate(100 * 100 * 4) { p =>
-        val pix = p / 4; val ch = p % 4
-        (((pix * (i + 3) + ch * 7) % 251) & 0xff).toByte
-      }
+      // the ONE shared fixture definition — asserting against anything
+      // else would let the query's bytes drift out from under this spec
+      val bytes = ImageOps.syntheticImage(i)
       ImageOps.tileImage(bytes, 100, 100, 50).foreach { case (_, tile) =>
         // production path: float32 intensity → float32 block mean → quantize
         val f32 = ImageOps.gradientFeatures(

@@ -41,9 +41,14 @@ object EventStreams {
   def windowedCounts(events: DataFrame, key: String,
                      windowLen: String = "1 day",
                      watermark: String = "2 days",
-                     slide: Option[String] = None): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+                     slide: Option[String] = None): DataFrame = {
+    // empty watermark = already defined upstream: a chain of stateful
+    // operators (e.g. dedupStream → ... → windowed agg) must define the
+    // watermark ONCE before the first stateful op — Spark rejects a
+    // redefinition mid-chain
+    val src =
+      if (watermark.isEmpty) events else events.withWatermark("ts", watermark)
+    src
       .groupBy(col(key).as("key"),
         window(col("ts"), windowLen, slide.getOrElse(windowLen)))
       .agg(count(lit(1)).as("cnt"))
@@ -51,6 +56,7 @@ object EventStreams {
         unix_timestamp(col("window.start")).as("win_start_s"),
         unix_timestamp(col("window.end")).as("win_end_s"),
         col("cnt"))
+  }
 
   /** Trending top-k: the k heaviest keys per tumbling window, ranked —
     * the "what's hot right now" query every event pipeline ends up

@@ -82,6 +82,50 @@ class EventStreamsSpec extends SparkSpec {
       s"streaming ${ranked.toSet} != batch $batchTwin")
   }
 
+  test("composed streaming DAG: dedupStream → enrichWithDim → " +
+    "windowedCounts across micro-batches (chained stateful operators)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val b = 86400L * 19600
+    val dim = Seq(1L -> "GOLD", 2L -> "SILVER").toDF("cust_id", "segment")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "user_id", "payload")
+    // the full intake pipeline as ONE streaming query: content dedup
+    // (stateful, watermark-bounded) → dimension enrich (stateless
+    // broadcast) → windowed segment counts (stateful agg)
+    val piped = EventStreams.windowedCounts(
+      EventStreams.enrichWithDim(
+        EventStreams.dedupStream(docs, "ts", "payload", horizon = "2 hours"),
+        dim, col("user_id"), col("cust_id")),
+      // watermark "": already defined by dedupStream — a stateful chain
+      // defines it once, before the first stateful operator
+      key = "segment", windowLen = "1 hour", watermark = "")
+    val q = piped.writeStream.format("memory").queryName("composed_out")
+      .outputMode("append").start()
+    // batch 1: an intra-batch content dup (same user+window, so the
+    // surviving copy is count-invariant) plus a distinct doc
+    mem.addData((ts(b + 60), 1L, "A"), (ts(b + 120), 1L, "A"),
+      (ts(b + 200), 2L, "B"))
+    q.processAllAvailable()
+    // batch 2: a CROSS-batch content dup from another user (must be
+    // dropped by dedup state — were it kept, window 2 would gain a
+    // SILVER row) and a doc from a user with no dimension row
+    mem.addData((ts(b + 3700), 2L, "A"), (ts(b + 3800), 99L, "C"))
+    q.processAllAvailable()
+    // sentinel advances the watermark past both windows to close them
+    mem.addData((ts(b + 6 * 3600), 1L, "Z"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("composed_out")
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(3))).toSet
+    assert(out == Set(
+      (Some("GOLD"), b, 1L),          // one "A" survives dedup
+      (Some("SILVER"), b, 1L),        // "B"
+      (None, b + 3600, 1L)),          // "C": unmatched user, null segment
+      s"composed stream produced $out")
+  }
+
   test("sessionize under readStream: sessions close on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -131,6 +131,29 @@ class ScaleShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"unkeyed join in:\n$plan")
   }
 
+  test("psiDrift joins the one-row totals by broadcast, no sort-merge " +
+    "join and no single-partition window") {
+    val df = (1L to 500L).map(i => (i * 0.5, i % 2 == 0))
+      .toDF("value", "is_base")
+    val plan = graft.ops.Profiler.psiDrift(df, col("value"), col("is_base"),
+        bins = 20, binWidth = 25.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"psiDrift must not sort-merge its O(bins) frames:\n$plan")
+    assert(singlePartitionWindows(plan).isEmpty)
+  }
+
+  test("retrievalEval broadcasts the k-bounded truth set (system ranking " +
+    "never shuffles on it)") {
+    val sys = (1L to 10L).map(i => (i, i + 100L)).toDF("rank", "doc_id")
+    val rel = (1L to 5L).map(i => (i + 100L, 21L - i)).toDF("doc_id", "rel")
+    val plan = graft.ops.Relational.retrievalEval(sys, rel)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"truth set not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ in:\n$plan")
+  }
+
   test("jaccardPrefixPairs pins its pair-expansion stages with " +
     "REPARTITION_BY_NUM exchanges") {
     val docs = (1L to 60L).map(i =>

@@ -284,31 +284,27 @@ object SparkEntry {
     // ---- hybrid retrieval: BM25 top-50 fused with embedding-cosine
     // top-50 (query = vec 0) via reciprocal-rank fusion — the standard
     // lexical ⊕ semantic RAG retrieval combiner --------------------------
-    "hybrid_retrieval" -> ((s, dir) => {
-      val bm = TextAnalytics.bm25TopK(Tables.documents(s, dir),
-          col("doc_id"), col("text"), Bm25Terms, k = 50)
-        .select(col("doc_id").as("id"), col("rank"))
-      val e = Tables.embeddings(s, dir)
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-      val cosScored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
-        .select(col("vec_id").as("id"),
-          round(graft.ops.VectorOps.cosine(col("qv"), col("embedding")), 4)
-            .as("cos_r"))
-      val cosRank = Relational.globalRowNumber(cosScored,
-          Seq(col("cos_r").desc, col("id")), alias = "rank")
-        .filter(col("rank") <= 50).select(col("id"), col("rank"))
-      Relational.rrfFuse(Seq(bm, cosRank), k = 20)
-    }),
+    "hybrid_retrieval" -> ((s, dir) =>
+      rrfFusedTop20(s, dir,
+        TextAnalytics.bm25TopK(Tables.documents(s, dir),
+            col("doc_id"), col("text"), Bm25Terms, k = 50)
+          .select(col("doc_id").as("id"), col("rank")))),
 
     // ---- retrieval evaluation: per-rank MRR/DCG contributions of the
     // BM25 top-10 against the RRF-fused top-20 as graded consensus truth
-    // (gain = 21 − fused rank) — the metric step of a RAG pipeline -------
+    // (gain = 21 − fused rank) — the metric step of a RAG pipeline.
+    // The BM25 derivation (the most expensive text chain in the suite) is
+    // computed ONCE and lineage-cut: the ranked top-50 feeds BOTH the sys
+    // arm (top-10 = the SAME global ranking filtered tighter — bm25TopK
+    // ranks before it cuts, so this is bit-identical to a k=10 call) and
+    // the fusion-truth arm ------------------------------------------------
     "retrieval_eval" -> ((s, dir) => {
-      val sys = TextAnalytics.bm25TopK(Tables.documents(s, dir),
-          col("doc_id"), col("text"), Bm25Terms, k = 10)
-        .select(col("rank"), col("doc_id"))
-      val truth = queries("hybrid_retrieval")(s, dir)
+      val rk = Checkpoints.cut(
+        TextAnalytics.bm25TopK(Tables.documents(s, dir),
+          col("doc_id"), col("text"), Bm25Terms, k = 50))
+      val sys = rk.filter(col("rank") <= 10).select(col("rank"), col("doc_id"))
+      val truth = rrfFusedTop20(s, dir,
+          rk.select(col("doc_id").as("id"), col("rank")))
         .select(col("id").as("doc_id"), (lit(21L) - col("rank")).as("rel"))
       Relational.retrievalEval(sys, truth)
     }),
@@ -1225,13 +1221,17 @@ object SparkEntry {
     }),
 
     // ---- dedup clusters: similarity pairs → connected components → keep
-    // list (min-id representative per cluster; Graph.scala scaladoc) ------
+    // list (min-id representative per cluster; Graph.scala scaladoc).
+    // Explicitly the LABEL-PROPAGATION twin, so both algorithms stay under
+    // the same recursive-CTE oracle (the production dedupClusters entry
+    // point now routes through star contraction — see dedup_components_star)
     "dedup_components" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
-      Graph.dedupClusters(
+      Graph.connectedComponents(
         Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
         col("id_a"), col("id_b"))
+        .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
         .orderBy("id")
     }),
 
@@ -1583,6 +1583,27 @@ object SparkEntry {
   /** Query terms for the BM25 retrieval query — pinned so the Spark query
     * and the DuckDB oracle filter the identical term set. */
   private val Bm25Terms = Seq("spark", "vector", "window")
+
+  /** RRF fusion of a BM25 (id, rank) top-50 frame with the embedding-cosine
+    * top-50 (query = vec 0) — the shared tail of `hybrid_retrieval` and
+    * `retrieval_eval`'s truth arm, factored out so the eval's truth can
+    * never drift from the ranking it grades AND so the eval can feed it a
+    * lineage-cut BM25 frame instead of recomputing the whole scan→explode→
+    * score chain per arm (verdict r8 "What's wrong" #2). */
+  private def rrfFusedTop20(s: SparkSession, dir: String,
+                            bm: DataFrame): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val cosScored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"),
+        round(graft.ops.VectorOps.cosine(col("qv"), col("embedding")), 4)
+          .as("cos_r"))
+    val cosRank = Relational.globalRowNumber(cosScored,
+        Seq(col("cos_r").desc, col("id")), alias = "rank")
+      .filter(col("rank") <= 50).select(col("id"), col("rank"))
+    Relational.rrfFuse(Seq(bm, cosRank), k = 20)
+  }
 
   // unigram-LM CTE chain (per-doc micro-nat table `d`, zero-token docs
   // absent), shared by unigram_logprob and curriculum_phases

@@ -23,15 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as long nanos (legacy conf) and surface a
-    * proper TimestampType column (microsecond truncation — same floor
-    * semantics DuckDB applies at second granularity). */
+  /** `events.ts` surfaces as a session-zone TimestampType column whatever
+    * the parquet physical type: harness generations have shipped it both
+    * as TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so it
+    * is read as long nanos (legacy conf) and truncated to micros — and as
+    * TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+    * TIMESTAMP_NTZ and DuckDB as naive TIMESTAMP (sessions run UTC, so
+    * the NTZ→LTZ cast is value-preserving and both engines agree). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (or date-like): value-preserving cast under UTC
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

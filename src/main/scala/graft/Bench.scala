@@ -1,4 +1,5 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
 
@@ -15,6 +16,20 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * `target/bench_detail.json`, so a single multi-tenant-box hiccup is
   * visible instead of masquerading as a regression.
   *
+  * Self-adjudication: after the main loop, any in-suite median that reads
+  * as a regression (vs the prior round's BENCH_r*.json medians, or vs its
+  * own lo) is RE-RUN in isolation — alone, after the suite, post-GC — and
+  * the isolated medians ship in both the JSON line (`"isolated"`) and the
+  * detail file. Prior rounds burned their verdict lead items adjudicating
+  * in-suite outliers by hand (r8 jaccard 8.90 s in-suite vs 3.71 s
+  * isolated — pure suite-context noise); this makes the adjudication part
+  * of the bench run itself.
+  *
+  * Shuffle accounting: every rep also records shuffle bytes/records
+  * written ([[ShuffleMeter]]); the per-query PEAK across reps goes to the
+  * detail file. Unlike wall time these are noise-immune — they move only
+  * when the plan moves.
+  *
   * Output-size contract: the harness keeps only the LAST ~2000 chars of
   * stdout and parses the one JSON line it finds there, so (a) the final
   * `{"metric":...}` line must stay under that budget — per-query medians
@@ -26,6 +41,87 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * forked output) and `showSuccess := false` (no "[success]" trailer).
   */
 object Bench {
+
+  /** One measured query: in-suite timings plus peak shuffle volume. */
+  private final case class Timing(name: String, times: Vector[Double],
+      status: String, shuffleBytes: Long, shuffleRecords: Long) {
+    def median: Double = times.sorted.apply((times.size - 1) / 2)
+    def lo: Double = times.min
+    def hi: Double = times.max
+  }
+
+  private def runOne(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      reps: Int, meter: ShuffleMeter): Timing = {
+    var status = "ok"
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var peakB = 0L
+    var peakR = 0L
+    var rep = 0
+    while (rep < reps && status == "ok") { // an error short-circuits reps
+      meter.reset()
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        // bit_xor: order-independent and cannot overflow under ANSI mode
+        df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
+          .agg(bit_xor(col("h"))).collect()
+      } catch {
+        case e: Throwable => status = "error:" + e.getClass.getSimpleName
+      }
+      times += (System.nanoTime() - t0) / 1e9
+      val (b, r) = meter.snapshot() // bus drain is outside the timed window
+      if (b > peakB) peakB = b
+      if (r > peakR) peakR = r
+      rep += 1
+    }
+    Timing(name, times.toVector, status, peakB, peakR)
+  }
+
+  /** Prior-round per-query medians, for the regression flag rule: from
+    * `SPARK_GRAFT_BENCH_PRIOR` if set, else the highest-numbered
+    * `BENCH_r*.json` in the working directory (the repo root — the driver
+    * commits one per round). Flat regex parse of the `"queries"` object;
+    * bookkeeping keys (`_omitted`) skipped. Missing/unparseable → empty. */
+  private def priorMedians(): (String, Map[String, Double]) = {
+    import java.nio.file.{Files, Paths}
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(Paths.get(_))
+    val picked = explicit.orElse {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val dir = Paths.get(".")
+      if (!Files.isDirectory(dir)) None
+      else {
+        val it = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala
+            .flatMap { p => p.getFileName.toString match {
+              case re(n) => Some((n.toInt, p))
+              case _ => None
+            }}
+            .toSeq.sortBy(-_._1).headOption.map(_._2)
+        } finally it.close()
+      }
+    }
+    picked.filter(Files.isReadable(_)).map { p =>
+      val txt = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // tolerate both the raw bench line ("queries":{) and the driver's
+      // pretty-printed wrapper ("queries": { under a "parsed" object);
+      // the wrapper's escaped stdout copy (\"queries\":) cannot match
+      val openRe = "\"queries\"\\s*:\\s*\\{".r
+      val m0 = openRe.findFirstMatchIn(txt)
+      val from = m0.map(_.end).getOrElse(-1)
+      val end = if (from < 0) -1 else txt.indexOf('}', from)
+      val body = if (from < 0 || end < from) "" else txt.substring(from, end)
+      val entry = "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+      val m = entry.findAllMatchIn(body)
+        .filter(!_.group(1).startsWith("_"))
+        .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+      (p.getFileName.toString, m)
+    }.getOrElse(("none", Map.empty))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core (the grading target is local[32]); override
@@ -42,6 +138,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val meter = ShuffleMeter.attach(spark)
     // untimed JVM/codegen warmup so the alphabetically-first query does not
     // absorb JIT + classloading cost (standard benchmarking hygiene; every
     // per-query number then measures the query, not the VM)
@@ -57,60 +154,83 @@ object Bench {
     graft.sources.JsonTables.ensureEventsJsonl(spark, sfDir)
     graft.sources.OrcTables.ensureEventsOrc(spark, sfDir)
     graft.sources.PartitionedTables.ensureEventsPartitioned(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      var status = "ok"
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var rep = 0
-      while (rep < reps && status == "ok") { // an error short-circuits reps
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          // bit_xor: order-independent and cannot overflow under ANSI mode
-          df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
-            .agg(bit_xor(col("h"))).collect()
-        } catch {
-          case e: Throwable => status = "error:" + e.getClass.getSimpleName
-        }
-        times += (System.nanoTime() - t0) / 1e9
-        rep += 1
-      }
-      val measured = times.toVector
-      val median = measured.sorted.apply((measured.size - 1) / 2)
-      (name, median, measured.min, measured.max, status)
+    val results = queries.map { case (name, fn) =>
+      runOne(spark, sfDir, name, fn, reps, meter)
     }
+
+    // ---- self-adjudication (r10 verdict #1): re-run suspicious medians
+    // in isolation. A query is flagged when its in-suite median reads
+    // 1.5× over its prior-round median (catches the tight-all-high
+    // signature, where lo/med/hi inflate together and a spread test sees
+    // nothing) OR 2× over its own lo (the classic suite-noise signature,
+    // lo ≪ med). Floor 0.5 s: sub-half-second medians are inside this
+    // box's scheduling jitter and re-running them only adds noise rows.
+    // Cap at the 16 slowest flagged so a pathological round cannot double
+    // the bench; disabled under SPARK_GRAFT_BENCH_ONLY (a targeted run IS
+    // the isolation protocol).
+    val (priorFile, prior) = priorMedians()
+    val isoReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_REPS", "5")
+      .toInt.max(3)
+    val flagged =
+      if (only.isDefined) Vector.empty
+      else results.iterator.filter { t =>
+        t.status == "ok" && t.median >= 0.5 && (
+          prior.get(t.name).exists(p => t.median > 1.5 * p + 0.2) ||
+            t.median > 2.0 * t.lo)
+      }.toVector.sortBy(-_.median)
+    val isoOmitted = (flagged.size - 16).max(0)
+    val byName = queries.toMap
+    val isolated = flagged.take(16).map { t =>
+      System.gc() // shed suite GC debt; isolation should measure the query
+      t.name -> runOne(spark, sfDir, t.name, byName(t.name), isoReps, meter)
+    }
+
     def r3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     def r2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
-    val spread = results.map { case (k, med, lo, hi, _) =>
-      "\"" + k + "\":[" + r3(lo) + "," + r3(med) + "," + r3(hi) + "]"
+    def spreadJson(ts: Seq[Timing]): String = ts.map { t =>
+      "\"" + t.name + "\":[" + r3(t.lo) + "," + r3(t.median) + "," + r3(t.hi) + "]"
     }.mkString("{", ",", "}")
+    val spread = spreadJson(results)
+    val shuffle = results.map { t =>
+      "\"" + t.name + "\":[" + t.shuffleBytes + "," + t.shuffleRecords + "]"
+    }.mkString("{", ",", "}")
+    val isoSpread = spreadJson(isolated.map(_._2))
     // error map capped: in a pathological all-queries-fail run an unbounded
     // list would blow the final line past the harness tail and lose the
     // WHOLE report — keep the first few, count the rest
-    val allErrs = results.collect { case (k, _, _, _, s) if s != "ok" =>
-      "\"" + k + "\":\"" + s + "\""
+    val allErrs = results.collect { case t if t.status != "ok" =>
+      "\"" + t.name + "\":\"" + t.status + "\""
     }
     val errs = (if (allErrs.size <= 5) allErrs
                 else allErrs.take(5) :+ s""""_more":${allErrs.size - 5}""")
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // spread detail to a FILE: a second JSON blob in the stdout tail could
-    // be what the harness's parser latches onto (truncated mid-object)
+    val total = results.map(_.median).sum
+    // detail to a FILE: a second JSON blob in the stdout tail could be
+    // what the harness's parser latches onto (truncated mid-object)
     val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
-      s"""{"detail":"[lo,median,hi]","reps":$reps,"spread":$spread}\n"""
+      (s"""{"detail":"[lo,median,hi]","reps":$reps,"spread":$spread,""" +
+        s""""shuffle_write_bytes_records":$shuffle,""" +
+        s""""prior":"$priorFile","iso_reps":$isoReps,""" +
+        s""""iso_omitted":$isoOmitted,"isolated":$isoSpread}\n""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // isolated medians ride in the main line (they're the adjudication
+    // verdict: isolated ≈ prior ⇒ the in-suite number was suite noise);
+    // 16-query cap keeps this ≤ ~400 chars
+    val iso = isolated.map { case (n, t) => "\"" + n + "\":" + r2(t.median) }
+      .mkString("{", ",", "}")
     def fullLine(q: String) =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q,"isolated":$iso,"errors":$errs,"sf":"$sfDir"}"""
     // the harness tail window is ~2000 chars: pack per-query medians
     // slowest-first until the budget is hit, count the rest in "_omitted"
     // (the sub-tail entries are the ~0.2 s queries nobody reads one by
     // one; the full 3-decimal map lives in target/bench_detail.json).
     // Budget 1850 leaves headroom for the "_omitted" suffix itself.
-    val bySlowest = results.sortBy { case (k, med, _, _, _) => (-med, k) }
-      .map { case (k, med, _, _, _) => "\"" + k + "\":" + r2(med) }
+    val bySlowest = results.sortBy(t => (-t.median, t.name))
+      .map(t => "\"" + t.name + "\":" + r2(t.median))
     val baseLen = fullLine("{}").length
     val keep = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = baseLen

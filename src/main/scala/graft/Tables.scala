@@ -32,14 +32,27 @@ object Tables {
     * the NTZ→LTZ cast is value-preserving and both engines agree). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→LTZ branch is value-preserving ONLY under a UTC session —
+    // assert rather than silently shifting every event instant in a
+    // non-UTC embedding (launcher configs set this, but the loader is the
+    // contract holder)
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+      s"events() requires spark.sql.session.timeZone=UTC (got $tz): the " +
+        "fixture's naive-timestamp generations are defined in UTC")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (or date-like): value-preserving cast under UTC
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // value-preserving cast under the UTC session asserted above
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unexpected parquet-surfaced type $other — known " +
+          "harness generations are nanos-as-long, TIMESTAMP and " +
+          "TIMESTAMP_NTZ; refusing to guess a cast")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -35,25 +35,51 @@ class GraphSpec extends SparkSpec {
       (100L, 100L, true), (101L, 100L, false)))
   }
 
-  test("dedupClusters: production path survives a 10k-node chain in O(log² n) rounds") {
-    // one chain of 10k nodes — label propagation would need 9 999 rounds
-    // (its maxIter=25 guard throws), so this test PASSING proves the
-    // production keep-list entry point routes through star contraction
+  test("star contraction survives a 10k-node chain in O(log² n) rounds") {
+    // one chain of 10k nodes — label propagation would need 9 999 rounds;
+    // ONE contraction run supplies both the label assertions and the
+    // round-count contract
     val n = 10000L
     val chain = spark.range(n - 1)
       .select(col("id").as("a"), (col("id") + 1L).as("b"))
-    val out = Graph.dedupClusters(chain, col("a"), col("b"))
+    val (labels, rounds) = Graph.starContraction(chain, col("a"), col("b"),
+      maxIter = 50)
     import org.apache.spark.sql.functions.{count_if, min => fmin, max => fmax}
-    val r = out.agg(count_if(col("comp") === 0L),
-      count_if(col("keep")), fmin(col("id")), fmax(col("id"))).collect()(0)
+    val r = labels.agg(count_if(col("comp") === 0L),
+      count_if(col("id") === col("comp")), fmin(col("id")), fmax(col("id")))
+      .collect()(0)
     assert(r.getLong(0) == n,   "every chain node must label to min id 0")
-    assert(r.getLong(1) == 1L,  "exactly one keeper per component")
+    assert(r.getLong(1) == 1L,  "exactly one root per component")
     assert(r.getLong(2) == 0L && r.getLong(3) == n - 1)
     // round-count contract measured, not argued: log₂-ish growth — the
     // ×8→×128 probe measured 17→21 rounds on 40k→640k chains, so 10k
     // must converge well under 20 (vs 9 999 for label propagation)
-    val (_, rounds) = Graph.starContraction(chain, col("a"), col("b"), maxIter = 50)
     assert(rounds <= 20, s"star contraction took $rounds rounds on a 10k chain")
+  }
+
+  test("dedupClusters auto-switch: near-clique routes lp, long chain " +
+    "falls back to star with a correct keep list") {
+    // near-clique similarity shape → label propagation converges inside
+    // the budget and the star premium is never paid
+    val clique = edges(Seq((5L, 9L), (9L, 7L), (5L, 7L), (100L, 101L)))
+    val (cOut, cRoute) = Graph.dedupClustersRouted(clique, col("a"), col("b"))
+    assert(cRoute == "lp", "near-clique graph must stay on label propagation")
+    assert(cOut.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet ==
+      Set((5L, 5L, true), (9L, 5L, false), (7L, 5L, false),
+        (100L, 100L, true), (101L, 100L, false)))
+    // 2k-node chain: lp budget (8 rounds) cannot reach the fixpoint —
+    // the production path must discard and re-route through star
+    // contraction, still emitting the exact min-id keep list
+    val n = 2000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val (sOut, sRoute) = Graph.dedupClustersRouted(chain, col("a"), col("b"))
+    assert(sRoute == "star", "long chain must fall back to star contraction")
+    import org.apache.spark.sql.functions.count_if
+    val r = sOut.agg(count_if(col("comp") === 0L), count_if(col("keep")))
+      .collect()(0)
+    assert(r.getLong(0) == n && r.getLong(1) == 1L)
   }
 
   test("pageRank: integer micro-units match the hand/reference computation") {

@@ -66,4 +66,42 @@ object ShuffleMeter {
     spark.sparkContext.addSparkListener(m)
     m
   }
+
+  /** Shuffle write (bytes, records) read from a MATERIALIZED DataFrame's
+    * executed-plan SQLMetrics — the per-plan twin of the listener: metric
+    * accumulators belong to this one query, so concurrent work on the
+    * same session (parallel scalatest suites) cannot contaminate the
+    * numbers the way the global task listener can.
+    *
+    * Scope caveat: covers the frame's OWN plan, including AQE stages and
+    * subqueries — not work materialized earlier behind a lineage cut
+    * (localCheckpoint/checkpoint), which runs as separate query
+    * executions; iterative operators' in-loop shuffles are measured by
+    * the [[ShuffleMeter]] listener in Bench, which owns its JVM. */
+  def planShuffleWrite(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var bytes = 0L
+    var records = 0L
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    def collect(p: SparkPlan): Unit = {
+      p.metrics.get("shuffleBytesWritten").foreach(m => bytes += m.value)
+      p.metrics.get("shuffleRecordsWritten").foreach(m => records += m.value)
+    }
+    def walk(p: SparkPlan): Unit =
+      if (seen.add(System.identityHashCode(p))) {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          // wrapper around the materialized exchange — recurse, don't
+          // collect twice
+          case q: QueryStageExec => walk(q.plan)
+          case _: ReusedExchangeExec => // counted at its original
+          case other => collect(other); other.children.foreach(walk)
+        }
+        p.subqueries.foreach(walk)
+      }
+    walk(df.queryExecution.executedPlan)
+    (bytes, records)
+  }
 }

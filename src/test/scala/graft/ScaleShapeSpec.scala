@@ -154,6 +154,46 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ in:\n$plan")
   }
 
+  test("shuffle-volume pins: the five heaviest bench queries move a " +
+    "fixed record volume at sf0.01") {
+    // wall time on the bench box is noisy; the RECORDS a query writes
+    // through its exchanges are a pure function of (data, plan) — a
+    // changed pin means the PLAN changed (new exchange, lost broadcast,
+    // changed pre-aggregation), which is the regression signal the r10
+    // movers lacked. Pinned against the sf0.01 fixture generation under
+    // this suite's session (local[4], 4 shuffle partitions); plan-metric
+    // read ([[ShuffleMeter.planShuffleWrite]]) so parallel suites cannot
+    // contaminate. Lineage-cut segments (e.g. cluster_safe_splits' LP
+    // rounds) run as separate executions and are covered by Bench's
+    // listener-side detail instead — these pins cover each query's own
+    // plan.
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    // measured 2026-08-13 on the round-10/11 sf0.01 fixture generation;
+    // a driver fixture REGENERATION with a new seed legitimately re-pins
+    // the two content-dependent entries (jaccard pair volume, splits size)
+    val expected = Map(
+      "props_k_stats" -> 10L,
+      "cluster_safe_splits" -> 3000L,
+      "price_percentiles" -> 6L,
+      "jaccard_prefix_pairs" -> 119620L,
+      "pq_ann_topk" -> 100L)
+    val actual = expected.keys.toSeq.sorted.map { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      name -> ShuffleMeter.planShuffleWrite(df)
+    }
+    val drifted = actual.filter { case (n, (_, recs)) => recs != expected(n) }
+    assert(drifted.isEmpty,
+      drifted.map { case (n, (_, recs)) =>
+        s"$n shuffle records moved: got $recs, pinned ${expected(n)}"
+      }.mkString("; ") +
+        " — the plan changed; re-pin only after explaining the delta")
+    val zeroByte = actual.filter(_._2._1 == 0L)
+    assert(zeroByte.isEmpty, s"zero shuffle bytes for ${zeroByte.map(_._1)}" +
+      " — metric names or plan walk broke")
+  }
+
   test("jaccardPrefixPairs pins its pair-expansion stages with " +
     "REPARTITION_BY_NUM exchanges") {
     val docs = (1L to 60L).map(i =>

@@ -428,6 +428,115 @@ class EventStreamsSpec extends SparkSpec {
       12L -> Some("SILVER"), 13L -> None))
   }
 
+  test("checkpoint restart: the composed intake DAG recovers dedup + " +
+    "window-agg state and matches an uninterrupted run row-for-row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val b = 86400L * 19700
+    val dim = Seq(1L -> "GOLD", 2L -> "SILVER").toDF("cust_id", "segment")
+    def pipeline(src: org.apache.spark.sql.DataFrame) =
+      EventStreams.windowedCounts(
+        EventStreams.enrichWithDim(
+          EventStreams.dedupStream(src, "ts", "payload", horizon = "2 hours"),
+          dim, col("user_id"), col("cust_id")),
+        key = "segment", windowLen = "1 hour", watermark = "")
+    // batch 3 carries a content dup of a BATCH-1 doc: only recovered
+    // dedup state can drop it (lost state would add a GOLD row to window
+    // 2); window 2 itself spans the restart (one event before, one
+    // after), so its single closed row also proves agg-state recovery
+    val batch1 = Seq((ts(b + 60), 1L, "A"), (ts(b + 200), 2L, "B"))
+    val batch2 = Seq((ts(b + 3700), 2L, "A"), (ts(b + 3800), 99L, "C"))
+    val batch3 = Seq((ts(b + 4000), 1L, "A"), (ts(b + 4100), 1L, "D"))
+    val sentinel = Seq((ts(b + 6 * 3600), 1L, "Z"))
+    // foreachBatch sink: the memory sink refuses checkpoint RECOVERY (it
+    // is not fault-tolerant), and foreachBatch is the production restart
+    // shape anyway — committed epochs are not re-delivered after restart
+    type Out = (Option[String], Long, Long)
+    def sinkInto(buf: scala.collection.mutable.Set[Out])(
+        batch: org.apache.spark.sql.DataFrame, @annotation.unused id: Long): Unit = {
+      batch.collect().foreach(r => buf.synchronized {
+        buf += ((Option(r.getString(0)), r.getLong(1), r.getLong(3)))
+      })
+      ()
+    }
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt").toString
+    val got = scala.collection.mutable.Set.empty[Out]
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val src = mem.toDF().toDF("ts", "user_id", "payload")
+    val q1 = pipeline(src).writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkInto(got) _).start()
+    mem.addData(batch1: _*); q1.processAllAvailable()
+    mem.addData(batch2: _*); q1.processAllAvailable()
+    q1.stop() // hard stop mid-stream: window 2 still open, dedup set live
+
+    // restart from the SAME checkpoint; only new epochs are delivered
+    val q2 = pipeline(src).writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).foreachBatch(sinkInto(got) _).start()
+    mem.addData(batch3: _*); q2.processAllAvailable()
+    mem.addData(sentinel: _*); q2.processAllAvailable()
+    q2.stop()
+    val restarted = got.toSet
+
+    // uninterrupted twin: same feed, same batch boundaries, one query
+    val twin = scala.collection.mutable.Set.empty[Out]
+    val mem2 = MemoryStream[(Timestamp, Long, String)]
+    val q3 = pipeline(mem2.toDF().toDF("ts", "user_id", "payload"))
+      .writeStream.outputMode("append").foreachBatch(sinkInto(twin) _).start()
+    Seq(batch1, batch2, batch3, sentinel).foreach { bt =>
+      mem2.addData(bt: _*); q3.processAllAvailable()
+    }
+    q3.stop()
+    val uninterrupted = twin.toSet
+
+    assert(restarted == uninterrupted,
+      s"restarted=$restarted uninterrupted=$uninterrupted")
+    assert(restarted == Set(
+      (Some("GOLD"), b, 1L),          // W1: one "A" survives dedup
+      (Some("SILVER"), b, 1L),        // W1: "B"
+      (None, b + 3600, 1L),           // W2: "C" (no dim row)
+      (Some("GOLD"), b + 3600, 1L)),  // W2: "D" only — the batch-3 "A"
+                                      // dup died against RECOVERED state
+      s"got $restarted")
+  }
+
+  test("checkpoint restart: ewmaStream recovers per-user running state " +
+    "(count continues, fold seeds from the recovered accumulator)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = 86400L * 19800
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ewma-ckpt").toString
+    // foreachBatch: update-mode memory sink cannot recover a checkpoint
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def sink(batch: org.apache.spark.sql.Dataset[EventStreams.EwmaRow],
+             @annotation.unused id: Long): Unit = {
+      batch.collect().foreach(r => rows.synchronized {
+        rows += ((r.n_events, r.ewma_r))
+      })
+      ()
+    }
+    val mem = MemoryStream[EventStreams.ValueEvent]
+    val q1 = EventStreams.ewmaStream(mem.toDS(), alpha = 0.25)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sink _).start()
+    mem.addData(EventStreams.ValueEvent(1L, 1L, ts(base), 10.0),
+      EventStreams.ValueEvent(1L, 2L, ts(base + 10), 20.0))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = EventStreams.ewmaStream(mem.toDS(), alpha = 0.25)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).foreachBatch(sink _).start()
+    mem.addData(EventStreams.ValueEvent(1L, 3L, ts(base + 20), 30.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val last = rows.synchronized(rows.maxBy(_._1))
+    // lost state would report n=1, ewma=30.0; recovered state continues:
+    // 10 → 0.25·20+0.75·10 = 12.5 → 0.25·30+0.75·12.5 = 16.875
+    assert(last == ((3L, 16.875)), s"state not recovered: $last")
+  }
+
   test("session_window boundary semantics: an exactly-gap silence still " +
     "MERGES (split only when the gap is exceeded — same as sessionize)") {
     import spark.implicits._

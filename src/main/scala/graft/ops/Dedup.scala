@@ -98,6 +98,57 @@ object Dedup {
       }
   }
 
+  /** Shuffle width for a stage whose input EXPLODES (one row per token /
+    * gram / shingle): the session default, GROWN — never shrunk — when
+    * the estimated exploded row count would overload the default's
+    * per-partition sort buffers. The ×128 probe measured the failure
+    * mode both ways: 16 partitions × ~128 M exploded gram rows
+    * sort-spilled decontamination 12× (41.3 s → 3.31 s once widened,
+    * PROBE.md round 8), while at ×32 the session default was FASTER than
+    * an oversized width (task overhead) — hence the floor. A real
+    * cluster sizes `spark.sql.shuffle.partitions` to the data; local
+    * mode defaults it to the core count, so data-sized operators must
+    * widen themselves.
+    *
+    * The estimate is bytes-based — optimizer stats of the text-bearing
+    * input (parquet file size, in-memory relation size, or local-relation
+    * estimate), one exploded row per ~6 input bytes (token + separator) —
+    * so it costs no job. Checkpointed inputs keep their origin stats
+    * (Spark carries them into the LogicalRDD). Target rows per partition
+    * via `spark.graft.shuffle.rowsPerPartition` (default 1 M ≈ tens of MB
+    * of sort input per task at gram-row widths). */
+  private[graft] def explodedShuffleParts(src: DataFrame,
+                                          bytesPerRow: Long = 6L): Int = {
+    val spark = src.sparkSession
+    val default = spark.sessionState.conf.numShufflePartitions
+    val target = spark.conf
+      .get("spark.graft.shuffle.rowsPerPartition", "1000000").toLong.max(1L)
+    val bytes =
+      try src.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Exception => BigInt(0) }
+    // unknown stats surface as defaultSizeInBytes (Long.MaxValue) — treat
+    // as "no estimate" rather than exploding to the cap
+    val rows =
+      if (bytes <= 0 || bytes >= BigInt(Long.MaxValue) / 2) BigInt(0)
+      else bytes / bytesPerRow
+    val need = (rows / target + 1).min(32768).toInt
+    need.max(default)
+  }
+
+  /** Insert an explicit `repartition(keys)` sized by
+    * [[explodedShuffleParts]] ONLY when the estimate exceeds the session
+    * default: small inputs keep their original plan (AQE coalescing,
+    * broadcast choices untouched — the measured ×32 guard case), large
+    * ones get a pinned REPARTITION_BY_NUM exchange that the downstream
+    * aggregate/join on the same keys reuses. */
+  private def widenForExplosion(df: DataFrame, src: DataFrame,
+                                keys: Column*): DataFrame = {
+    val parts = explodedShuffleParts(src)
+    if (parts > df.sparkSession.sessionState.conf.numShufflePartitions)
+      df.repartition(parts, keys: _*)
+    else df
+  }
+
   /** `pinnedParts = Some(n)` pins the bucket aggregation to an explicit
     * n-way repartition on (band, bucket). Use it when the per-bucket
     * pair EXPANSION dominates the stage: AQE's byte-based coalescing
@@ -207,11 +258,14 @@ object Dedup {
     // 1 − ⌈t·1⌉ + 1 = 1 — the lemma covers it, and dropping such docs
     // would silently miss short-doc duplicate pairs the brute-force
     // oracle (and minhashDupPairs) report
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // exploded-row-aware width: equals the session default at bench/test
+    // scales, grows with the corpus so the gram-stream shuffles below
+    // never sort-spill through a core-count-sized width (PROBE.md r8)
+    val parts = explodedShuffleParts(docs)
     val s = docs
       .select(id.cast("long").as("doc_id"), shingleHashes64(text, n).as("sh"))
       .localCheckpoint()
-    val prefix = jaccardPrefixBuckets(s, threshold)
+    val prefix = jaccardPrefixBuckets(s, threshold, partsOverride = Some(parts))
     // pin the expansion stages (pair generation, exact-Jaccard verify):
     // their shuffle INPUTS are small, so AQE coalescing would serialize
     // the quadratic work — same pathology as Linkage.blockedFuzzyPairs
@@ -233,7 +287,9 @@ object Dedup {
     * exactly the thing that could go quadratic on a boilerplate corpus).
     * `s` is (doc_id: long, sh: array<long>). */
   private[graft] def jaccardPrefixBuckets(s: DataFrame,
-                                          threshold: Double): DataFrame = {
+                                          threshold: Double,
+                                          partsOverride: Option[Int] = None)
+      : DataFrame = {
     val tok = s.select(col("doc_id"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("g"))
     val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
@@ -241,8 +297,11 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     // explicit repartition: the exploded token stream is many rows but
     // few bytes, so AQE would coalesce the window's input shuffle down
-    // to a couple of tasks and serialize the per-doc rank sort
-    val parts = s.sparkSession.sessionState.conf.numShufflePartitions
+    // to a couple of tasks and serialize the per-doc rank sort.
+    // Width from the caller (exploded-row-aware) when provided — the
+    // checkpointed `s` carries origin stats, but the caller's raw frame
+    // estimates straight off the source
+    val parts = partsOverride.getOrElse(explodedShuffleParts(s))
     tok.join(dfreq, "g")
       .repartition(parts, col("doc_id"))
       .withColumn("rn", row_number().over(w))
@@ -333,8 +392,14 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n_c"), explode(col("sh")).as("g"))
     val q = sh(queries, "query_id")
       .select(col("query_id"), size(col("sh")).as("n_q"), explode(col("sh")).as("g"))
-    c.join(broadcast(q), "g")
-      .filter(col("query_id") =!= col("doc_id"))
+    // the pair aggregate's shuffle input is one row per matched shingle —
+    // corpus-exploded volume; widen it with the corpus when the estimate
+    // demands (small corpora keep the original plan: broadcast join +
+    // partial-agg exchange at the session default)
+    widenForExplosion(
+      c.join(broadcast(q), "g")
+        .filter(col("query_id") =!= col("doc_id")),
+      corpus, col("query_id"), col("doc_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("inter"),
         first(col("n_q")).as("n_q"), first(col("n_c")).as("n_c"))
@@ -621,11 +686,20 @@ object Dedup {
         transform(sequence(lit(0), nt - n),
           s => xxhash64(concat_ws(" ", slice(col("_toks"), s + 1, lit(n)))))))
       .withColumnRenamed("pos", "_start").withColumnRenamed("col", "_gram")
-    val dupGrams = grams.select(col("doc_id"), col("_gram")).distinct()
+    // every shuffle below carries the exploded gram stream (one row per
+    // token position): widen each to the corpus-sized width when the
+    // estimate exceeds the session default — at probe ×128 these are the
+    // sort-spill sites the shuffle-partition override used to paper over
+    val dupGrams = widenForExplosion(
+        grams.select(col("doc_id"), col("_gram")), docs,
+        col("doc_id"), col("_gram"))
+      .distinct()
       .groupBy("_gram").agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select("_gram")
-    val covered = grams.join(dupGrams, "_gram")
+    val covered = widenForExplosion(
+        widenForExplosion(grams, docs, col("_gram")).join(dupGrams, "_gram"),
+        docs, col("doc_id"))
       .groupBy("doc_id")
       .agg(array_distinct(flatten(collect_list(
         sequence(col("_start"), col("_start") + (n - 1))))).as("_cov"))

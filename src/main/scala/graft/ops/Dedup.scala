@@ -217,8 +217,11 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(minhashBandBuckets(col("sh"), k, rowsPerBand))
           .as(Seq("band", "bucket")))
+    // banded stream ≈ one row per (k/rowsPerBand ≈ 16) per doc — about one
+    // row per ~75 input bytes; width floors at the session default and
+    // grows with the corpus (same posture as the gram-stream operators)
     bucketPairs(banded, col("doc_id"), maxBucket,
-        pinnedParts = Some(df.sparkSession.sessionState.conf.numShufflePartitions))
+        pinnedParts = Some(explodedShuffleParts(df, bytesPerRow = 75L)))
       .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -340,8 +343,9 @@ object Dedup {
         posexplode(minhashBandBuckets(col("sh"), k, rowsPerBand))
           .as(Seq("band", "bucket")))
     bucketPairs(banded, col("sid"), maxBucket,
-        pinnedParts =
-          Some(existing.sparkSession.sessionState.conf.numShufflePartitions))
+        pinnedParts = Some(
+          explodedShuffleParts(existing, bytesPerRow = 75L)
+            .max(explodedShuffleParts(incoming, bytesPerRow = 75L))))
       .filter(col("id_a.side") === 0 && col("id_b.side") === 1)
       .select(col("id_a.doc_id").as("existing_id"),
         col("id_b.doc_id").as("incoming_id"))
@@ -543,9 +547,9 @@ object Dedup {
         }: _*)).as("bb"))
       .select(col("ds"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // struct sort order is lexicographic: distinct doc_ids ⇒ id_a < id_b
+    // sims rows are ~16 bytes (id + signature) and fan out `bands` ways
     bucketPairs(banded, col("ds"), maxBucket,
-        pinnedParts =
-          Some(sims.sparkSession.sessionState.conf.numShufflePartitions))
+        pinnedParts = Some(explodedShuffleParts(sims, bytesPerRow = 4L)))
       .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"),
         hamming64(col("id_a.sim"), col("id_b.sim")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -635,8 +639,10 @@ object Dedup {
     val banded = df.select(id.as("vec_id"),
       explode(hyperplaneBands(vec, planes, bands)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // embedding rows are ~256 bytes (64-float vectors) fanning out `bands`
+    // ways — one banded row per ~128 input bytes at the default 1–2 bands
     bucketPairs(banded, col("vec_id"), maxBucket,
-        pinnedParts = Some(df.sparkSession.sessionState.conf.numShufflePartitions))
+        pinnedParts = Some(explodedShuffleParts(df, bytesPerRow = 128L)))
       .join(base.select(col("vec_id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("vec_id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),

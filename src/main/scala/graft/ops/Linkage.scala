@@ -70,7 +70,10 @@ object Linkage {
     val b = sized.select(col("blk"), col("rid").as("id_b"),
       col("txt").as("txt_b"),
       pmod(xxhash64(col("rid")), segOf).as("_seg"))
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // exploded-row-aware width (floors at the session default): the
+    // segment-replicated verify join scales with the record count, and a
+    // cluster-sized corpus must not funnel it through a core-count width
+    val parts = Dedup.explodedShuffleParts(df, bytesPerRow = 30L)
     a.repartition(parts, col("blk"), col("_seg"))
       .join(b.repartition(parts, col("blk"), col("_seg")),
         Seq("blk", "_seg"))

@@ -82,6 +82,25 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(0) == n && r.getLong(1) == 1L)
   }
 
+  test("property: both auto-switch routes emit identical keep lists on " +
+    "random graphs (lp-forced vs star-forced)") {
+    import org.scalacheck.{Gen, Prop}
+    // ids ≤ 15 bound the diameter, so lpBudget=50 always converges (lp
+    // route) while lpBudget=1 converges only on already-stable label
+    // sets (star route for anything with structure) — the same fixpoint
+    // must come out either way, self-loops and duplicates included
+    val pairGen = Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))
+    val graphGen = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, pairGen))
+    checkProp(Prop.forAll(graphGen) { pairs =>
+      val e = edges(pairs)
+      def run(budget: Int) =
+        Graph.dedupClustersRouted(e, col("a"), col("b"), lpBudget = budget)
+          ._1.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      run(50) == run(1)
+    }, minTests = 6)
+  }
+
   test("pageRank: integer micro-units match the hand/reference computation") {
     // directed 1→2, 2→{1,3}, 3→1; 3 iterations; values independently
     // reproduced in DuckDB with the same integral recurrence

@@ -31,8 +31,8 @@ object Probe {
     val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
     // comma-separated family filter (minhash,simhash,embdup,ann,cc,ccstar,
-    // pagerank,asof,range,kmeans,jaccard,bloomjoin,decon,diff,diffbucketed,
-    // linkage,spanclean,buckets) —
+    // pagerank,asof,range,kmeans,pq,jaccard,bloomjoin,decon,diff,
+    // diffbucketed,linkage,spanclean,buckets) —
     // unset runs everything; a full ×128 sweep exceeds a single dev
     // timebox, so focused re-probes select just the families under study
     val families = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
@@ -205,6 +205,25 @@ object Probe {
       }
       run("kmeans", "kmeans_s", "kmeans_rows")(graft.ops.Clustering.kmeansExact(
         e, col("vec_id"), col("embedding"), k = 5, iters = 4).count())
+      // PQ: fit (m bounded integer-exact Lloyd loops, driver state k·d
+      // longs) + shuffle-free encode must track corpus size linearly;
+      // ADC search is one scan of the code table against broadcast
+      // queries. Codes are checkpointed between the two timings so the
+      // ADC number measures search, not a re-fit.
+      var pqCodes: DataFrame = null
+      var pqCb: graft.ops.Pq.Codebooks = null
+      run("pq", "pq_s", "pq_rows") {
+        pqCb = graft.ops.Pq.fit(e, col("vec_id"), col("embedding"),
+          dims = 64, m = 2, k = 4, iters = 2)
+        pqCodes = graft.ops.Pq
+          .encode(e, col("vec_id"), col("embedding"), pqCb)
+          .localCheckpoint()
+        pqCodes.count()
+      }
+      run("pq", "pqadc_s", "pqadc_rows") {
+        graft.ops.Pq.adcTopK(pqCodes, e.filter(col("vec_id") < 5),
+          col("vec_id"), col("embedding"), pqCb, k = 10).count()
+      }
       run("jaccard", "jaccard_s", "jaccard_pairs")(Dedup.jaccardPrefixPairs(
         d, col("doc_id"), col("text")).count())
       run("bloomjoin", "bloomjoin_s", "bloomjoin_rows") {

@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   * detail file. Unlike wall time these are noise-immune — they move only
   * when the plan moves.
   *
+  * Rolling reference (r11 verdict #2 and #4): a committed per-sf
+  * `bench_reference_<sf>.json` carries (a) best-known per-query medians —
+  * the flag rule compares against min(prior round, best-known), so a
+  * regression cannot hide behind an inflated prior — and (b) the last
+  * run's shuffle write records; >1.3× record-volume moves either way ship
+  * as `"shuffle_flags"` (expected empty), extending plan-drift detection
+  * from the 10 ScaleShapeSpec-pinned queries to all 138. The file is
+  * merged forward after every run.
+  *
   * Output-size contract: the harness keeps only the LAST ~2000 chars of
   * stdout and parses the one JSON line it finds there, so (a) the final
   * `{"metric":...}` line must stay under that budget — per-query medians
@@ -42,9 +51,12 @@ import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
   */
 object Bench {
 
-  /** One measured query: in-suite timings plus peak shuffle volume. */
+  /** One measured query: in-suite timings plus peak shuffle volume.
+    * `tainted` — some rep's metering window was bounded by a timed-out
+    * bus drain, so the shuffle numbers are approximate, not exact. */
   private final case class Timing(name: String, times: Vector[Double],
-      status: String, shuffleBytes: Long, shuffleRecords: Long) {
+      status: String, shuffleBytes: Long, shuffleRecords: Long,
+      tainted: Boolean) {
     def median: Double = times.sorted.apply((times.size - 1) / 2)
     def lo: Double = times.min
     def hi: Double = times.max
@@ -57,6 +69,7 @@ object Bench {
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     var peakB = 0L
     var peakR = 0L
+    var tainted = false
     var rep = 0
     while (rep < reps && status == "ok") { // an error short-circuits reps
       meter.reset()
@@ -71,18 +84,95 @@ object Bench {
       }
       times += (System.nanoTime() - t0) / 1e9
       val (b, r) = meter.snapshot() // bus drain is outside the timed window
+      tainted ||= meter.tainted
       if (b > peakB) peakB = b
       if (r > peakR) peakR = r
       rep += 1
     }
-    Timing(name, times.toVector, status, peakB, peakR)
+    Timing(name, times.toVector, status, peakB, peakR, tainted)
+  }
+
+  /** Extract a flat `"name": number` map from the first `"section":{...}`
+    * object in `txt`. Regex, not a JSON parser: the files are
+    * machine-written flat maps; bookkeeping keys (`_omitted`) skipped. */
+  private def parseFlatSection(txt: String, section: String): Map[String, Double] = {
+    val openRe = ("\"" + section + "\"\\s*:\\s*\\{").r
+    val m0 = openRe.findFirstMatchIn(txt)
+    val from = m0.map(_.end).getOrElse(-1)
+    val end = if (from < 0) -1 else txt.indexOf('}', from)
+    val body = if (from < 0 || end < from) "" else txt.substring(from, end)
+    val entry = "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+    entry.findAllMatchIn(body)
+      .filter(!_.group(1).startsWith("_"))
+      .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+  }
+
+  /** Rolling per-sf reference (committed at the repo root): best-known
+    * per-query medians (`sec` — min over every in-suite/isolated number
+    * ever recorded for this sf) and the last run's shuffle write records
+    * (`shuffle_records` — a plan-shape fingerprint, not a minimum).
+    *
+    * Why (r11 verdict #2): flagging against the prior ROUND alone lets a
+    * query whose prior number was itself inflated hide — r11's
+    * cluster_safe_splits ran 10.51 s in-suite under a 22.05 s r10 prior
+    * and was never flagged, though its known isolated level was 3.77 s.
+    * The flag rule now compares against min(prior round, reference best),
+    * so an inflated prior cannot mask a regression from best-known. */
+  private def referencePath(sfDir: String): java.nio.file.Path = {
+    val key = java.nio.file.Paths.get(sfDir).getFileName.toString
+    java.nio.file.Paths.get(s"bench_reference_$key.json")
+  }
+
+  private def loadReference(sfDir: String): (Map[String, Double], Map[String, Double]) = {
+    import java.nio.file.Files
+    val p = referencePath(sfDir)
+    if (!Files.isReadable(p)) (Map.empty, Map.empty)
+    else {
+      val txt = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      (parseFlatSection(txt, "sec"), parseFlatSection(txt, "shuffle_records"))
+    }
+  }
+
+  /** Merge this run into the reference file (see [[loadReference]]):
+    * `sec` keeps the per-query minimum ever observed, `shuffle_records`
+    * tracks the latest plan's volumes. Queries outside this run (e.g.
+    * under SPARK_GRAFT_BENCH_ONLY) keep their existing entries. */
+  private def writeReference(sfDir: String, refSec: Map[String, Double],
+      refRec: Map[String, Double], results: Seq[Timing],
+      isolated: Seq[(String, Timing)]): Unit = {
+    val isoMed = isolated.map { case (n, t) => n -> t.median }.toMap
+    val ok = results.filter(_.status == "ok")
+    val sec = ok.foldLeft(refSec) { (acc, t) =>
+      val best = (Seq(t.median) ++ isoMed.get(t.name) ++ acc.get(t.name)).min
+      acc.updated(t.name, best)
+    }
+    // tainted windows (timed-out bus drain) must not become the new
+    // plan-shape baseline — keep the last clean recording
+    val rec = ok.filterNot(_.tainted).foldLeft(refRec) { (acc, t) =>
+      acc.updated(t.name, t.shuffleRecords.toDouble)
+    }
+    def fmtSec(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+    val body =
+      sec.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${fmtSec(v)}""" }
+        .mkString("{", ",", "}")
+    val recBody =
+      rec.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${v.toLong}""" }
+        .mkString("{", ",", "}")
+    java.nio.file.Files.write(referencePath(sfDir),
+      (s"""{"sec":$body,\n"shuffle_records":$recBody}\n""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Prior-round per-query medians, for the regression flag rule: from
     * `SPARK_GRAFT_BENCH_PRIOR` if set, else the highest-numbered
     * `BENCH_r*.json` in the working directory (the repo root — the driver
     * commits one per round). Flat regex parse of the `"queries"` object;
-    * bookkeeping keys (`_omitted`) skipped. Missing/unparseable → empty. */
+    * bookkeeping keys (`_omitted`) skipped. Missing/unparseable → empty.
+    * NOTE: once the CURRENT round's BENCH file is committed, a same-round
+    * re-run self-compares through this path — harmless now, because the
+    * flag rule takes min(prior, reference best) and the reference file
+    * keeps pre-inflation levels ([[loadReference]]). */
   private def priorMedians(): (String, Map[String, Double]) = {
     import java.nio.file.{Files, Paths}
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(Paths.get(_))
@@ -109,16 +199,7 @@ object Bench {
       // tolerate both the raw bench line ("queries":{) and the driver's
       // pretty-printed wrapper ("queries": { under a "parsed" object);
       // the wrapper's escaped stdout copy (\"queries\":) cannot match
-      val openRe = "\"queries\"\\s*:\\s*\\{".r
-      val m0 = openRe.findFirstMatchIn(txt)
-      val from = m0.map(_.end).getOrElse(-1)
-      val end = if (from < 0) -1 else txt.indexOf('}', from)
-      val body = if (from < 0 || end < from) "" else txt.substring(from, end)
-      val entry = "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
-      val m = entry.findAllMatchIn(body)
-        .filter(!_.group(1).startsWith("_"))
-        .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-      (p.getFileName.toString, m)
+      (p.getFileName.toString, parseFlatSection(txt, "queries"))
     }.getOrElse(("none", Map.empty))
   }
 
@@ -162,22 +243,27 @@ object Bench {
 
     // ---- self-adjudication (r10 verdict #1): re-run suspicious medians
     // in isolation. A query is flagged when its in-suite median reads
-    // 1.5× over its prior-round median (catches the tight-all-high
-    // signature, where lo/med/hi inflate together and a spread test sees
-    // nothing) OR 2× over its own lo (the classic suite-noise signature,
-    // lo ≪ med). Floor 0.5 s: sub-half-second medians are inside this
-    // box's scheduling jitter and re-running them only adds noise rows.
-    // Cap at the 16 slowest flagged so a pathological round cannot double
-    // the bench; disabled under SPARK_GRAFT_BENCH_ONLY (a targeted run IS
+    // 1.5× over min(prior-round median, reference best-known) — the min
+    // (r11 verdict #2) stops an inflated prior from masking a regression
+    // from best-known, and catches the tight-all-high signature, where
+    // lo/med/hi inflate together and a spread test sees nothing — OR 2×
+    // over its own lo (the classic suite-noise signature, lo ≪ med).
+    // Floor 0.5 s: sub-half-second medians are inside this box's
+    // scheduling jitter and re-running them only adds noise rows. Cap at
+    // the 16 slowest flagged so a pathological round cannot double the
+    // bench; disabled under SPARK_GRAFT_BENCH_ONLY (a targeted run IS
     // the isolation protocol).
     val (priorFile, prior) = priorMedians()
+    val (refSec, refRec) = loadReference(sfDir)
+    def bestKnown(name: String): Option[Double] =
+      (prior.get(name).toSeq ++ refSec.get(name)).minOption
     val isoReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_REPS", "5")
       .toInt.max(3)
     val flagged =
       if (only.isDefined) Vector.empty
       else results.iterator.filter { t =>
         t.status == "ok" && t.median >= 0.5 && (
-          prior.get(t.name).exists(p => t.median > 1.5 * p + 0.2) ||
+          bestKnown(t.name).exists(p => t.median > 1.5 * p + 0.2) ||
             t.median > 2.0 * t.lo)
       }.toVector.sortBy(-_.median)
     val isoOmitted = (flagged.size - 16).max(0)
@@ -186,6 +272,25 @@ object Bench {
       System.gc() // shed suite GC debt; isolation should measure the query
       t.name -> runOne(spark, sfDir, t.name, byName(t.name), isoReps, meter)
     }
+
+    // ---- shuffle-volume regression (r11 verdict #4): unlike wall time,
+    // shuffle write records move only when the plan (or data) moves —
+    // compare every query against the reference file's last-recorded
+    // volume and flag >1.3× moves either way. Expected empty; a non-empty
+    // map is a plan-shape drift on a query the 10 ScaleShapeSpec pins
+    // don't cover.
+    val shuffleFlags = results.iterator
+      .filter(t => t.status == "ok" && !t.tainted && !only.isDefined)
+      .flatMap { t =>
+        refRec.get(t.name).collect {
+          case p if math.max(p, 1.0) * 1.3 < t.shuffleRecords ||
+            t.shuffleRecords * 1.3 < p =>
+            t.name -> (p.toLong, t.shuffleRecords)
+        }
+      }.toVector.sortBy(_._1)
+
+    // roll the reference forward: best-known medians + this plan's volumes
+    writeReference(sfDir, refSec, refRec, results, isolated)
 
     def r3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     def r2(x: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, x)
@@ -211,10 +316,20 @@ object Bench {
     // what the harness's parser latches onto (truncated mid-object)
     val detailPath = java.nio.file.Paths.get("target", "bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
+    val shuffleFlagsJson = shuffleFlags.map { case (n, (p, c)) =>
+      "\"" + n + "\":[" + p + "," + c + "]"
+    }.mkString("{", ",", "}")
+    // queries whose metering window was bounded by a timed-out bus drain:
+    // their shuffle numbers are approximate (ADVICE r11 — previously they
+    // were silently reported as exact)
+    val drainTimeouts = results.filter(_.tainted).map("\"" + _.name + "\"")
+      .mkString("[", ",", "]")
     java.nio.file.Files.write(detailPath,
       (s"""{"detail":"[lo,median,hi]","reps":$reps,"spread":$spread,""" +
         s""""shuffle_write_bytes_records":$shuffle,""" +
-        s""""prior":"$priorFile","iso_reps":$isoReps,""" +
+        s""""drain_timeouts":$drainTimeouts,""" +
+        s""""prior":"$priorFile","reference":"${referencePath(sfDir)}",""" +
+        s""""shuffle_flags":$shuffleFlagsJson,"iso_reps":$isoReps,""" +
         s""""iso_omitted":$isoOmitted,"isolated":$isoSpread}\n""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // isolated medians ride in the main line (they're the adjudication
@@ -222,8 +337,16 @@ object Bench {
     // 16-query cap keeps this ≤ ~400 chars
     val iso = isolated.map { case (n, t) => "\"" + n + "\":" + r2(t.median) }
       .mkString("{", ",", "}")
+    // shuffle_flags in the main line is capped like the error map — a
+    // pathological drift-everywhere run must not blow the stdout tail
+    val sfShown = shuffleFlags.take(8).map { case (n, (p, c)) =>
+      "\"" + n + "\":[" + p + "," + c + "]"
+    }
+    val sfLine = (if (shuffleFlags.size <= 8) sfShown
+                  else sfShown :+ s""""_more":${shuffleFlags.size - 8}""")
+      .mkString("{", ",", "}")
     def fullLine(q: String) =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q,"isolated":$iso,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q,"isolated":$iso,"shuffle_flags":$sfLine,"errors":$errs,"sf":"$sfDir"}"""
     // the harness tail window is ~2000 chars: pack per-query medians
     // slowest-first until the budget is hit, count the rest in "_omitted"
     // (the sub-tail entries are the ~0.2 s queries nobody reads one by

@@ -24,6 +24,7 @@ import org.apache.spark.sql.SparkSession
 final class ShuffleMeter private (spark: SparkSession) extends SparkListener {
   private val writeBytes = new AtomicLong
   private val writeRecords = new AtomicLong
+  private val drainTimedOut = new java.util.concurrent.atomic.AtomicBoolean
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
@@ -34,29 +35,43 @@ final class ShuffleMeter private (spark: SparkSession) extends SparkListener {
   }
 
   def reset(): Unit = {
-    drain()
+    val clean = drain()
     writeBytes.set(0L)
     writeRecords.set(0L)
+    // a dirty reset means the PREVIOUS query's in-flight task-end events
+    // will land in THIS window — mark it contaminated from the start
+    drainTimedOut.set(!clean)
   }
 
   /** (shuffle bytes written, shuffle records written) since `reset()`. */
   def snapshot(): (Long, Long) = {
-    drain()
+    if (!drain()) drainTimedOut.set(true)
     (writeBytes.get, writeRecords.get)
   }
 
+  /** True when any bus drain bounding the current window timed out: the
+    * numbers may include a neighbour query's events (or miss this one's
+    * tail) and must be reported as contaminated, not exact — the
+    * "reproduce to the byte" claim only holds for clean windows. */
+  def tainted: Boolean = drainTimedOut.get
+
   def detach(): Unit = spark.sparkContext.removeSparkListener(this)
 
-  private def drain(): Unit = {
+  /** Drain the async listener bus; true when it emptied. A saturated bus
+    * times out its `waitUntilEmpty` after 10 s — retry once (most
+    * saturation clears within the second window) and report failure
+    * rather than silently proceeding with a half-delivered window. */
+  private def drain(): Boolean = {
     val sc = spark.sparkContext
-    try {
-      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-    } catch {
-      // a saturated bus times out after 10 s — proceed with whatever has
-      // been delivered rather than failing the measurement run
-      case _: ReflectiveOperationException =>
-    }
+    def once(): Boolean =
+      try {
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        true
+      } catch {
+        case _: ReflectiveOperationException => false
+      }
+    once() || once()
   }
 }
 

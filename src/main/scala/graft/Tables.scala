@@ -32,14 +32,6 @@ object Tables {
     * the NTZ→LTZ cast is value-preserving and both engines agree). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the NTZ→LTZ branch is value-preserving ONLY under a UTC session —
-    // assert rather than silently shifting every event instant in a
-    // non-UTC embedding (launcher configs set this, but the loader is the
-    // contract holder)
-    val tz = s.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
-      s"events() requires spark.sql.session.timeZone=UTC (got $tz): the " +
-        "fixture's naive-timestamp generations are defined in UTC")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
@@ -47,7 +39,20 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // value-preserving cast under the UTC session asserted above
+        // The NTZ→LTZ cast is the ONLY value-altering branch: it is
+        // value-preserving solely under a UTC session, so the guard lives
+        // here — the nanos-as-long and TIMESTAMP branches load
+        // timezone-independent instants and must not be rejected in a
+        // non-UTC embedding. Zone spellings normalize via ZoneId (UTC,
+        // Etc/UTC, GMT, Z, +00:00, Etc/Universal … all accept).
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        val isUtc = try {
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+        } catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
+          s"events() requires spark.sql.session.timeZone=UTC (got $tz): " +
+            "this fixture generation carries naive timestamps defined in " +
+            "UTC, and the NTZ->session-zone cast would shift every instant")
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case other => throw new IllegalArgumentException(
         s"events.ts has unexpected parquet-surfaced type $other — known " +

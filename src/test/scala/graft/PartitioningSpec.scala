@@ -48,49 +48,56 @@ class PartitioningSpec extends SparkSpec {
   test("exploded-row-aware width: small corpora keep the session default " +
     "and their original plans; a demanding estimate widens the expansion " +
     "shuffles with pinned exchanges") {
-    import spark.implicits._
     import graft.ops.Dedup
-    val corpus = (1L to 200L)
-      .map(i => i -> s"alpha beta gamma delta epsilon doc $i filler words")
-      .toDF("doc_id", "text")
-    val evalSet = Seq(900L -> "alpha beta gamma delta epsilon")
-      .toDF("doc_id", "text")
+    import org.apache.spark.sql.SparkSession
+    def corpus(s: SparkSession) = {
+      import s.implicits._
+      (1L to 200L)
+        .map(i => i -> s"alpha beta gamma delta epsilon doc $i filler words")
+        .toDF("doc_id", "text")
+    }
+    def evalSet(s: SparkSession) = {
+      import s.implicits._
+      Seq(900L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text")
+    }
     val default = spark.sessionState.conf.numShufflePartitions
     // small corpus, default target: estimator floors at the session
     // default and the operators' plans carry NO extra pinned exchange
-    assert(Dedup.explodedShuffleParts(corpus) == default)
-    val decontPlan = Dedup.decontaminate(corpus, evalSet,
+    assert(Dedup.explodedShuffleParts(corpus(spark)) == default)
+    val decontPlan = Dedup.decontaminate(corpus(spark), evalSet(spark),
       col("doc_id"), col("text")).queryExecution.executedPlan.toString
     assert(!decontPlan.contains("REPARTITION_BY_NUM"),
       s"small-corpus decontaminate grew a pinned exchange:\n$decontPlan")
-    val spanPlan = Dedup.removeDuplicatedSpans(corpus, col("doc_id"),
+    val spanPlan = Dedup.removeDuplicatedSpans(corpus(spark), col("doc_id"),
       col("text")).queryExecution.executedPlan.toString
     assert(!spanPlan.contains("REPARTITION_BY_NUM"),
       s"small-corpus span clean grew a pinned exchange:\n$spanPlan")
     // shrink the per-partition row target: the same corpus now demands
     // more than the default width — the estimator grows and every
-    // expansion shuffle is pinned (REPARTITION_BY_NUM, AQE-exempt)
-    spark.conf.set("spark.graft.shuffle.rowsPerPartition", "16")
-    try {
-      assert(Dedup.explodedShuffleParts(corpus) > default,
-        "estimator did not grow under a 16-row/partition target")
-      val wideDecon = Dedup.decontaminate(corpus, evalSet,
-        col("doc_id"), col("text")).queryExecution.executedPlan.toString
-      assert(wideDecon.contains("REPARTITION_BY_NUM"),
-        s"widened decontaminate lacks the pinned exchange:\n$wideDecon")
-      val wideSpan = Dedup.removeDuplicatedSpans(corpus, col("doc_id"),
-        col("text")).queryExecution.executedPlan.toString
-      assert(wideSpan.contains("REPARTITION_BY_NUM"),
-        s"widened span clean lacks the pinned exchange:\n$wideSpan")
-    } finally spark.conf.unset("spark.graft.shuffle.rowsPerPartition")
+    // expansion shuffle is pinned (REPARTITION_BY_NUM, AQE-exempt).
+    // The shrunk target lives on a CHILD session (same SparkContext, own
+    // conf): suites share one SparkSession, and a conf mutation there
+    // would leak into any concurrently-planned Dedup/Linkage plan if the
+    // build ever ran suites in parallel (ADVICE r11).
+    val widened = spark.newSession()
+    widened.conf.set("spark.graft.shuffle.rowsPerPartition", "16")
+    assert(Dedup.explodedShuffleParts(corpus(widened)) > default,
+      "estimator did not grow under a 16-row/partition target")
+    val wideDecon = Dedup.decontaminate(corpus(widened), evalSet(widened),
+      col("doc_id"), col("text")).queryExecution.executedPlan.toString
+    assert(wideDecon.contains("REPARTITION_BY_NUM"),
+      s"widened decontaminate lacks the pinned exchange:\n$wideDecon")
+    val wideSpan = Dedup.removeDuplicatedSpans(corpus(widened),
+      col("doc_id"), col("text")).queryExecution.executedPlan.toString
+    assert(wideSpan.contains("REPARTITION_BY_NUM"),
+      s"widened span clean lacks the pinned exchange:\n$wideSpan")
     // and the WIDENED output equals the default-width output row-for-row
-    val base = Dedup.removeDuplicatedSpans(corpus, col("doc_id"), col("text"))
-      .collect().map(_.toSeq).toSeq
-    spark.conf.set("spark.graft.shuffle.rowsPerPartition", "16")
-    val wide =
-      try Dedup.removeDuplicatedSpans(corpus, col("doc_id"), col("text"))
-        .collect().map(_.toSeq).toSeq
-      finally spark.conf.unset("spark.graft.shuffle.rowsPerPartition")
+    val base = Dedup.removeDuplicatedSpans(corpus(spark), col("doc_id"),
+      col("text")).collect().map(_.toSeq).toSeq
+    val wide = Dedup.removeDuplicatedSpans(corpus(widened), col("doc_id"),
+      col("text")).collect().map(_.toSeq).toSeq
     assert(wide == base, "span clean output changed with shuffle width")
+    // the shared session's conf was never touched
+    assert(spark.conf.getOption("spark.graft.shuffle.rowsPerPartition").isEmpty)
   }
 }

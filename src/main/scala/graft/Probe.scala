@@ -311,6 +311,32 @@ object Probe {
           .collect()(0)
         r.getLong(0)
       }
+      run("curation", "curation_s", "curation_docs") {
+        // the capstone composition (exact dedup → quality filter →
+        // near-dup components → split): every input doc appears exactly
+        // once in the output, so rows == corpus size and wall time must
+        // track it near-linearly — r11 verdict #3: the one heavy
+        // pipeline whose scaling was inferred from its parts, measured
+        // directly here. Aggregate over status+split so the audit-trail
+        // union and final projection cannot be pruned away.
+        val r = graft.pipelines.CorpusCuration
+          .curate(d, col("doc_id"), col("text"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(concat(col("status"), col("split")))).as("c"))
+          .collect()(0)
+        r.getLong(0)
+      }
+      run("curation", "curation_route_s", "curation_route_nodes") {
+        // the LP-vs-star auto-switch must take the lp route on the REAL
+        // duplicate graph (near-clique components, tiny diameter): the
+        // ~1.7× star premium is reserved for adversarial diameters. The
+        // route rides in the row so the assertion is measured per scale.
+        val pairs = Dedup.minhashDupPairs(d, col("doc_id"), col("text"))
+        val (labels, route) = graft.ops.Graph.dedupClustersRouted(
+          pairs, col("id_a"), col("id_b"))
+        fields += s""""curation_route":"$route""""
+        labels.count()
+      }
       if (want("buckets")) {
         val (maxB, overCap) = minhashBucketStats(d, 1000)
         val (maxP, overCapP) = jaccardPrefixBucketStats(d, 1000)

@@ -154,32 +154,48 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ in:\n$plan")
   }
 
-  test("shuffle-volume pins: the five heaviest bench queries move a " +
+  test("shuffle-volume pins: the ten heaviest bench queries move a " +
     "fixed record volume at sf0.01") {
     // wall time on the bench box is noisy; the RECORDS a query writes
     // through its exchanges are a pure function of (data, plan) — a
     // changed pin means the PLAN changed (new exchange, lost broadcast,
     // changed pre-aggregation), which is the regression signal the r10
-    // movers lacked. Pinned against the sf0.01 fixture generation under
-    // this suite's session (local[4], 4 shuffle partitions); plan-metric
-    // read ([[ShuffleMeter.planShuffleWrite]]) so parallel suites cannot
-    // contaminate. Lineage-cut segments (e.g. cluster_safe_splits' LP
-    // rounds) run as separate executions and are covered by Bench's
-    // listener-side detail instead — these pins cover each query's own
-    // plan.
+    // movers lacked. Pinned against the sf0.01 fixture generation; the
+    // pin set covers every query that ever exceeded 2 s in-suite (r11
+    // verdict #5). Plan-metric read ([[ShuffleMeter.planShuffleWrite]])
+    // so parallel suites cannot contaminate. Lineage-cut segments (e.g.
+    // cluster_safe_splits' LP rounds, corpus_curation's stage cuts) run
+    // as separate executions and are covered by Bench's listener-side
+    // detail instead — these pins cover each query's own plan.
+    //
+    // Partial-aggregation output rows depend on the SCAN SPLIT LAYOUT
+    // (one partial row per split per group), not only on (data, plan):
+    // a Spark upgrade changing maxPartitionBytes/openCostInBytes
+    // defaults would drift entries like props_k_stats without any plan
+    // change (ADVICE r11). The queries therefore run on a child session
+    // with both split confs pinned to today's defaults — only genuine
+    // plan changes can trip the assertion.
     val sf = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$sf/documents.parquet").exists)
+    val pinnedSession = spark.newSession()
+    pinnedSession.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    pinnedSession.conf.set("spark.sql.files.openCostInBytes", "4194304")
     // measured 2026-08-13 on the round-10/11 sf0.01 fixture generation;
     // a driver fixture REGENERATION with a new seed legitimately re-pins
-    // the two content-dependent entries (jaccard pair volume, splits size)
+    // the content-dependent entries (pair volumes, splits size)
     val expected = Map(
       "props_k_stats" -> 10L,
       "cluster_safe_splits" -> 3000L,
       "price_percentiles" -> 6L,
       "jaccard_prefix_pairs" -> 119620L,
-      "pq_ann_topk" -> 100L)
+      "pq_ann_topk" -> 100L,
+      "corpus_curation" -> 2152L,
+      "doc_pagerank_seeded" -> 1000L,
+      "simhash_md5_pairs" -> 6660L,
+      "containment_pairs" -> 358L,
+      "semantic_decontamination" -> 1000L)
     val actual = expected.keys.toSeq.sorted.map { name =>
-      val df = SparkEntry.queries(name)(spark, sf)
+      val df = SparkEntry.queries(name)(pinnedSession, sf)
       df.collect()
       name -> ShuffleMeter.planShuffleWrite(df)
     }

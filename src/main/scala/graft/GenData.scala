@@ -78,9 +78,13 @@ object GenData {
     val nDocs     = (50000 * sf).toLong.max(1)
     val nEmb      = (8000 * sf).toLong.max(500) // driver steps 4×/tier, not 10×
 
-    def write(name: String, df: DataFrame, parts: Int = 1): Unit = {
+    def write(name: String, df: DataFrame): Unit = {
       val dir = s"$outDir/_gen_$name"
-      df.coalesce(parts).write.mode("overwrite").parquet(dir)
+      // One output file per table (the driver layout both Spark and the
+      // DuckDB oracle expect: a single file literally named <t>.parquet) —
+      // so the write must be a single task. 6M lineitem rows in one file
+      // is a one-time generation cost, not an operator pattern.
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
       // driver layout: ONE file literally named <table>.parquet
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
@@ -151,8 +155,7 @@ object GenData {
       (ui(23, 9).cast("double") / 100.0).as("l_tax"),
       pick(24, "A", "N", "R").as("l_returnflag"),
       pick(25, "F", "O").as("l_linestatus"),
-      tpcDate(26, extraDays = ui(27, 95) + 1).as("l_shipdate")),
-      parts = (4 * sf).toInt.max(1))
+      tpcDate(26, extraDays = ui(27, 95) + 1).as("l_shipdate")))
 
     // 30-day window from 2024-01-01, micro-precision naive timestamps;
     // value ~ Exponential(mean 50) rounded to cents (observed shape)

@@ -24,6 +24,18 @@ timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0") or 0)
 mem_limit = os.environ.get("ORACLE_MEM_LIMIT", "")
 if mem_limit:
     con.execute(f"SET memory_limit='{mem_limit}'")
+threads = os.environ.get("ORACLE_THREADS", "")
+if threads:
+    con.execute(f"SET threads={int(threads)}")
+# Subset selection, for splitting a large-sf gate across processes
+# (the heavy naive SQLs then run concurrently instead of serially):
+# ORACLE_ONLY = comma list to run; ORACLE_SKIP = comma list to skip.
+only = {x.strip() for x in os.environ.get("ORACLE_ONLY", "").split(",") if x.strip()}
+skip = {x.strip() for x in os.environ.get("ORACLE_SKIP", "").split(",") if x.strip()}
+
+
+def selected(name):
+    return (not only or name in only) and name not in skip
 
 
 def run_with_timeout(sql):
@@ -54,6 +66,8 @@ oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
 timeouts = 0
 for name, sql in sorted(oracle.items()):
+    if not selected(name):
+        continue
     try:
         odf, timed_out = run_with_timeout(sql)
     except Exception as e:
@@ -97,7 +111,7 @@ for name, sql in sorted(oracle.items()):
 # rows-only queries (no oracle entry)
 for d in sorted(glob.glob(f"{out}/*/")):
     name = d.rstrip("/").split("/")[-1]
-    if name in oracle: continue
+    if name in oracle or not selected(name): continue
     n = con.execute(f"SELECT count(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
     status = "OK  " if n > 0 else "FAIL"
     if n == 0: fail += 1

@@ -2152,19 +2152,23 @@ object SparkEntry {
     // everywhere, fixed 5 iterations, weight-0 self edges keep every node
     // in the recursion with a single recursive reference — bit-identical
     // to Graph.pageRank by construction
+    // every static CTE is AS MATERIALIZED: `aug` is referenced only from
+    // the recursive arm, and DuckDB inlines single-use CTEs — which
+    // re-evaluates the WHOLE all-pairs chain on every PR iteration
+    // (observed at sf1.0: OOM past 80 GB; materialized: minutes at 40 GB)
     "doc_pagerank" ->
       s"""WITH RECURSIVE $MinhashAllPairsCtes,
-         |pairs AS (SELECT id_a, id_b FROM p
+         |pairs AS MATERIALIZED (SELECT id_a, id_b FROM p
          |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
-         |sym AS (SELECT DISTINCT src, dst FROM (
+         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |          SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs)),
          |-- DISTINCT subquery, not a bare UNION: inside WITH RECURSIVE
          |-- DuckDB 1.0 does not dedup a non-recursive CTE's UNION
-         |nodes AS (SELECT DISTINCT node FROM (
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
          |           SELECT src AS node FROM sym UNION ALL SELECT dst FROM sym)),
-         |outdeg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
-         |aug AS (SELECT s.src, s.dst, o.d FROM sym s JOIN outdeg o USING (src)
+         |outdeg AS MATERIALIZED (SELECT src, count(*) AS d FROM sym GROUP BY src),
+         |aug AS MATERIALIZED (SELECT s.src, s.dst, o.d FROM sym s JOIN outdeg o USING (src)
          |        UNION ALL SELECT node, node, NULL FROM nodes),
          |pr(node, r, iter) AS (
          |  SELECT node, CAST(1000000 AS BIGINT), 0 FROM nodes
@@ -2182,15 +2186,15 @@ object SparkEntry {
     // (dst < 50 is constant per group, so it sits outside the aggregates)
     "doc_pagerank_seeded" ->
       s"""WITH RECURSIVE $MinhashAllPairsCtes,
-         |pairs AS (SELECT id_a, id_b FROM p
+         |pairs AS MATERIALIZED (SELECT id_a, id_b FROM p
          |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
-         |sym AS (SELECT DISTINCT src, dst FROM (
+         |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |          SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs)),
-         |nodes AS (SELECT DISTINCT node FROM (
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
          |           SELECT src AS node FROM sym UNION ALL SELECT dst FROM sym)),
-         |outdeg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
-         |aug AS (SELECT s.src, s.dst, o.d FROM sym s JOIN outdeg o USING (src)
+         |outdeg AS MATERIALIZED (SELECT src, count(*) AS d FROM sym GROUP BY src),
+         |aug AS MATERIALIZED (SELECT s.src, s.dst, o.d FROM sym s JOIN outdeg o USING (src)
          |        UNION ALL SELECT node, node, NULL FROM nodes),
          |pr(node, r, iter) AS (
          |  SELECT node, CAST(CASE WHEN node < 50 THEN 1000000 ELSE 0 END AS BIGINT), 0 FROM nodes
@@ -3015,20 +3019,21 @@ object SparkEntry {
         |           >> (b % 4)) & 1 AS bit
         |       FROM hx, (SELECT unnest(range(64)) AS b) bs),
         |sg AS (SELECT doc_id, b, (sum(2*bit - 1) > 0) AS v FROM bt GROUP BY doc_id, b),
-        |bkt AS (SELECT doc_id, b // 16 AS band,
-        |          sum(CASE WHEN v THEN CAST(1 AS BIGINT) << (b % 16) ELSE 0 END) AS bucket
-        |        FROM sg GROUP BY doc_id, band),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |         FROM bkt a JOIN bkt c USING (band, bucket)
-        |         WHERE a.doc_id < c.doc_id),
-        |ham AS (SELECT cand.id_a, cand.id_b,
-        |          sum(CASE WHEN x.v <> y.v THEN 1 ELSE 0 END) AS hamming
-        |        FROM cand
-        |          JOIN sg x ON x.doc_id = cand.id_a
-        |          JOIN sg y ON y.doc_id = cand.id_b AND y.b = x.b
-        |        GROUP BY cand.id_a, cand.id_b)
-        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM ham
-        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+        |val AS (SELECT doc_id, sum(CASE WHEN v THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS sv
+        |        FROM sg GROUP BY doc_id),
+        |blk AS (SELECT doc_id, sv, band, (sv >> (band * 16)) & 65535 AS bucket
+        |        FROM val, (SELECT unnest(range(4)) AS band) bands)
+        |-- any pair at hamming <= 3 agrees on >= 1 of the 4 16-bit blocks
+        |-- (pigeonhole), so the block join is an exact candidate generator;
+        |-- hamming is computed on the packed word INSIDE the join filter, so
+        |-- the candidate stream is never materialized (the earlier
+        |-- DISTINCT-then-per-bit-join formulation OOM'd at sf1.0, where
+        |-- same-vocab docs make block buckets quadratically dense)
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.sv, c.sv)) AS BIGINT) AS hamming
+        |FROM blk a JOIN blk c USING (band, bucket)
+        |WHERE a.doc_id < c.doc_id AND bit_count(xor(a.sv, c.sv)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "embedding_neardup" ->
       """WITH e AS (

@@ -27,6 +27,15 @@ if mem_limit:
 threads = os.environ.get("ORACLE_THREADS", "")
 if threads:
     con.execute(f"SET threads={int(threads)}")
+# Per-process spill dir: concurrent workers sharing DuckDB's default
+# ".tmp" race on each other's temp files (observed: IOException abort).
+tmp_dir = os.environ.get("ORACLE_TMP", "")
+if tmp_dir:
+    os.makedirs(tmp_dir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp_dir}'")
+max_tmp = os.environ.get("ORACLE_MAX_TMP", "")
+if max_tmp:
+    con.execute(f"SET max_temp_directory_size='{max_tmp}'")
 # Subset selection, for splitting a large-sf gate across processes
 # (the heavy naive SQLs then run concurrently instead of serially):
 # ORACLE_ONLY = comma list to run; ORACLE_SKIP = comma list to skip.

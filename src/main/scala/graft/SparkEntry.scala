@@ -1665,7 +1665,7 @@ object SparkEntry {
       |e AS (SELECT vec_id,
       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |      FROM embeddings),
-      |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+      |qv AS MATERIALIZED (SELECT v AS q FROM e WHERE vec_id = 0),
       |cs AS (SELECT vec_id AS id,
       |         round(list_dot_product(q, v)
       |           / (sqrt(list_dot_product(q, q))
@@ -1708,9 +1708,9 @@ object SparkEntry {
     * compute the same fixpoint, so both must match the same recursion. */
   private val DedupComponentsOracle =
     s"""WITH RECURSIVE $MinhashAllPairsCtes,
-       |pairs AS (SELECT id_a, id_b FROM p
+       |pairs AS MATERIALIZED (SELECT id_a, id_b FROM p
        |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
-       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
        |        UNION SELECT id_b, id_a FROM pairs),
        |reach(id, r) AS (
        |  SELECT a, a FROM sym
@@ -2741,7 +2741,7 @@ object SparkEntry {
     // (id_a < id_b) edge list; zero-count nodes kept by the left join
     "triangle_counts" ->
       s"""WITH $MinhashAllPairsCtes,
-         |pairs AS (SELECT id_a, id_b FROM p
+         |pairs AS MATERIALIZED (SELECT id_a, id_b FROM p
          |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
          |tri AS (SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
          |        FROM pairs e1
@@ -2770,13 +2770,13 @@ object SparkEntry {
       s"""WITH RECURSIVE d2 AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 100000, text || ' dupmarker' FROM documents),
-         |ck AS (SELECT doc_id, text,
+         |ck AS MATERIALIZED (SELECT doc_id, text,
          |         md5(trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))) AS ck
          |       FROM d2),
-         |r1 AS (SELECT doc_id, text, ck,
+         |r1 AS MATERIALIZED (SELECT doc_id, text, ck,
          |         row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM ck),
          |exact_dropped AS (SELECT doc_id FROM r1 WHERE rn > 1),
-         |s1 AS (SELECT doc_id, text FROM r1 WHERE rn = 1),
+         |s1 AS MATERIALIZED (SELECT doc_id, text FROM r1 WHERE rn = 1),
          |qt AS (SELECT doc_id, text, $toksSql AS toks FROM s1),
          |qb AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
          |         CAST(len(list_filter(toks, x -> list_contains($stopListSql, x))) AS DOUBLE)
@@ -2785,27 +2785,27 @@ object SparkEntry {
          |qx AS (SELECT doc_id, unnest(toks) AS tok FROM qb),
          |qc AS (SELECT doc_id, tok, count(*) AS cnt FROM qx GROUP BY doc_id, tok),
          |qm AS (SELECT doc_id, max(cnt) AS max_cnt FROM qc GROUP BY doc_id),
-         |qv AS (SELECT qb.doc_id, qb.text,
+         |qv AS MATERIALIZED (SELECT qb.doc_id, qb.text,
          |         (qb.n_tokens >= 20 AND qb.n_tokens <= 100000
          |           AND CAST(coalesce(qm.max_cnt, 0) AS DOUBLE) / greatest(qb.n_tokens, 1) <= 0.12
          |           AND qb.stop_ratio >= 0.02) AS keep
          |       FROM qb LEFT JOIN qm USING (doc_id)),
          |low_quality AS (SELECT doc_id FROM qv WHERE NOT keep),
-         |s2 AS (SELECT doc_id, text FROM qv WHERE keep),
+         |s2 AS MATERIALIZED (SELECT doc_id, text FROM qv WHERE keep),
          |mt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM s2),
          |ms AS (SELECT doc_id,
          |         CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(len(toks) - 2),
          |                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
          |              ELSE [array_to_string(toks, ' ')] END AS sh
          |       FROM mt),
-         |mx AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM ms),
-         |mp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |mx AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM ms),
+         |mp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
          |       FROM mx a JOIN mx b USING (g) WHERE a.doc_id < b.doc_id
          |       GROUP BY a.doc_id, b.doc_id),
-         |pairs AS (SELECT id_a, id_b FROM mp
+         |pairs AS MATERIALIZED (SELECT id_a, id_b FROM mp
          |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7),
-         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
          |        UNION SELECT id_b, id_a FROM pairs),
          |reach(id, r) AS (
          |  SELECT a, a FROM sym

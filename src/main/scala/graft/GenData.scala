@@ -88,12 +88,17 @@ object GenData {
       // driver layout: ONE file literally named <table>.parquet
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
-      val part = Files.list(Paths.get(dir)).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      // Files.list streams hold a directory handle until closed (ADVICE r12)
+      def listDir(): Seq[java.nio.file.Path] = {
+        val s = Files.list(Paths.get(dir))
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+      val part = listDir()
+        .filter(_.getFileName.toString.endsWith(".parquet")).head
       val tgt = Paths.get(s"$outDir/$name.parquet")
       Files.deleteIfExists(tgt)
       Files.move(part, tgt)
-      Files.list(Paths.get(dir)).iterator().asScala.foreach(Files.delete)
+      listDir().foreach(Files.delete)
       Files.delete(Paths.get(dir))
       println(s"[gen] $name: ${spark.read.parquet(tgt.toString).count()} rows")
     }

@@ -203,6 +203,27 @@ object Probe {
         graft.ops.RangeJoin.countWithin(errs, ev, col("event_id"),
           col("ts_s"), col("event_id"), col("ts_s"), 300L).count()
       }
+      run("rangedensity", "rangedens_s", "rangedens_rows") {
+        // DENSITY scaling (r12 verdict #1): same 30-day span, ×m the
+        // events — the sf-tier shape that made the pair-materializing
+        // countWithin quadratic (45.6× wall for 10× data at sf1.0).
+        // evDense multiplies rows WITHOUT the per-copy day shift, so
+        // per-bin density grows ×m; the sub-bin prefix plan must stay
+        // near-linear. Aggregate over cnt so the count column cannot be
+        // pruned into a row-count shortcut.
+        val evDense = events
+          .select(col("event_id"), col("event_type"), col("ts_s"),
+            explode(sequence(lit(0L), lit(m - 1L))).as("k"))
+          .select((col("event_id") + lit(10000000L) * col("k")).as("event_id"),
+            col("event_type"),
+            (col("ts_s") + col("k")).as("ts_s")) // ≤ m−1 s jitter: span fixed
+        val errs = evDense.filter(col("event_type") === "error")
+        val r = graft.ops.RangeJoin.countWithin(errs, evDense,
+            col("event_id"), col("ts_s"), col("event_id"), col("ts_s"), 300L)
+          .agg(count(lit(1)).as("n"), sum(col("cnt")).as("c")).collect()(0)
+        fields += s""""rangedens_pairs":${r.getLong(1)}"""
+        r.getLong(0)
+      }
       run("kmeans", "kmeans_s", "kmeans_rows")(graft.ops.Clustering.kmeansExact(
         e, col("vec_id"), col("embedding"), k = 5, iters = 4).count())
       // PQ: fit (m bounded integer-exact Lloyd loops, driver state k·d

@@ -109,6 +109,57 @@ class AsOfRangeSpec extends SparkSpec {
     assert(binned.keySet == errors.collect().map(_.getLong(0)).toSet)
   }
 
+  test("countWithin: every sub-bin width gives the same exact counts " +
+    "(prefix+boundary at w>1, atomic bins at w=1)") {
+    val rng = new scala.util.Random(17)
+    // dense cluster + sparse tail + exact window-edge hits
+    val rows = (0 until 400).map(i =>
+      (i.toLong, 0L, rng.nextInt(800).toLong, "x")) ++
+      Seq((500L, 0L, 1050L, "x"), (501L, 0L, 1300L, "x"),
+        (502L, 0L, 1550L, "x"))
+    val df = events(rows)
+    val lft = df.filter(col("event_id") % 5 === 0)
+    val brute = lft.as("e").crossJoin(df.as("x"))
+      .filter(abs(col("e.ts_s") - col("x.ts_s")) <= 250 &&
+        col("e.event_id") =!= col("x.event_id"))
+      .groupBy(col("e.event_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+    for (w <- Seq(1L, 3L, 50L, 250L)) { // 1 = atomic path, 250 = W itself
+      val got = RangeJoin.countWithin(lft, df, col("event_id"), col("ts_s"),
+        col("event_id"), col("ts_s"), 250L, subBinS = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == lft.collect().map(_.getLong(0)).toSet)
+      assert(got.forall { case (k, v) => v == brute(k) }, s"subBin=$w")
+    }
+  }
+
+  test("countWithin: left rows far outside the right span clamp to 0; " +
+    "repeated same-id right rows inside the window are all excluded") {
+    val l = events(Seq((1L, 0L, 1000L, "e"), (2L, 0L, -900000L, "e"),
+      (3L, 0L, 900000L, "e")))
+    // id 1 appears THREE times on the right inside the window — all three
+    // must be excluded from id 1's count; ids 2/3 sit far outside the
+    // right span on both sides (prefix lookups clamp to the sentinel/max)
+    val r = events(Seq((1L, 0L, 1000L, "x"), (1L, 0L, 1100L, "x"),
+      (1L, 0L, 900L, "x"), (7L, 0L, 1200L, "x"), (8L, 0L, 690L, "x")))
+    for (w <- Seq(0L, 1L, 10L)) { // 0 = adaptive
+      val got = RangeJoin.countWithin(l, r, col("event_id"), col("ts_s"),
+        col("event_id"), col("ts_s"), 300L, subBinS = w)
+        .collect().map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 0L), s"subBin=$w")
+    }
+  }
+
+  test("countWithin: empty right side yields cnt=0 for every left row") {
+    val l = events(Seq((1L, 0L, 10L, "e"), (2L, 0L, 20L, "e")))
+    val r = events(Seq.empty[(Long, Long, Long, String)])
+    val got = RangeJoin.countWithin(l, r, col("event_id"), col("ts_s"),
+      col("event_id"), col("ts_s"), 300L)
+      .collect().map(rr => rr.getLong(0) -> rr.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("resampleInterpolate: interior gaps fill linearly, no extrapolation") {
     import org.apache.spark.sql.functions.col
     // key 1 observed at t=0 (v=10) and t=30 (v=40), step 10:

@@ -50,16 +50,21 @@ def selected(name):
 def run_with_timeout(sql):
     if timeout_s <= 0:
         return con.execute(sql).fetchdf(), False
+    # Fresh cursor per timed query (shares the catalog/views): a watchdog
+    # that fires just as fetchdf() returns then interrupts THIS cursor,
+    # not the shared connection — a late interrupt can no longer leak into
+    # the next query and misreport it as TIMEOUT (ADVICE r12).
+    cur = con.cursor()
     done = threading.Event()
 
     def watchdog():
         if not done.wait(timeout_s):
-            con.interrupt()
+            cur.interrupt()
 
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
     try:
-        df = con.execute(sql).fetchdf()
+        df = cur.execute(sql).fetchdf()
         return df, False
     except (duckdb.InterruptException, RuntimeError) as e:
         if "INTERRUPT" in str(e).upper() or isinstance(e, duckdb.InterruptException):
@@ -67,24 +72,40 @@ def run_with_timeout(sql):
         raise
     finally:
         done.set()
+        t.join()
+        cur.close()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# Coverage accounting (ADVICE r12): an ORACLE_ONLY typo must not read as
+# green — report unknown names and how many of the oracle's queries this
+# worker actually ran, so an assembled multi-worker gate can be audited.
+unknown_only = sorted(only - set(oracle))
+if unknown_only:
+    print(f"WARN ORACLE_ONLY names not in oracle_sql.json: {unknown_only}")
 fail = 0
 timeouts = 0
+ran = 0
 for name, sql in sorted(oracle.items()):
     if not selected(name):
         continue
+    ran += 1
     try:
         odf, timed_out = run_with_timeout(sql)
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}"); fail += 1; continue
     if timed_out:
-        print(f"TIMEOUT {name}: oracle exceeded {timeout_s:.0f}s (naive "
-              f"baseline; engine output present)")
-        timeouts += 1
+        # what timed out is the naive DuckDB baseline — but only say the
+        # engine's answer exists after checking it does (ADVICE r12)
+        if glob.glob(f"{out}/{name}/*.parquet"):
+            print(f"TIMEOUT {name}: oracle exceeded {timeout_s:.0f}s (naive "
+                  f"baseline; engine output present)")
+            timeouts += 1
+        else:
+            print(f"FAIL {name}: oracle timed out AND no spark output")
+            fail += 1
         continue
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
@@ -125,6 +146,11 @@ for d in sorted(glob.glob(f"{out}/*/")):
     status = "OK  " if n > 0 else "FAIL"
     if n == 0: fail += 1
     print(f"{status} {name}: {n} rows (rows-only)")
+skipped = sorted(n for n in oracle if not selected(n))
+print(f"[summary] ran {ran} of {len(oracle)} oracle queries"
+      + (f" (skipped: {','.join(skipped)})" if skipped else ""))
 if timeouts:
     print(f"[summary] {timeouts} oracle timeouts (see TIMEOUT lines)")
-sys.exit(1 if fail else 0)
+# exit 2 on timeouts (ADVICE r12): a partially-verified run must be
+# distinguishable from a fully verified one by exit code alone
+sys.exit(1 if fail else (2 if timeouts else 0))

@@ -30,8 +30,22 @@ import org.apache.spark.sql.functions._
   * read); the single-file coalesce is a one-time generation cost, not an
   * operator pattern.
   *
-  * Usage: `runMain graft.GenData <scale> <outDir>` — e.g.
+  * Usage: `runMain graft.GenData <scale> <outDir> [vocab]` — e.g.
   * `runMain graft.GenData 1.0 testdata-sf1.0`.
+  *
+  * `vocab` (default `driver`) selects the documents vocabulary:
+  *   - `driver` — the 31-token driver-matched vocabulary (the oracle-gate
+  *     fixture shape). Every 3-gram is drawn from a 31³ space, so at large
+  *     corpora NO shingle is rare: prefix/band bucket density grows with
+  *     the corpus and the candidate-bound dedup family (jaccard, simhash,
+  *     decontamination gram matching) degrades toward quadratic — a
+  *     fixture artifact the r12 verdict asked to separate from operator
+  *     scaling (#3).
+  *   - `zipf` — 50 000-token Zipf(s≈1) vocabulary (rank via inverse CDF:
+  *     rank = ⌊exp(u·ln V)⌋, so P(rank = r) ∝ 1/r), the realistic
+  *     natural-language shape: most grams are rare, so df-ordered prefixes
+  *     and gram joins stay selective as the corpus grows. Everything else
+  *     (doc lengths, planted dup rate, other tables) is identical.
   */
 object GenData {
 
@@ -56,7 +70,12 @@ object GenData {
       .cast("timestamp_ntz")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfArg, outDir) = args
+    val (sfArg, outDir, vocabMode) = args match {
+      case Array(s, o)    => (s, o, "driver")
+      case Array(s, o, v) => (s, o, v)
+    }
+    require(vocabMode == "driver" || vocabMode == "zipf",
+      s"vocab must be 'driver' or 'zipf', got $vocabMode")
     val sf = sfArg.toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -189,9 +208,26 @@ object GenData {
     val srcId = when(pmod(col("id"), lit(625L)) === 100 && col("id") > 0,
       col("id") - 1).otherwise(col("id"))
     val nTok = (pmod(xxhash64(srcId, lit(33)), lit(91L)) + 10).cast("int")
-    val text = array_join(transform(sequence(lit(1), nTok),
-      i => element_at(vocab,
-        pmod(xxhash64(srcId, i, lit(34)), lit(31L)).cast("int") + 1)), " ")
+    // zipf mode: token = "w<rank>", rank ~ Zipf(s≈1) over V=50k via the
+    // inverse CDF ⌊exp(u·ln V)⌋ — P(rank ≤ r) = ln r / ln V, so
+    // P(rank = r) ≈ 1/(r·ln V): rank 1 appears in ~9% of draws, half the
+    // vocabulary has df ≈ 0 at any corpus size (the rare-shingle mass the
+    // 31-token tier lacks). Same per-position (srcId, i, 34) hash stream
+    // as the driver tier, so planted dups and doc lengths are identical.
+    val zipfV = 50000
+    val zipfTok = { (i: org.apache.spark.sql.Column) =>
+      val u = (pmod(xxhash64(srcId, i, lit(34)), lit(999999999L))
+        .cast("double") + 1.0) / 1e9
+      concat(lit("w"),
+        least(floor(exp(u * math.log(zipfV.toDouble))), lit(zipfV.toLong))
+          .cast("long").cast("string"))
+    }
+    val text =
+      if (vocabMode == "zipf")
+        array_join(transform(sequence(lit(1), nTok), zipfTok), " ")
+      else array_join(transform(sequence(lit(1), nTok),
+        i => element_at(vocab,
+          pmod(xxhash64(srcId, i, lit(34)), lit(31L)).cast("int") + 1)), " ")
     write("documents", spark.range(nDocs).select(
       col("id").as("doc_id"),
       text.as("text"),

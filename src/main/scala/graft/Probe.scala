@@ -31,8 +31,8 @@ object Probe {
     val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
     // comma-separated family filter (minhash,simhash,embdup,ann,cc,ccstar,
-    // pagerank,asof,range,kmeans,pq,jaccard,bloomjoin,decon,diff,
-    // diffbucketed,linkage,spanclean,buckets) —
+    // pagerank,asof,range,rangedensity,kmeans,pq,jaccard,bloomjoin,decon,
+    // sdecon,diff,diffbucketed,linkage,spanclean,curation,buckets) —
     // unset runs everything; a full ×128 sweep exceeds a single dev
     // timebox, so focused re-probes select just the families under study
     val families = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
@@ -267,6 +267,33 @@ object Probe {
             substring(col("text"), 1, 120).as("text"))
         Dedup.decontaminate(d, evalSet, col("doc_id"), col("text"),
           threshold = 0.5).count()
+      }
+      run("sdecon", "sdeconx_s", "sdeconx_hits") {
+        // semantic decontamination, exact broadcast-NL path: eval FIXED
+        // at the base tier's copy-0 vectors (benchmark-sized), corpus ×m —
+        // the |corpus|·|eval| cosine product grows ×m here (both-sides
+        // growth was the r12 sf1.0 16.6× mover). Aggregate over
+        // n_eval_hits so the cosine fold cannot be pruned by count().
+        val evalSet = e.filter(col("vec_id") < 10000000L)
+        val r = Dedup.semanticDecontaminate(e, evalSet, col("vec_id"),
+            col("embedding"), cosThreshold = 0.95)
+          .agg(count(lit(1)).as("n"), sum(col("n_eval_hits")).as("h"))
+          .collect()(0)
+        fields += s""""sdeconx_rows":${r.getLong(0)}"""
+        r.getLong(1)
+      }
+      run("sdecon", "sdeconlsh_s", "sdeconlsh_hits") {
+        // the r12 verdict #5 prefilter path: hyperplane-bucket collisions
+        // only (p=12, b=24 → miss 4e-4 at 0.95, ~0.6% background), same
+        // audit verdict — wall must stay near-flat in |eval| and linear
+        // in the corpus
+        val evalSet = e.filter(col("vec_id") < 10000000L)
+        val r = Dedup.semanticDecontaminate(e, evalSet, col("vec_id"),
+            col("embedding"), cosThreshold = 0.95, lsh = Some((12, 24)))
+          .agg(count(lit(1)).as("n"), sum(col("n_eval_hits")).as("h"))
+          .collect()(0)
+        fields += s""""sdeconlsh_rows":${r.getLong(0)}"""
+        r.getLong(1)
       }
       run("diff", "diff_s", "diff_rows") {
         val base = d.filter(col("doc_id") % 13 =!= 0)

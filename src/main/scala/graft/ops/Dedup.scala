@@ -476,28 +476,79 @@ object Dedup {
     * through one scan; the |corpus|·|eval| cosine work happens inside
     * the broadcast nested-loop stage and the per-row aggregate
     * partial-aggregates map-side, so the only shuffle carries ONE row
-    * per corpus vector. For eval sets too big to broadcast, prefilter
-    * candidates with [[embeddingNearDupLsh]]'s hyperplane buckets and
-    * verify only collisions. Determinism: max over the ROUNDED cosine
-    * (round is monotone, so max∘round = round∘max) and the threshold
-    * applied to the rounded value, mirroring the knn_cosine_pairs
-    * cross-engine contract. An EMPTY eval set yields no audit rows
-    * (the cross join is inner-shaped) — callers gate on eval-set
-    * emptiness before relying on the per-vector audit. */
+    * per corpus vector. For eval sets too big for the |corpus|·|eval|
+    * broadcast-NL product, `lsh = Some((planes, bands))` switches to the
+    * prefilter path: [[hyperplaneBands]] buckets on BOTH sides, candidates
+    * are bucket collisions only, each unique (corpus, eval) pair verified
+    * ONCE — the [[embeddingNearDupLsh]] discipline. Determinism: max over
+    * the ROUNDED cosine (round is monotone, so max∘round = round∘max) and
+    * the threshold applied to the rounded value, mirroring the
+    * knn_cosine_pairs cross-engine contract. An EMPTY eval set yields no
+    * audit rows (the cross join is inner-shaped) — callers gate on
+    * eval-set emptiness before relying on the per-vector audit.
+    *
+    * LSH-path contract differences (both documented, both tested):
+    *   - `max_eval_cos_r` is the max over CANDIDATE pairs only — NULL for
+    *     a corpus vector colliding with no eval bucket (the exact path
+    *     reports the true max over every eval vector). The
+    *     `contaminated` / `n_eval_hits` audit columns keep the exact-path
+    *     semantics up to the S-curve recall bound below.
+    *   - recall: a pair at cosine t collides in one of b bands of p
+    *     planes with P = 1 − (1 − q^p)^b, q = 1 − arccos(t)/π. At the
+    *     default (p=12, b=24): t=0.95 → miss 4e-4, t=0.99 → miss 1e-9;
+    *     background (t≈0) pairs collide at ~0.6%, so the verify work is
+    *     ~1/170 of the exact path's product.
+    *   - an EMPTY eval set yields one all-clean audit row per corpus
+    *     vector (the left join keeps the corpus side), where the exact
+    *     path yields none — the LSH path's shape is the audit contract a
+    *     pipeline actually wants; the exact path keeps its historical
+    *     inner-join shape for oracle stability. */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
                             id: Column, vec: Column,
-                            cosThreshold: Double = 0.95): DataFrame = {
+                            cosThreshold: Double = 0.95,
+                            lsh: Option[(Int, Int)] = None): DataFrame = {
     require(cosThreshold > 0.0 && cosThreshold <= 1.0,
       s"cosThreshold must be in (0,1], got $cosThreshold")
     val c = corpus.select(id.as("vec_id"), vec.as("cv"))
     val q = evalSet.select(id.as("eval_id"), vec.as("qv"))
-    c.crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(VectorOps.cosine(col("qv"), col("cv")), 4).as("cos_r"))
+    val pairCos = lsh match {
+      case None =>
+        c.crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(VectorOps.cosine(col("qv"), col("cv")), 4).as("cos_r"))
+      case Some((planes, bands)) =>
+        // banded eval side stays broadcast-sized (|eval|·bands rows); the
+        // corpus streams through ONE scan — the bucket join is map-side,
+        // and the only shuffle keys (vec_id, eval_id) to verify each
+        // unique candidate pair once (multi-band collisions dedupe in the
+        // aggregate: cos_r is deterministic per pair, so max = the value)
+        def banded(df: DataFrame, idName: String, vName: String) = df
+          .select(col(idName), col(vName),
+            explode(hyperplaneBands(col(vName), planes, bands)).as("bb"))
+          .select(col(idName), col(vName), col("bb.band").as("band"),
+            col("bb.bucket").as("bucket"))
+        banded(c, "vec_id", "cv")
+          .join(broadcast(banded(q, "eval_id", "qv")), Seq("band", "bucket"))
+          .select(col("vec_id"), col("eval_id"),
+            round(VectorOps.cosine(col("qv"), col("cv")), 4).as("cos_r"))
+          .groupBy("vec_id", "eval_id").agg(max(col("cos_r")).as("cos_r"))
+          .select(col("vec_id"), col("cos_r"))
+    }
+    val agg = pairCos
       .groupBy("vec_id")
       .agg(max(col("cos_r")).as("max_eval_cos_r"),
         sum(when(col("cos_r") >= cosThreshold, 1L).otherwise(0L))
           .as("n_eval_hits"))
+    val audit = lsh match {
+      case None => agg
+      case Some(_) =>
+        // every corpus vector gets its audit row even with zero bucket
+        // collisions (max_eval_cos_r stays NULL — candidates-only max)
+        c.select(col("vec_id")).join(agg, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("max_eval_cos_r"),
+            coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"))
+    }
+    audit
       .select(col("vec_id"), col("max_eval_cos_r"), col("n_eval_hits"),
         (col("n_eval_hits") > 0).as("contaminated"))
       .orderBy("vec_id")

@@ -275,6 +275,48 @@ class DedupSpec extends SparkSpec {
     assert(by(4L) == ((0L, false)))
   }
 
+  test("semanticDecontaminate LSH prefilter path matches the exact path's " +
+    "audit verdict on the real corpus (r12 verdict #5)") {
+    // corpus = the real 64-dim embeddings; eval = every 50th vector, so
+    // planted contamination pairs sit at cos 1.0 (always collide — q=1)
+    // while background pairs sit at random-gaussian cosine (≈0, never
+    // within 0.95 of a hit). The audit verdict (n_eval_hits,
+    // contaminated) must be IDENTICAL; max_eval_cos_r must agree on
+    // contaminated rows (their true max comes from a candidate pair).
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val evalSet = e.filter(col("vec_id") % 50 === 0)
+    def run(lsh: Option[(Int, Int)]) =
+      Dedup.semanticDecontaminate(e, evalSet, col("vec_id"),
+          col("embedding"), cosThreshold = 0.95, lsh = lsh)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            r.getLong(2), r.getBoolean(3))).toMap
+    val exact = run(None)
+    val lshed = run(Some((12, 24)))
+    assert(exact.keySet == lshed.keySet)
+    assert(exact.values.exists(_._3), "fixture must plant contamination")
+    exact.foreach { case (id, (mx, hits, flag)) =>
+      val (mxL, hitsL, flagL) = lshed(id)
+      assert(hitsL == hits, s"vec $id: hits $hitsL != $hits")
+      assert(flagL == flag, s"vec $id: flag $flagL != $flag")
+      if (flag) assert(mxL == mx, s"vec $id: max $mxL != $mx")
+    }
+  }
+
+  test("semanticDecontaminate LSH path: empty eval set yields one " +
+    "all-clean audit row per corpus vector (documented shape difference)") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val empty = corpus.filter(col("vec_id") < 0)
+    val rows = Dedup.semanticDecontaminate(corpus, empty, col("vec_id"),
+        col("embedding"), lsh = Some((4, 2)))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.toSeq == Seq((1L, true, 0L, false), (2L, true, 0L, false)))
+  }
+
   test("removeDuplicatedSpans invariants on random corpora: counts add " +
     "up and clean text is an ordered subsequence of the original " +
     "(property)") {

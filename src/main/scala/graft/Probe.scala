@@ -52,6 +52,7 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val meter = ShuffleMeter.attach(spark)
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").cache()
     val embs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").cache()
@@ -140,9 +141,16 @@ object Probe {
       val fields = scala.collection.mutable.ListBuffer[String]()
       def run(fam: String, sKey: String, nKey: String)(body: => Long): Unit =
         if (want(fam)) {
+          meter.reset()
           val (t, n) = timed(body)
+          // shuffle WRITE records inside the timed window: the cross-tier
+          // attribution signal (r12 verdict #4) — unlike wall time these
+          // move only when plan or data move, so a probe row now shows
+          // whether a family's records track the ×m data ratio directly
+          val (_, rec) = meter.snapshot()
           fields += s""""$sKey":$t"""
           fields += s""""$nKey":$n"""
+          fields += s""""${sKey.stripSuffix("_s")}_shufrec":$rec"""
         }
       run("minhash", "minhash_s", "minhash_pairs")(
         Dedup.minhashDupPairs(d, col("doc_id"), col("text")).count())

@@ -501,6 +501,22 @@ object SparkEntry {
         col("vec_id"), col("embedding"), cosThreshold = 0.95)
     }),
 
+    // ---- semantic decontamination, LSH-prefilter path: hyperplane-bucket
+    // collisions only (p=12/b=24), the scale path for eval sets too big to
+    // broadcast-NL. Projects the audit VERDICT columns (hits, flag) —
+    // identical to the exact path on this fixture (planted hits sit at
+    // cos 1.0, which always collides; background 64-dim gaussian cosines
+    // never reach 0.95) — so the exact-computation DuckDB oracle
+    // hash-checks the LSH path end to end. max_eval_cos_r is excluded:
+    // it is candidates-only on this path (documented in Dedup) ----------
+    "semantic_decontamination_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Dedup.semanticDecontaminate(e, e.filter(col("vec_id") % 50 === 0),
+        col("vec_id"), col("embedding"), cosThreshold = 0.95,
+        lsh = Some((12, 24)))
+        .select(col("vec_id"), col("n_eval_hits"), col("contaminated"))
+    }),
+
     // ---- PII redaction audit: deterministic synthetic PII (email, phone,
     // IP, URL derived from doc_id) appended to every doc, then redacted
     // with typed placeholders + per-category counts; the oracle replays
@@ -3219,6 +3235,28 @@ object SparkEntry {
         |             * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_r
         |      FROM e c, q)
         |SELECT vec_id, max(cos_r) AS max_eval_cos_r,
+        |       CAST(sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_eval_hits,
+        |       sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END) > 0
+        |         AS contaminated
+        |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // LSH-prefilter path: verdict columns only — the oracle computes the
+    // EXACT product (DuckDB has no hyperplane kernel); hash equality holds
+    // because every >= 0.95 pair on this fixture is an identical-vector
+    // pair (collides in every band) and background cosines never reach
+    // the threshold, so candidates-only hits == exact hits
+    "semantic_decontamination_lsh" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT c.vec_id,
+        |        round(list_dot_product(q.qv, c.v)
+        |          / (sqrt(list_dot_product(q.qv, q.qv))
+        |             * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_r
+        |      FROM e c, q)
+        |SELECT vec_id,
         |       CAST(sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_eval_hits,
         |       sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END) > 0

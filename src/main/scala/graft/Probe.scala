@@ -276,6 +276,21 @@ object Probe {
         Dedup.decontaminate(d, evalSet, col("doc_id"), col("text"),
           threshold = 0.5).count()
       }
+      run("deconfix", "deconfix_s", "deconfix_rows") {
+        // FIXED-eval cross-TIER shape (r12 verdict #4): eval capped at
+        // the sf0.1 tier's doc-id range regardless of the corpus dir, so
+        // running this at ×1 against two sf dirs measures fixed-eval
+        // record growth on a NATURALLY grown corpus — the ×m copy growth
+        // above is content-disjoint and cannot create new eval matches
+        // by construction, which makes the in-run decon rows flat no
+        // matter what the operator does
+        val evalSet = d.filter(col("doc_id") % 20 === 0
+            && col("doc_id") < 5000L)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            substring(col("text"), 1, 120).as("text"))
+        Dedup.decontaminate(d, evalSet, col("doc_id"), col("text"),
+          threshold = 0.5).count()
+      }
       run("sdecon", "sdeconx_s", "sdeconx_hits") {
         // semantic decontamination, exact broadcast-NL path: eval FIXED
         // at the base tier's copy-0 vectors (benchmark-sized), corpus ×m —

@@ -1376,6 +1376,21 @@ object SparkEntry {
         planes = 16, bands = 2, cosineThreshold = 0.99)
     }),
 
+    // ---- incremental embedding near-dup: which INCOMING vectors
+    // near-duplicate the EXISTING corpus (the embedding twin of
+    // minhash_incremental — side-tagged buckets, existing↔existing never
+    // verified). Incoming = re-keyed copies, so every true pair is an
+    // identical-vector pair (collides in every band → deterministic
+    // recall 1) and the exact-product oracle hash-checks the LSH path ----
+    "embedding_neardup_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val incoming = e.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))
+      Dedup.embeddingNearDupIncremental(e, incoming,
+        col("vec_id"), col("embedding"), planes = 16, bands = 2,
+        cosineThreshold = 0.99)
+    }),
+
     // ---- distributed k-means over embeddings (semantic clustering for
     // dedup-by-meaning / diversity-stratified sampling): integer-exact
     // Lloyd's — quantize once to shifted micro-units, then BIGINT distances
@@ -3062,6 +3077,20 @@ object SparkEntry {
         |      FROM e a, e b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cos_r FROM p WHERE cos >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "embedding_neardup_incremental" ->
+      """WITH ex AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |inc AS (SELECT vec_id + 100000 AS vec_id, v FROM ex),
+        |p AS (SELECT a.vec_id AS existing_id, b.vec_id AS incoming_id,
+        |        list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v))
+        |             * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |      FROM ex a, inc b)
+        |SELECT existing_id, incoming_id, round(cos, 6) AS cos_r
+        |FROM p WHERE cos >= 0.99
+        |ORDER BY existing_id, incoming_id""".stripMargin,
 
     "ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -705,6 +705,57 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental embedding near-dup: which INCOMING vectors are
+    * near-duplicates (cosine ≥ `cosineThreshold`) of the EXISTING corpus —
+    * the embedding twin of [[minhashIncremental]] (dedup the ingest delta
+    * against the accumulated corpus, never re-pair the corpus against
+    * itself). Same side-tagged bucket discipline: hyperplane bands on both
+    * sides, the side rides INSIDE the bucket id struct so ONE
+    * (band, bucket, (side, id)) shuffle generates candidates, existing↔
+    * existing pairs are filtered before any verify work (struct sort order
+    * puts existing first, so the filter is two field tests), and each
+    * surviving cross-side pair gets ONE cosine verify with vectors joined
+    * back per side. At cluster scale the existing side's buckets come from
+    * a precomputed signature table; here both sides hash in one job for a
+    * self-contained operator.
+    *
+    * Output: (existing_id, incoming_id, cos_r) for cosine ≥ threshold
+    * (threshold applied to the unrounded value, output rounded to 6 —
+    * the [[embeddingNearDupLsh]] cross-engine contract). */
+  def embeddingNearDupIncremental(existing: DataFrame, incoming: DataFrame,
+                                  id: Column, vec: Column,
+                                  planes: Int = 16, bands: Int = 2,
+                                  cosineThreshold: Double = 0.9,
+                                  maxBucket: Int = 1000): DataFrame = {
+    def side(df: DataFrame, sd: Int) = df
+      .select(lit(sd).as("side"), id.cast("long").as("vec_id"), vec.as("v"))
+    val base = side(existing, 0).union(side(incoming, 1))
+    val banded = base
+      .select(struct(col("side"), col("vec_id")).as("sid"),
+        explode(hyperplaneBands(col("v"), planes, bands)).as("bb"))
+      .select(col("sid"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    bucketPairs(banded, col("sid"), maxBucket,
+        pinnedParts = Some(
+          explodedShuffleParts(existing, bytesPerRow = 128L)
+            .max(explodedShuffleParts(incoming, bytesPerRow = 128L))))
+      .filter(col("id_a.side") === 0 && col("id_b.side") === 1)
+      .select(col("id_a.vec_id").as("existing_id"),
+        col("id_b.vec_id").as("incoming_id"))
+      .join(base.filter(col("side") === 0)
+        .select(col("vec_id").as("existing_id"), col("v").as("v_a")),
+        "existing_id")
+      .join(base.filter(col("side") === 1)
+        .select(col("vec_id").as("incoming_id"), col("v").as("v_b")),
+        "incoming_id")
+      .select(col("existing_id"), col("incoming_id"),
+        VectorOps.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= cosineThreshold)
+      .select(col("existing_id"), col("incoming_id"),
+        round(col("cos"), 6).as("cos_r"))
+      .orderBy("existing_id", "incoming_id")
+  }
+
   /** Cross-document duplicated-SPAN removal — the transform behind the
     * "deduplicate repeated substrings" step of training-data curation
     * (Lee et al. 2022, at n-gram granularity): a token position is

@@ -304,6 +304,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embeddingNearDupIncremental reports cross-side near-dups only " +
+    "(existing-existing pairs never verified)") {
+    import spark.implicits._
+    // existing holds TWO identical vectors (1, 2) — a within-corpus dup
+    // that must NOT appear; incoming holds an identical copy (3) and an
+    // orthogonal vector (4)
+    val ex = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val inc = Seq(
+      (3L, Array(1f, 0f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupIncremental(ex, inc,
+        col("vec_id"), col("embedding"), planes = 8, bands = 2,
+        cosineThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 3L, 1.0), (2L, 3L, 1.0)))
+  }
+
   test("semanticDecontaminate LSH path: empty eval set yields one " +
     "all-clean audit row per corpus vector (documented shape difference)") {
     import spark.implicits._

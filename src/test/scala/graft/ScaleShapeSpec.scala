@@ -193,7 +193,10 @@ class ScaleShapeSpec extends SparkSpec {
       "doc_pagerank_seeded" -> 1000L,
       "simhash_md5_pairs" -> 6660L,
       "containment_pairs" -> 358L,
-      "semantic_decontamination" -> 1000L)
+      "semantic_decontamination" -> 1000L,
+      // r13: bucket-collision pairs (2000 vecs, 40-vec eval) + per-vec
+      // audit rows — the prefilter's whole record volume at sf0.01
+      "semantic_decontamination_lsh" -> 1112L)
     val actual = expected.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(pinnedSession, sf)
       df.collect()
@@ -208,6 +211,23 @@ class ScaleShapeSpec extends SparkSpec {
     val zeroByte = actual.filter(_._2._1 == 0L)
     assert(zeroByte.isEmpty, s"zero shuffle bytes for ${zeroByte.map(_._1)}" +
       " — metric names or plan walk broke")
+  }
+
+  test("semanticDecontaminate LSH path replaces the broadcast-NL product " +
+    "with a broadcast-hash bucket join") {
+    val vecs = (1L to 200L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j) % 17).toFloat)))
+      .toDF("vec_id", "embedding")
+    val evalSet = vecs.filter(col("vec_id") % 20 === 0)
+    val plan = graft.ops.Dedup.semanticDecontaminate(vecs, evalSet,
+        col("vec_id"), col("embedding"), lsh = Some((8, 4)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"NL product survived the prefilter in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket join not broadcast in:\n$plan")
+    assert(singlePartitionWindows(plan).isEmpty)
   }
 
   test("jaccardPrefixPairs pins its pair-expansion stages with " +

@@ -1445,6 +1445,20 @@ object SparkEntry {
         cb, k = 10)
     }),
 
+    // ---- IVF-PQ (IVFADC): coarse integer-Lloyd cells prune the corpus to
+    // each query's 2 nearest of 4 cells; survivors scored by PQ asymmetric
+    // distance on their codes. Every step is BIGINT-deterministic, so the
+    // oracle replays the whole index — build, probe, search — move for
+    // move (no planted-recall argument needed) ---------------------------
+    "ivfpq_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = Pq.fit(e, col("vec_id"), col("embedding"), dims = 64,
+        m = 2, k = 4, iters = 2)
+      Ivf.ivfAdcTopK(e, e.filter(col("vec_id") < 5), col("vec_id"),
+        col("embedding"), cb, k = 10, nCells = 4, nProbe = 2,
+        coarseIters = 2)
+    }),
+
     // ---- ANN scale path: LSH-bucketed approximate top-k -----------------
     // Verified exactly against a brute-force DuckDB oracle on a corpus with
     // PLANTED duplicate clusters: 10 positively-scaled copies per query.
@@ -3026,6 +3040,42 @@ object SparkEntry {
           |           j -> (qq.q[32+j+1] - i1.c[j+1]) * (qq.q[32+j+1] - i1.c[j+1]))) AS BIGINT)
           |           AS adist2
           |       FROM qq CROSS JOIN (cod0 i0 JOIN cod1 i1 ON i0.item_id = i1.item_id)),
+          |rk AS (SELECT query_id, item_id, adist2,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY adist2, item_id) AS BIGINT) AS rank
+          |       FROM ad)
+          |SELECT query_id, rank, item_id, adist2 FROM rk
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+
+    // IVFADC: one extra k-means chain (prefix cq) over the FULL 64-dim
+    // quantized vectors replays the coarse cell build; probes = each
+    // query's 2 nearest cells by integer dist2 (ties lowest cell);
+    // candidates = items in probed cells; ADC sums and rank tie-breaks
+    // exactly as in pq_ann_topk
+    "ivfpq_ann_topk" ->
+      (s"WITH $pqCtesSql" +
+        kmeansChainSql("cq", "q", 4, 2) +
+        """cod0 AS (SELECT a.item_id, c.c FROM s0a2 a JOIN s0c2 c USING (cluster)),
+          |cod1 AS (SELECT a.item_id, c.c FROM s1a2 a JOIN s1c2 c USING (cluster)),
+          |cel AS (SELECT item_id, cluster AS cell FROM cqa2),
+          |qq AS (SELECT item_id AS query_id, q FROM q WHERE item_id < 5),
+          |qd AS (SELECT qq.query_id, qq.q, c.cluster AS cell,
+          |         CAST(list_sum(list_transform(range(64),
+          |           j -> (qq.q[j+1] - c.c[j+1]) * (qq.q[j+1] - c.c[j+1]))) AS BIGINT) AS qdist2
+          |       FROM qq, cqc2 c),
+          |pr AS (SELECT query_id, q, cell FROM
+          |         (SELECT *, row_number() OVER (PARTITION BY query_id
+          |            ORDER BY qdist2, cell) AS prn FROM qd)
+          |         WHERE prn <= 2),
+          |ad AS (SELECT pr.query_id, ce.item_id,
+          |         CAST(list_sum(list_transform(range(32),
+          |           j -> (pr.q[j+1] - i0.c[j+1]) * (pr.q[j+1] - i0.c[j+1]))) AS BIGINT)
+          |       + CAST(list_sum(list_transform(range(32),
+          |           j -> (pr.q[32+j+1] - i1.c[j+1]) * (pr.q[32+j+1] - i1.c[j+1]))) AS BIGINT)
+          |           AS adist2
+          |       FROM pr JOIN cel ce USING (cell)
+          |         JOIN cod0 i0 ON ce.item_id = i0.item_id
+          |         JOIN cod1 i1 ON ce.item_id = i1.item_id),
           |rk AS (SELECT query_id, item_id, adist2,
           |         CAST(row_number() OVER (PARTITION BY query_id
           |           ORDER BY adist2, item_id) AS BIGINT) AS rank

@@ -58,7 +58,7 @@ object Clustering {
   /** Nearest-centroid assignment of a quantized (item_id, q) frame against
     * a centroid literal matrix: (item_id, q, cluster, dist2), ties to the
     * lowest index. A pure map against k·d broadcast literals — no shuffle. */
-  private[ops] def assignTo(q: DataFrame,
+  private[graft] def assignTo(q: DataFrame,
                             centroids: IndexedSeq[Seq[Long]]): DataFrame = {
     val dists = array(centroids.map(c => dist2(col("q"), c)): _*)
     q.select(col("item_id"), col("q"), dists.as("dists"))
@@ -71,7 +71,7 @@ object Clustering {
   /** Lloyd iterations over an already-quantized persisted (item_id, q)
     * frame; returns the centroid matrix AFTER `iters` updates (init = the
     * k lowest-id vectors). Empty clusters keep their previous centroid. */
-  private[ops] def lloyd(q: DataFrame, k: Int,
+  private[graft] def lloyd(q: DataFrame, k: Int,
                          iters: Int): IndexedSeq[Seq[Long]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")

@@ -127,6 +127,71 @@ object Ivf {
       dots.sortBy { case (c, d) => (-d, c) }.take(nProbe).map(_._1).toSeq
     }
 
+  /** IVF-PQ (IVFADC, Jégou et al. 2011) — the layout every billion-vector
+    * ANN system runs: an inverted-file coarse quantizer prunes the corpus
+    * to the query's nProbe nearest cells, and the survivors are scored by
+    * PQ asymmetric distance against their compressed codes — compose the
+    * two scale levers ([[ivfTopK]]'s candidate pruning, [[Pq]]'s ×128
+    * vector compression) in one operator.
+    *
+    * Unlike [[ivfTopK]]'s double spherical quantizer, the coarse level
+    * here is the INTEGER-exact Lloyd ([[Clustering.lloyd]]) on the same
+    * micro-unit grid as the PQ codebooks (FAISS's by_residual=false
+    * variant — codes are of raw vectors, not residuals, which is what
+    * keeps every step engine-replayable): cell assignment, probe order,
+    * ADC sums and rank tie-breaks are all BIGINT-deterministic, so a SQL
+    * oracle replays the WHOLE index — build, probe, search — move for
+    * move, where ivfTopK needs planted-geometry recall arguments.
+    *
+    * Scale shape: ONE corpus scan computes cell + codes together (two
+    * pure maps against broadcast literals, no index-build join); queries
+    * broadcast with their probed cell ids; the scored pair space is
+    * |corpus ∩ probed cells| ≈ (nProbe/nCells)·|corpus| per query, over
+    * 16-byte codes instead of 256-byte vectors.
+    *
+    * Output: (query_id, rank, item_id, adist2) — [[Pq.adcTopK]]'s schema
+    * and tie-breaks (rank by adist2 then item_id); with nProbe = nCells
+    * the result equals adcTopK exactly (no pruning), the spec-pinned
+    * equivalence. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame,
+                 qid: Column, qvec: Column, cb: Pq.Codebooks, k: Int,
+                 nCells: Int, nProbe: Int, coarseIters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe > 0 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells=$nCells], got $nProbe")
+    val cq = corpus.select(qid.as("item_id"),
+      Clustering.quantize(qvec, cb.shift, cb.scale).as("q")).persist()
+    cq.count()
+    val coarse = Clustering.lloyd(cq, nCells, coarseIters)
+    // index build: cell (nearest coarse centroid, ties lowest) and PQ
+    // codes in the SAME scan — both pure maps against broadcast literals
+    val indexed = Clustering.assignTo(cq, coarse)
+      .select(col("item_id"), col("cluster").as("cell"),
+        Pq.codesFor(col("q"), cb).as("codes"))
+    cq.unpersist(blocking = false)
+    // per-query probe list: nProbe nearest cells by exact integer dist2,
+    // ties to the lowest cell — the query side stays broadcast-sized
+    val qq = queries.select(qid.as("query_id"),
+      Clustering.quantize(qvec, cb.shift, cb.scale).as("q"))
+    val qd = qq.select(col("query_id"), col("q"),
+      posexplode(array(coarse.map(c => Clustering.dist2(col("q"), c)): _*))
+        .as(Seq("cell", "qdist2")))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdist2"), col("cell"))
+    val probed = qd.withColumn("_prn", row_number().over(pw))
+      .filter(col("_prn") <= nProbe)
+      .select(col("query_id"), col("q"), col("cell"))
+    val scored = indexed.join(broadcast(probed), "cell")
+      .select(col("query_id"), col("item_id"),
+        Pq.adcDist(col("q"), col("codes"), cb).as("adist2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist2"), col("item_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("item_id"), col("adist2"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-flat approximate top-k by cosine. Queries must be small (their
     * probe table is broadcast); the corpus side is one assignment map plus
     * one equi-join on cell id. Output schema and tie-breaks match

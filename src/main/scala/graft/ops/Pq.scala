@@ -70,8 +70,10 @@ object Pq {
 
   /** ADC distance of a full-precision quantized vector `q` to a code
     * array literal-free: Σ_s ||q_s − centroids(s)(codes[s])||², folded in
-    * fixed subspace order (BIGINT — engine-identical). */
-  private def adcDist(q: Column, codes: Column, cb: Codebooks): Column =
+    * fixed subspace order (BIGINT — engine-identical). Package-visible so
+    * [[Ivf.ivfAdcTopK]] scores its cell-pruned candidates with the exact
+    * same expression. */
+  private[ops] def adcDist(q: Column, codes: Column, cb: Codebooks): Column =
     (0 until cb.m).map { s =>
       val cents = typedLit(cb.centroids(s).map(_.toSeq))
       val cent = element_at(cents, (element_at(codes, s + 1) + 1).cast("int"))
@@ -80,24 +82,27 @@ object Pq {
         lit(0L), (acc, x) => acc + x)
     }.reduce(_ + _)
 
+  /** The m nearest-centroid code indexes of a quantized vector column, as
+    * one array expression (ties to the lowest index per subspace) — the
+    * encode kernel, exposed so [[Ivf.ivfAdcTopK]] can compute cell AND
+    * codes in the same single scan. */
+  private[ops] def codesFor(q: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { s =>
+      val dists = array(cb.centroids(s).map(c =>
+        Clustering.dist2(subVec(q, s, cb.subDim), c)): _*)
+      array_position(dists, array_min(dists)) - 1L
+    }: _*)
+
   /** Encode every vector as its m nearest-centroid indexes:
     * (item_id, codes array<long>, recon_err = exact ADC distance of the
     * vector to its own code — the quantization error). A pure map against
     * broadcast codebooks: no shuffle at any corpus size. */
   def encode(df: DataFrame, id: Column, vec: Column,
-             cb: Codebooks): DataFrame = {
-    val codeCols = (0 until cb.m).map { s =>
-      val dists = array(cb.centroids(s).map(c =>
-        Clustering.dist2(subVec(col("q"), s, cb.subDim), c)): _*)
-      (array_position(dists, array_min(dists)) - 1L).as(s"_c$s")
-    }
+             cb: Codebooks): DataFrame =
     quantized(df, id, vec, cb)
-      .select(col("item_id") +: col("q") +: codeCols: _*)
-      .select(col("item_id"), col("q"),
-        array((0 until cb.m).map(s => col(s"_c$s")): _*).as("codes"))
+      .select(col("item_id"), col("q"), codesFor(col("q"), cb).as("codes"))
       .select(col("item_id"), col("codes"),
         adcDist(col("q"), col("codes"), cb).as("recon_err"))
-  }
 
   /** ADC top-k search: for each query (full-precision side) the k nearest
     * CODES of the corpus, by exact integer ADC distance, ties to the

@@ -68,6 +68,45 @@ class IvfSpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("ivfAdcTopK with nProbe = nCells equals adcTopK exactly (pruning " +
+    "off => identical ranking, the spec-pinned equivalence)") {
+    val all = vecs(corpus(60, 8))
+    val queries = all.filter(col("vec_id") < 3)
+    val cb = graft.ops.Pq.fit(all, col("vec_id"), col("embedding"),
+      dims = 8, m = 2, k = 3, iters = 2, shift = 16.0)
+    val ivfpq = Ivf.ivfAdcTopK(all, queries, col("vec_id"), col("embedding"),
+        cb, k = 5, nCells = 4, nProbe = 4, coarseIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val adc = graft.ops.Pq.adcTopK(
+        graft.ops.Pq.encode(all, col("vec_id"), col("embedding"), cb),
+        queries, col("vec_id"), col("embedding"), cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivfpq.toSeq == adc.toSeq)
+  }
+
+  test("ivfAdcTopK with nProbe = 1 returns only items from each query's " +
+    "own cell (pruning actually prunes)") {
+    val all = vecs(corpus(60, 8))
+    val queries = all.filter(col("vec_id") < 3)
+    val cb = graft.ops.Pq.fit(all, col("vec_id"), col("embedding"),
+      dims = 8, m = 2, k = 3, iters = 2, shift = 16.0)
+    // recompute the index assignment independently for the assertion
+    val cq = all.select(col("vec_id").as("item_id"),
+      graft.ops.Clustering.quantize(col("embedding"), cb.shift, cb.scale).as("q"))
+    val coarse = graft.ops.Clustering.lloyd(cq, 2, 2) // 2 well-separated cells
+    val cellOf = graft.ops.Clustering.assignTo(cq, coarse)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val out = Ivf.ivfAdcTopK(all, queries, col("vec_id"), col("embedding"),
+        cb, k = 10, nCells = 2, nProbe = 1, coarseIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, item) =>
+      assert(cellOf(item) == cellOf(q),
+        s"item $item (cell ${cellOf(item)}) returned for query $q " +
+          s"(cell ${cellOf(q)}) under nProbe=1")
+    }
+  }
+
   test("inconsistent embedding dimensions fail fast with a clear error") {
     val bad = vecs(Seq((0L, Array(1.0, 2.0)), (1L, Array(1.0, 2.0, 3.0))))
     val e = intercept[IllegalArgumentException] {

@@ -190,6 +190,34 @@ object Dedup {
     }).distinct()
   }
 
+  /** Shared exact-Jaccard verify tail: from a candidate frame carrying
+    * both shingle sets (`_sha`, `_shb`), (1) prune by the EXACT size
+    * bound — J ≥ t forces |∩| ≥ t·|∪|, and |∩| ≤ min, |∪| ≥ (na+nb)/(1+t)
+    * ⟹ min(na,nb) ≥ t·(na+nb)/(1+t); the 1e-9 slack only ever KEEPS
+    * borderline candidates (they still face the exact check), never drops
+    * a true pair — so the expensive intersection is skipped for pairs the
+    * arithmetic already rules out (on a dense-vocabulary corpus most
+    * candidates are length-mismatched); (2) compute the intersection ONCE
+    * and derive |∪| = na + nb − |∩| (exact under set semantics — the
+    * shingle arrays are distinct hashes), halving per-pair kernel work vs
+    * an explicit array_union. Value-identical to the intersect/union form
+    * (same integer-derived double division the oracles spell out). */
+  private def exactJaccardTail(withSets: DataFrame, aCol: String,
+                               bCol: String, threshold: Double): DataFrame =
+    withSets
+      .select(col(aCol), col(bCol), col("_sha"), col("_shb"),
+        size(col("_sha")).as("_na"), size(col("_shb")).as("_nb"))
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        (col("_na") + col("_nb")).cast("double")
+          * lit(threshold / (1.0 + threshold)) - 1e-9)
+      .select(col(aCol), col(bCol),
+        size(array_intersect(col("_sha"), col("_shb"))).as("_i"),
+        col("_na"), col("_nb"))
+      .select(col(aCol), col(bCol),
+        (col("_i").cast("double") / (col("_na") + col("_nb") - col("_i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     *
     * documents → shingles → signature → band buckets (ONE scan, native
@@ -220,14 +248,14 @@ object Dedup {
     // banded stream ≈ one row per (k/rowsPerBand ≈ 16) per doc — about one
     // row per ~75 input bytes; width floors at the session default and
     // grows with the corpus (same posture as the gram-stream operators)
-    bucketPairs(banded, col("doc_id"), maxBucket,
-        pinnedParts = Some(explodedShuffleParts(df, bytesPerRow = 75L)))
-      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
+    exactJaccardTail(
+      bucketPairs(banded, col("doc_id"), maxBucket,
+          pinnedParts = Some(explodedShuffleParts(df, bytesPerRow = 75L)))
+        .join(base.select(col("doc_id").as("id_a"), col("sh").as("_sha")),
+          "id_a")
+        .join(base.select(col("doc_id").as("id_b"), col("sh").as("_shb")),
+          "id_b"),
+      "id_a", "id_b", jaccardThreshold)
       .orderBy("id_a", "id_b")
   }
 
@@ -272,14 +300,12 @@ object Dedup {
     // pin the expansion stages (pair generation, exact-Jaccard verify):
     // their shuffle INPUTS are small, so AQE coalescing would serialize
     // the quadratic work — same pathology as Linkage.blockedFuzzyPairs
-    bucketPairs(prefix, col("doc_id"), maxBucket, pinnedParts = Some(parts))
-      .repartition(parts, col("id_a"))
-      .join(s.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(s.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    exactJaccardTail(
+      bucketPairs(prefix, col("doc_id"), maxBucket, pinnedParts = Some(parts))
+        .repartition(parts, col("id_a"))
+        .join(s.select(col("doc_id").as("id_a"), col("sh").as("_sha")), "id_a")
+        .join(s.select(col("doc_id").as("id_b"), col("sh").as("_shb")), "id_b"),
+      "id_a", "id_b", threshold)
       .orderBy("id_a", "id_b")
   }
 
@@ -350,15 +376,13 @@ object Dedup {
       .select(col("id_a.doc_id").as("existing_id"),
         col("id_b.doc_id").as("incoming_id"))
       .join(base.filter(col("side") === 0)
-        .select(col("doc_id").as("existing_id"), col("sh").as("sh_a")),
+        .select(col("doc_id").as("existing_id"), col("sh").as("_sha")),
         "existing_id")
       .join(base.filter(col("side") === 1)
-        .select(col("doc_id").as("incoming_id"), col("sh").as("sh_b")),
+        .select(col("doc_id").as("incoming_id"), col("sh").as("_shb")),
         "incoming_id")
-      .select(col("existing_id"), col("incoming_id"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
+      .transform(exactJaccardTail(_, "existing_id", "incoming_id",
+        jaccardThreshold))
       .orderBy("existing_id", "incoming_id")
   }
 

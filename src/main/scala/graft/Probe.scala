@@ -397,6 +397,115 @@ object Probe {
           .collect()(0)
         r.getLong(0)
       }
+      if (want("curationfix")) {
+        // LEG ATTRIBUTION on the corpus_curation BENCH fixture (every doc
+        // gets a near-dup twin via a trailing marker token) — the ×m
+        // distinct-content growth can't reproduce its density, so the
+        // bench wall is decomposed here: pairs leg, pairs+components leg,
+        // full capstone. Run at ×1 against an sf dir.
+        def dupped = docs.union(docs.select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dupmarker")).as("text")))
+        run("curationfix", "cf_minhash_s", "cf_pairs") {
+          Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")).count()
+        }
+        run("curationfix", "cf_cc_s", "cf_cc_nodes") {
+          graft.ops.Graph.dedupClusters(
+            Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
+            col("id_a"), col("id_b")).count()
+        }
+        run("curationfix", "cf_curate_s", "cf_docs") {
+          val r = graft.pipelines.CorpusCuration
+            .curate(dupped, col("doc_id"), col("text"))
+            .agg(count(lit(1)).as("n"),
+              sum(length(concat(col("status"), col("split")))).as("c"))
+            .collect()(0)
+          r.getLong(0)
+        }
+      }
+      if (want("curationstages")) {
+        // stage-level decomposition of the capstone on the bench fixture:
+        // each stage ends in an EAGER localCheckpoint, so its run() wall
+        // is that stage's cost alone (inputs come pre-cut from the prior
+        // stage). Mirrors CorpusCuration.curate stage for stage.
+        import graft.ops.{Relational, Sampling, TextAnalytics}
+        import graft.ops.Checkpoints
+        val base = docs.union(docs.select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" dupmarker")).as("text")))
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        var ranked: DataFrame = null
+        run("curationstages", "cs_exact_s", "cs_exact_rows") {
+          val keyed = base.withColumn("ck",
+            md5(TextAnalytics.canonicalize(col("text"))))
+          ranked = Checkpoints.cut(keyed.withColumn("rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("ck")).orderBy(col("doc_id")))))
+          ranked.count()
+        }
+        var s1v: DataFrame = null
+        run("curationstages", "cs_quality_s", "cs_quality_rows") {
+          val s1 = ranked.filter(col("rn") === 1)
+            .select(col("doc_id"), col("text"))
+          val verdicts = TextAnalytics
+            .qualityFilter(s1, col("doc_id"), col("text"))
+            .select(col("doc_id"), col("keep"))
+          s1v = Checkpoints.cut(s1.join(verdicts, "doc_id"))
+          s1v.count()
+        }
+        var s2: DataFrame = null
+        var cutPairs: DataFrame = null
+        var nearDropped: DataFrame = null
+        run("curationstages", "cs_pairs_s", "cs_pairs_rows") {
+          s2 = s1v.filter(col("keep")).select(col("doc_id"), col("text"))
+          // both widths ride in the row: the NAIVE estimate read through
+          // the lineage cuts (the join-product pathology — 32768 here)
+          // vs the source-scan hint the pipeline now passes (r13 fix)
+          fields += s""""cs_naive_parts":${Dedup.explodedShuffleParts(s2, 75L)}"""
+          val hint = Dedup.explodedShuffleParts(base, 75L)
+          fields += s""""cs_hint_parts":$hint"""
+          cutPairs = Checkpoints.cut(
+            Dedup.minhashDupPairs(s2, col("doc_id"), col("text"),
+              partsHint = Some(hint)))
+          cutPairs.count()
+        }
+        run("curationstages", "cs_cc_s", "cs_cc_rows") {
+          nearDropped = Checkpoints.cut(
+            graft.ops.Graph.dedupClusters(cutPairs, col("id_a"), col("id_b"))
+              .filter(!col("keep")).select(col("id").as("doc_id")))
+          nearDropped.count()
+        }
+        run("curationstages", "cs_split_s", "cs_split_rows") {
+          val keeps = Relational.antiJoin(s2,
+              nearDropped.select(col("doc_id").as("dropped_id")),
+              col("doc_id"), col("dropped_id"))
+            .select(col("doc_id"), Sampling.assignSplit(col("text"),
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+          val r = keeps.agg(count(lit(1)).as("n"),
+            sum(length(col("split"))).as("c")).collect()(0)
+          r.getLong(0)
+        }
+      }
+      if (want("curationiso")) {
+        // ISOLATE the lineage effect: same corpus, same operator — one
+        // input read straight from the cached union, one behind a
+        // localCheckpoint (the capstone's stage-boundary shape). Records
+        // the width estimate each input produces, since pinnedParts is
+        // the only thing lineage can change inside minhashDupPairs.
+        def duppedI = docs.union(docs.select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dupmarker")).as("text")))
+        run("curationiso", "ci_direct_s", "ci_direct_pairs") {
+          val in = duppedI
+          fields += s""""ci_direct_parts":${Dedup.explodedShuffleParts(in, 75L)}"""
+          Dedup.minhashDupPairs(in, col("doc_id"), col("text")).count()
+        }
+        run("curationiso", "ci_ckpt_s", "ci_ckpt_pairs") {
+          val in = graft.ops.Checkpoints.cut(duppedI)
+          fields += s""""ci_ckpt_parts":${Dedup.explodedShuffleParts(in, 75L)}"""
+          Dedup.minhashDupPairs(in, col("doc_id"), col("text")).count()
+        }
+      }
       run("curation", "curation_route_s", "curation_route_nodes") {
         // the LP-vs-star auto-switch must take the lp route on the REAL
         // duplicate graph (near-clique components, tiny diameter): the

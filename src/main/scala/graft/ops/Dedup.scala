@@ -123,14 +123,33 @@ object Dedup {
     val default = spark.sessionState.conf.numShufflePartitions
     val target = spark.conf
       .get("spark.graft.shuffle.rowsPerPartition", "1000000").toLong.max(1L)
+    // INPUT-volume estimate, not top-of-plan stats: Spark's
+    // size-only visitor estimates a join's output as the PRODUCT of its
+    // children's sizes, so a frame downstream of any equi-join reports
+    // petabytes for megabytes of data — measured pinning minhash stages
+    // to 32768 near-empty tasks (165 s on 100k rows, PROBE.md round 13).
+    // For width sizing the right proxy is the data VOLUME feeding the
+    // explode, which a join bounds by the SUM of its inputs — so joins
+    // sum, everything else passes through, leaves report their stats.
+    // (A join-estimate already swallowed by a lineage cut is invisible
+    // here — stage-boundary callers pass an explicit width instead, see
+    // minhashDupPairs.partsHint.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode, LogicalPlan}
+    def sane(b: BigInt): BigInt =
+      // unknown stats surface as defaultSizeInBytes (Long.MaxValue) —
+      // treat as "no estimate" rather than exploding to the cap
+      if (b <= 0 || b >= BigInt(Long.MaxValue) / 2) BigInt(0) else b
+    def planBytes(p: LogicalPlan): BigInt = p match {
+      case j: Join => j.children.map(planBytes).sum
+      case l: LeafNode => sane(try l.stats.sizeInBytes
+        catch { case _: Exception => BigInt(0) })
+      case o if o.children.nonEmpty => o.children.map(planBytes).sum
+      case _ => BigInt(0)
+    }
     val bytes =
-      try src.queryExecution.optimizedPlan.stats.sizeInBytes
+      try planBytes(src.queryExecution.optimizedPlan)
       catch { case _: Exception => BigInt(0) }
-    // unknown stats surface as defaultSizeInBytes (Long.MaxValue) — treat
-    // as "no estimate" rather than exploding to the cap
-    val rows =
-      if (bytes <= 0 || bytes >= BigInt(Long.MaxValue) / 2) BigInt(0)
-      else bytes / bytesPerRow
+    val rows = bytes / bytesPerRow
     val need = (rows / target + 1).min(32768).toInt
     need.max(default)
   }
@@ -157,9 +176,17 @@ object Dedup {
     * (REPARTITION_BY_NUM exchanges are exempt; the aggregate reuses the
     * exchange). Leave None for callers in iterative loops — there the
     * many tiny shuffles genuinely want coalescing. */
+  /** `pairFilter` — optional exact predicate over (id_a, id_b) applied
+    * BETWEEN pair generation and the pair-dedup exchange, so pairs the
+    * caller can rule out from id-struct fields alone (e.g. the PPJoin
+    * length filter over set sizes carried in the struct) never ride the
+    * distinct shuffle — on a dense-vocabulary corpus that exchange is the
+    * operator's dominant cost. */
   private[ops] def bucketPairs(banded: DataFrame, idCol: Column,
                                maxBucket: Int,
-                               pinnedParts: Option[Int] = None): DataFrame = {
+                               pinnedParts: Option[Int] = None,
+                               pairFilter: Option[(Column, Column) => Column]
+                                 = None): DataFrame = {
     CapMetrics.ensureListener(banded.sparkSession)
     val observeCaps = !sys.env.contains("SPARK_GRAFT_NO_CAP_OBSERVE")
     val pinned = pinnedParts match {
@@ -175,12 +202,14 @@ object Dedup {
             .as("capped_buckets"),
           max(size(col("ids"))).as("max_bucket")))
       .filter(size(col("ids")).between(2, maxBucket))
-    val pairs = grouped
+    val rawPairs = grouped
       .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2),
         i => transform(slice(col("ids"), i + 2, size(col("ids")) - i - 1),
           b => struct(element_at(col("ids"), i + 1).as("id_a"), b.as("id_b"))))))
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val pairs = pairFilter.fold(rawPairs)(f =>
+      rawPairs.filter(f(col("id_a"), col("id_b"))))
     // pinned callers also pin the pair dedup: its shuffle input is many
     // 16-byte rows, which AQE's byte-based coalescing would squeeze onto
     // one final-aggregate task
@@ -233,24 +262,44 @@ object Dedup {
     * make minhash noisy); false candidates at the corpus's background
     * J≲0.1 are still vanishingly rare (16·J⁴) and the exact verify
     * removes any that slip through. */
+  /** `partsHint` — explicit width for the pinned expansion stages. Use it
+    * when `df` sits behind a lineage cut (localCheckpoint/checkpoint):
+    * the cut CARRIES the upstream plan's estimated stats, and if those
+    * include a join's size-product estimate the width estimator here
+    * would pin tiny stages to the 32768-task cap (the measured capstone
+    * pathology, PROBE.md round 13). Pipelines know their corpus size from
+    * the source scan — pass that estimate through. */
   def minhashDupPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
                       jaccardThreshold: Double = 0.7,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000,
+                      partsHint: Option[Int] = None): DataFrame = {
     // Shingle sets are carried as 8-byte hashes (set semantics preserved up
     // to negligible 64-bit collisions): cheaper to minhash, cheaper to join,
     // cheaper to intersect at verify time than the raw strings.
     val base = df.select(id.as("doc_id"), shingleHashes64(text, n).as("sh"))
+    // set size rides in the bucket id struct (doc_id first, so pair order
+    // and distinct semantics are unchanged) and the exact length filter —
+    // J ≥ t forces min(na,nb) ≥ t·(na+nb)/(1+t) — drops length-mismatched
+    // candidates BEFORE the pair-dedup exchange and the verify joins
     val banded = base
-      .select(col("doc_id"),
+      .select(struct(col("doc_id"), size(col("sh")).as("nsh")).as("did"),
         posexplode(minhashBandBuckets(col("sh"), k, rowsPerBand))
           .as(Seq("band", "bucket")))
+      .select(col("did"), col("band"), col("bucket"))
+    val tf = jaccardThreshold / (1.0 + jaccardThreshold)
+    val lengthFilter = (a: Column, b: Column) =>
+      least(a("nsh"), b("nsh")).cast("double") >=
+        (a("nsh") + b("nsh")).cast("double") * lit(tf) - 1e-9
     // banded stream ≈ one row per (k/rowsPerBand ≈ 16) per doc — about one
     // row per ~75 input bytes; width floors at the session default and
     // grows with the corpus (same posture as the gram-stream operators)
     exactJaccardTail(
-      bucketPairs(banded, col("doc_id"), maxBucket,
-          pinnedParts = Some(explodedShuffleParts(df, bytesPerRow = 75L)))
+      bucketPairs(banded, col("did"), maxBucket,
+          pinnedParts = Some(partsHint.getOrElse(
+            explodedShuffleParts(df, bytesPerRow = 75L))),
+          pairFilter = Some(lengthFilter))
+        .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"))
         .join(base.select(col("doc_id").as("id_a"), col("sh").as("_sha")),
           "id_a")
         .join(base.select(col("doc_id").as("id_b"), col("sh").as("_shb")),
@@ -296,12 +345,27 @@ object Dedup {
     val s = docs
       .select(id.cast("long").as("doc_id"), shingleHashes64(text, n).as("sh"))
       .localCheckpoint()
+    // set size rides INSIDE the bucket id struct so the PPJoin length
+    // filter — J ≥ t forces min(na,nb) ≥ t·(na+nb)/(1+t), exact, 1e-9
+    // slack only ever keeps candidates — runs between pair generation and
+    // the pair-dedup exchange: length-mismatched candidates (most of a
+    // dense-vocabulary corpus's bucket pairs) never ride the distinct
+    // shuffle. Struct sort order is doc_id-first, so id_a < id_b and the
+    // distinct semantics are unchanged (nsh is a function of doc_id).
     val prefix = jaccardPrefixBuckets(s, threshold, partsOverride = Some(parts))
+      .select(col("band"), col("bucket"),
+        struct(col("doc_id"), col("nsh")).as("did"))
+    val tf = threshold / (1.0 + threshold)
+    val lengthFilter = (a: Column, b: Column) =>
+      least(a("nsh"), b("nsh")).cast("double") >=
+        (a("nsh") + b("nsh")).cast("double") * lit(tf) - 1e-9
     // pin the expansion stages (pair generation, exact-Jaccard verify):
     // their shuffle INPUTS are small, so AQE coalescing would serialize
     // the quadratic work — same pathology as Linkage.blockedFuzzyPairs
     exactJaccardTail(
-      bucketPairs(prefix, col("doc_id"), maxBucket, pinnedParts = Some(parts))
+      bucketPairs(prefix, col("did"), maxBucket, pinnedParts = Some(parts),
+          pairFilter = Some(lengthFilter))
+        .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"))
         .repartition(parts, col("id_a"))
         .join(s.select(col("doc_id").as("id_a"), col("sh").as("_sha")), "id_a")
         .join(s.select(col("doc_id").as("id_b"), col("sh").as("_shb")), "id_b"),
@@ -336,7 +400,10 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("nsh") - ceil(col("nsh") * lit(threshold)).cast("long") + 1)
-      .select(lit(0).as("band"), col("g").as("bucket"), col("doc_id"))
+      // nsh rides along so the caller can pack it into the bucket id and
+      // length-filter pairs before the dedup exchange (PPJoin length filter)
+      .select(lit(0).as("band"), col("g").as("bucket"), col("doc_id"),
+        col("nsh"))
   }
 
   /** Incremental near-dedup: which INCOMING documents near-duplicate the
@@ -364,14 +431,25 @@ object Dedup {
       .select(lit(s).as("side"), id.cast("long").as("doc_id"),
         shingleHashes64(text, n).as("sh"))
     val base = side(existing, 0).union(side(incoming, 1))
+    // side-first struct keeps the cross-side filter two field tests; nsh
+    // rides last so the PPJoin length filter can drop length-mismatched
+    // candidates before the pair-dedup exchange (exact, as in
+    // [[minhashDupPairs]])
     val banded = base
-      .select(struct(col("side"), col("doc_id")).as("sid"),
+      .select(struct(col("side"), col("doc_id"),
+          size(col("sh")).as("nsh")).as("sid"),
         posexplode(minhashBandBuckets(col("sh"), k, rowsPerBand))
           .as(Seq("band", "bucket")))
+      .select(col("sid"), col("band"), col("bucket"))
+    val tf = jaccardThreshold / (1.0 + jaccardThreshold)
+    val lengthFilter = (a: Column, b: Column) =>
+      least(a("nsh"), b("nsh")).cast("double") >=
+        (a("nsh") + b("nsh")).cast("double") * lit(tf) - 1e-9
     bucketPairs(banded, col("sid"), maxBucket,
         pinnedParts = Some(
           explodedShuffleParts(existing, bytesPerRow = 75L)
-            .max(explodedShuffleParts(incoming, bytesPerRow = 75L))))
+            .max(explodedShuffleParts(incoming, bytesPerRow = 75L))),
+        pairFilter = Some(lengthFilter))
       .filter(col("id_a.side") === 0 && col("id_b.side") === 1)
       .select(col("id_a.doc_id").as("existing_id"),
         col("id_b.doc_id").as("incoming_id"))

@@ -66,8 +66,15 @@ object CorpusCuration {
       .select(col("doc_id"), lit("low_quality").as("status"), lit("none").as("split"))
     val s2 = s1v.filter(col("keep")).select(col("doc_id"), col("text"))
 
-    // 3. near-dup clustering (pairs → components → min-id keeper)
-    val pairs = Dedup.minhashDupPairs(s2, col("doc_id"), col("text"))
+    // 3. near-dup clustering (pairs → components → min-id keeper).
+    // Width hint from the SOURCE frame: s2 sits behind two lineage cuts
+    // whose carried stats include a join estimate — the width estimator
+    // reading them pinned the minhash stages to 32768 near-empty tasks
+    // (165 s on 100k rows, PROBE.md round 13); the corpus scan's own
+    // stats are the honest volume signal.
+    val mparts = Dedup.explodedShuffleParts(base, bytesPerRow = 75L)
+    val pairs = Dedup.minhashDupPairs(s2, col("doc_id"), col("text"),
+      partsHint = Some(mparts))
     val nearDropped = Graph.dedupClusters(pairs, col("id_a"), col("id_b"))
       .filter(!col("keep"))
       .select(col("id").as("doc_id"), lit("near_dup").as("status"),

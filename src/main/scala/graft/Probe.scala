@@ -253,6 +253,17 @@ object Probe {
         graft.ops.Pq.adcTopK(pqCodes, e.filter(col("vec_id") < 5),
           col("vec_id"), col("embedding"), pqCb, k = 10).count()
       }
+      run("ivfpq", "ivfpq_s", "ivfpq_rows") {
+        // IVFADC (r13): coarse integer-Lloyd cells + PQ ADC on survivors.
+        // Corpus ×m, queries fixed — wall must stay linear in the corpus
+        // with slope ~nProbe/nCells of the full-scan ADC (pq family above
+        // is the unpruned baseline at the same scales).
+        val cb = graft.ops.Pq.fit(e, col("vec_id"), col("embedding"),
+          dims = 64, m = 2, k = 4, iters = 2)
+        graft.ops.Ivf.ivfAdcTopK(e, e.filter(col("vec_id") < 5),
+          col("vec_id"), col("embedding"), cb, k = 10,
+          nCells = 4, nProbe = 2, coarseIters = 2).count()
+      }
       run("jaccard", "jaccard_s", "jaccard_pairs")(Dedup.jaccardPrefixPairs(
         d, col("doc_id"), col("text")).count())
       run("bloomjoin", "bloomjoin_s", "bloomjoin_rows") {

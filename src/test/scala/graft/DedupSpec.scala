@@ -304,6 +304,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPrefixPairs equals brute force on random corpora — the " +
+    "prefix lemma's deterministic recall survives the r13 length/size " +
+    "prunes (property)") {
+    import spark.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.choose(2, 7).flatMap(n => Gen.listOfN(n, doc))
+    def shingleSet(ws: List[String]): Set[String] =
+      if (ws.size >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    checkProp(Prop.forAll(corpusGen) { docsList =>
+      val df = docsList.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.jaccardPrefixPairs(df, col("doc_id"), col("text"),
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docsList.zipWithIndex
+        .map { case (ws, i) => i.toLong -> shingleSet(ws) }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= 0.7
+      } yield (ia, ib)).toSet
+      got == want
+    }, minTests = 25)
+  }
+
   test("embeddingNearDupIncremental reports cross-side near-dups only " +
     "(existing-existing pairs never verified)") {
     import spark.implicits._

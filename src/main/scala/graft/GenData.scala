@@ -210,7 +210,8 @@ object GenData {
     val nTok = (pmod(xxhash64(srcId, lit(33)), lit(91L)) + 10).cast("int")
     // zipf mode: token = "w<rank>", rank ~ Zipf(s≈1) over V=50k via the
     // inverse CDF ⌊exp(u·ln V)⌋ — P(rank ≤ r) = ln r / ln V, so
-    // P(rank = r) ≈ 1/(r·ln V): rank 1 appears in ~9% of draws, half the
+    // P(rank = r) ≈ 1/(r·ln V): rank 1 appears in ln2/lnV ≈ 6.4% of
+    // draws (measured 6.3% top-token share, PROBE.md), half the
     // vocabulary has df ≈ 0 at any corpus size (the rare-shingle mass the
     // 31-token tier lacks). Same per-position (srcId, i, 34) hash stream
     // as the driver tier, so planted dups and doc lengths are identical.

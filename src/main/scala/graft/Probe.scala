@@ -32,7 +32,8 @@ object Probe {
       .split(",").map(_.trim.toInt).toSeq
     // comma-separated family filter (minhash,simhash,embdup,ann,cc,ccstar,
     // pagerank,asof,range,rangedensity,kmeans,pq,jaccard,bloomjoin,decon,
-    // sdecon,diff,diffbucketed,linkage,spanclean,curation,buckets) —
+    // deconfix,sdecon,diff,diffbucketed,linkage,spanclean,curation,
+    // curationfix,curationstages,curationiso,ivfpq,buckets) —
     // unset runs everything; a full ×128 sweep exceeds a single dev
     // timebox, so focused re-probes select just the families under study
     val families = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")

@@ -28,7 +28,16 @@ final class ShuffleMeter private (spark: SparkSession) extends SparkListener {
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
-    if (m != null) {
+    // Successful attempts only (r13 verdict #5): a failed attempt's
+    // PARTIAL shuffle write is redone in full by its retry, so counting
+    // both inflates the fingerprint by the partial — the r13 tfidf flag
+    // (2.62 M → 3.56 M in-suite) was exactly one transient retry
+    // double-counted, and cost a manual isolated re-run to adjudicate.
+    // reason == Success also settles the speculative race: the losing
+    // attempt ends TaskKilled (excluded), the winner counts once. The
+    // rare both-succeed speculative race would still double-count —
+    // acceptable, speculation is off in every graft session.
+    if (m != null && taskEnd.reason == org.apache.spark.Success) {
       writeBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       writeRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
     }

@@ -134,6 +134,14 @@ object Dedup {
     // (A join-estimate already swallowed by a lineage cut is invisible
     // here — stage-boundary callers pass an explicit width instead, see
     // minhashDupPairs.partsHint.)
+    // Deliberate trade: summing RAW leaf sizes ignores the projection/
+    // filter scaling the old top-of-plan stats applied, so a narrow
+    // select over a wide table estimates the full file and can OVER-pin
+    // width (more near-empty tasks). That error is bounded by the leaf's
+    // real bytes — cheap scheduling overhead — while the product error
+    // it replaces was unbounded (petabytes from megabytes, 32768 tasks);
+    // in this codebase the explode sources are narrow (id, text)
+    // projections of narrow tables, so the gap stays small.
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode, LogicalPlan}
     def sane(b: BigInt): BigInt =
       // unknown stats surface as defaultSizeInBytes (Long.MaxValue) —

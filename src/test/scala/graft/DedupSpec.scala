@@ -412,4 +412,35 @@ class DedupSpec extends SparkSpec {
     assert(by(1L) == ((3L, 4L, "x y z")))
     assert(by(2L) == ((2L, 4L, "q r")))
   }
+
+  test("fixture gate: every above-threshold embedding pair is an identical " +
+    "vector (cos_r == 1.0) — the assumption the LSH-path oracles rest on") {
+    // semantic_decontamination_lsh and embedding_neardup_incremental are
+    // hash-checked against EXACT-computation oracles; that equality holds
+    // because the fixture's only above-threshold pairs are IDENTICAL
+    // vectors (eval ⊆ corpus same-id copies; background gaussian cosines
+    // sit far below 0.95), so no pair lives in [0.95, 1.0) where an LSH
+    // prefilter could probabilistically miss what the exact oracle finds
+    // (ADVICE r13). If a future fixture plants non-identical near-dups,
+    // this fails loudly instead of those queries flaking.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.toDF("a_id", "a_vec")
+    val b = e.toDF("b_id", "b_vec")
+    val stats = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .select(round(VectorOps.cosine(col("a_vec"), col("b_vec")), 4)
+        .as("cos_r"))
+      .agg(max(col("cos_r")).as("max_bg"),
+        sum(when(col("cos_r") >= 0.95 && col("cos_r") < 1.0, 1L)
+          .otherwise(0L)).as("in_danger_zone"))
+      .collect().head
+    assert(stats.getLong(1) == 0L,
+      s"fixture has distinct-vector pairs in [0.95, 1.0) — the LSH-path " +
+        s"oracles would flake (max background cos_r ${stats.getDouble(0)})")
+    // margin documentation: the top background cosine should sit well
+    // under the 0.95 threshold, not graze it
+    assert(stats.getDouble(0) < 0.90,
+      s"background cosine ${stats.getDouble(0)} grazes the 0.95 threshold")
+  }
 }

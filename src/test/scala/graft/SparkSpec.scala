@@ -7,7 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * test JVM; never stopped so suites can share it safely). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    // local[4, 2]: maxFailures = 2, so an injected single task failure
+    // RETRIES instead of failing the job — ShuffleMeterSpec depends on
+    // this; tests that assert job failure still fail (after one extra
+    // attempt)
+    .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

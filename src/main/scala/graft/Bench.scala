@@ -243,7 +243,7 @@ object Bench {
 
     // ---- self-adjudication (r10 verdict #1): re-run suspicious medians
     // in isolation. A query is flagged when its in-suite median reads
-    // 1.5× over min(prior-round median, reference best-known) — the min
+    // 1.3× over min(prior-round median, reference best-known) — the min
     // (r11 verdict #2) stops an inflated prior from masking a regression
     // from best-known, and catches the tight-all-high signature, where
     // lo/med/hi inflate together and a spread test sees nothing — OR 2×
@@ -263,7 +263,12 @@ object Bench {
       if (only.isDefined) Vector.empty
       else results.iterator.filter { t =>
         t.status == "ok" && t.median >= 0.5 && (
-          bestKnown(t.name).exists(p => t.median > 1.5 * p + 0.2) ||
+          // 1.3× (was 1.5×, r13 verdict #6): simhash_md5_pairs +1.06 s
+          // and doc_pagerank +0.74 s sat under 1.5× in r13 and needed a
+          // manual isolated pass that confirmed suite noise — 1.3× would
+          // have self-adjudicated both in-run at the cost of a few extra
+          // isolated re-runs (still capped at 16)
+          bestKnown(t.name).exists(p => t.median > 1.3 * p + 0.2) ||
             t.median > 2.0 * t.lo)
       }.toVector.sortBy(-_.median)
     val isoOmitted = (flagged.size - 16).max(0)

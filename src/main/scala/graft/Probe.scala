@@ -33,7 +33,7 @@ object Probe {
     // comma-separated family filter (minhash,simhash,embdup,ann,cc,ccstar,
     // pagerank,asof,range,rangedensity,kmeans,pq,jaccard,bloomjoin,decon,
     // deconfix,sdecon,diff,diffbucketed,linkage,spanclean,curation,
-    // curationfix,curationstages,curationiso,ivfpq,buckets) —
+    // curationfix,curationstages,curationiso,ivfpq,ivfregime,buckets) —
     // unset runs everything; a full ×128 sweep exceeds a single dev
     // timebox, so focused re-probes select just the families under study
     val families = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
@@ -535,9 +535,92 @@ object Probe {
         fields += s""""max_minhash_bucket":$maxB,"buckets_over_cap":$overCap"""
         fields += s""""max_prefix_bucket":$maxP,"prefix_over_cap":$overCapP"""
       }
-      println(s"""{"scale":$m,"docs":$nDocs,"vecs":$nVecs,"events":$nEv,""" +
-        fields.mkString(",") + "}")
+      println(s"""{"scale":$m,"docs":$nDocs,"vecs":$nVecs,"events":$nEv""" +
+        fields.map("," + _).mkString + "}")
       d.unpersist(); e.unpersist(); ev.unpersist()
+    }
+    if (want("ivfregime")) {
+      // IVFADC in the regime it exists for (r13 verdict #3): the in-loop
+      // ivfpq family is fit-dominated at ≤32k vectors, so the nProbe
+      // pruning lever — the operator's entire point — had no measured
+      // win. Here: ~1M vectors (SPARK_GRAFT_PROBE_IVF_M × base, default
+      // 512), codebooks pre-fit on the base corpus, index built ONCE and
+      // persisted, then SEARCH-ONLY wall across nProbe ∈ {1,4,16,64} vs
+      // the full-scan ADC baseline over the same persisted code table,
+      // plus recall@10 against that full scan — the pruning lever's
+      // cost/quality curve. Runs OUTSIDE the scales loop: its corpus is
+      // one explode (not the loop's m-branch unions), jittered ±0.35
+      // per dim (hash-deterministic) so copies spread across cells
+      // instead of collapsing onto 64 duplicate directions.
+      import graft.ops.{Ivf, Pq}
+      val bigM = sys.env.getOrElse("SPARK_GRAFT_PROBE_IVF_M", "512").toInt
+      val nCells = 64
+      val jitter = transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("base_id"), col("k"), i), lit(4001L))
+          - 2000L).cast("double") / 2000.0 * 0.35)
+      // the cached base table is 1–2 partitions; the explode inherits
+      // that and would run the whole 1M-vector build single-threaded —
+      // widen FIRST so the ×bigM expansion lands distributed (the same
+      // partitioning a real corpus scan would already have)
+      val corpus = embs.repartition(cpus.toInt * 2)
+        .select(col("vec_id").as("base_id"),
+          col("embedding"),
+          explode(sequence(lit(0L), lit(bigM - 1L))).as("k"))
+        .select((col("base_id") + lit(10000000L) * col("k")).as("vec_id"),
+          when(col("k") === 0, col("embedding"))
+            .otherwise(zip_with(col("embedding"), jitter,
+              (x, j) => (x.cast("double") + j).cast("float")))
+            .as("embedding"))
+      val fieldsR = scala.collection.mutable.ListBuffer[String]()
+      val cb = Pq.fit(embs, col("vec_id"), col("embedding"),
+        dims = 64, m = 8, k = 16, iters = 2)
+      var indexed: DataFrame = null
+      var coarse: IndexedSeq[Seq[Long]] = null
+      val (buildS, nVec) = timed {
+        val (ix, co) = Ivf.ivfAdcIndex(corpus, col("vec_id"),
+          col("embedding"), cb, nCells, coarseIters = 2)
+        indexed = ix.persist(); coarse = co
+        indexed.count()
+      }
+      fieldsR += s""""ivfreg_vecs":$nVec,"ivfreg_build_s":$buildS"""
+      // two query batches: `mem` — corpus members (their true neighbors
+      // share their cell: the favorable case); `out` — out-of-corpus
+      // perturbations (0.5× jitter off a base vector: neighbors can
+      // straddle cells, so recall vs nProbe shows the honest tradeoff)
+      val qmem = embs.filter(col("vec_id") < 8)
+      val qout = embs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("base_id"), col("embedding"),
+          lit(777L).as("k"))
+        .select(col("base_id").as("vec_id"),
+          zip_with(col("embedding"), jitter,
+            (x, j) => (x.cast("double") + j * 0.5).cast("float"))
+            .as("embedding"))
+      Seq("mem" -> qmem, "out" -> qout).foreach { case (qm, qdf) =>
+        // all result sets are 80 rows — collect once, compare on the
+        // driver (a recall JOIN would re-run the search per comparison)
+        val (fullS, fullRows) = {
+          val t0 = System.nanoTime()
+          val r = Pq.adcTopK(indexed, qdf, col("vec_id"),
+              col("embedding"), cb, k = 10)
+            .select(col("query_id"), col("item_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        fieldsR += s""""ivfreg_${qm}_fullscan_s":$fullS"""
+        Seq(1, 4, 16, nCells).distinct.foreach { np =>
+          val t0 = System.nanoTime()
+          val rows = Ivf.ivfAdcSearch(indexed, coarse, qdf,
+              col("vec_id"), col("embedding"), cb, k = 10, nProbe = np)
+            .select(col("query_id"), col("item_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val sS = (System.nanoTime() - t0) / 1e9
+          val recall = rows.count(fullRows).toDouble / fullRows.size
+          fieldsR += s""""ivfreg_${qm}_np${np}_s":$sS,""" +
+            s""""ivfreg_${qm}_np${np}_recall":$recall"""
+        }
+      }
+      indexed.unpersist()
+      println(s"""{"ivfreg_m":$bigM,""" + fieldsR.mkString(",") + "}")
     }
     docs.unpersist(); embs.unpersist(); events.unpersist()
     spark.stop()

@@ -416,7 +416,7 @@ object Probe {
         // bench wall is decomposed here: pairs leg, pairs+components leg,
         // full capstone. Run at ×1 against an sf dir.
         def dupped = docs.union(docs.select(
-          (col("doc_id") + 100000).as("doc_id"),
+          (col("doc_id") + 100000000L).as("doc_id"),
           concat(col("text"), lit(" dupmarker")).as("text")))
         run("curationfix", "cf_minhash_s", "cf_pairs") {
           Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")).count()
@@ -443,7 +443,7 @@ object Probe {
         import graft.ops.{Relational, Sampling, TextAnalytics}
         import graft.ops.Checkpoints
         val base = docs.union(docs.select(
-            (col("doc_id") + 100000).as("doc_id"),
+            (col("doc_id") + 100000000L).as("doc_id"),
             concat(col("text"), lit(" dupmarker")).as("text")))
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
         var ranked: DataFrame = null
@@ -505,7 +505,7 @@ object Probe {
         // the width estimate each input produces, since pinnedParts is
         // the only thing lineage can change inside minhashDupPairs.
         def duppedI = docs.union(docs.select(
-          (col("doc_id") + 100000).as("doc_id"),
+          (col("doc_id") + 100000000L).as("doc_id"),
           concat(col("text"), lit(" dupmarker")).as("text")))
         run("curationiso", "ci_direct_s", "ci_direct_pairs") {
           val in = duppedI

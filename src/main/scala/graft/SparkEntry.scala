@@ -977,7 +977,7 @@ object SparkEntry {
     // importance ∝ how centrally a doc sits in its duplicate cluster -----
     "doc_pagerank" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       // checkpoint before symmetrizing: the pair list feeds BOTH union
       // branches, and an uncut lineage would run the whole minhash
       // pipeline twice inside one job
@@ -995,7 +995,7 @@ object SparkEntry {
     // seeds rank high, disconnected regions stay exactly 0" ---------------
     "doc_pagerank_seeded" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       val pairs = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
         .localCheckpoint()
       val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -1012,7 +1012,7 @@ object SparkEntry {
     // natural near-dup pair plus its two copies forms a K4 → triangles) ---
     "triangle_counts" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Graph.triangleCounts(
         Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
         col("id_a"), col("id_b"))
@@ -1023,7 +1023,7 @@ object SparkEntry {
     // pairs are verified (existing↔existing never re-paired) --------------
     "minhash_incremental" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val incoming = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val incoming = d.select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
       Dedup.minhashIncremental(d, incoming, col("doc_id"), col("text"))
     }),
 
@@ -1136,7 +1136,7 @@ object SparkEntry {
     // lemma, not an S-curve) ---------------------------------------------
     "jaccard_prefix_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Dedup.jaccardPrefixPairs(dupped, col("doc_id"), col("text"))
     }),
 
@@ -1232,7 +1232,7 @@ object SparkEntry {
     // hash-green vs the brute-force all-pairs oracle) ----------------------
     "minhash_dup_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
     }),
 
@@ -1243,7 +1243,7 @@ object SparkEntry {
     // point now routes through star contraction — see dedup_components_star)
     "dedup_components" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Graph.connectedComponents(
         Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
         col("id_a"), col("id_b"))
@@ -1257,7 +1257,7 @@ object SparkEntry {
     // so it shares dedup_components' recursive-CTE oracle ----------------
     "dedup_components_star" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Graph.connectedComponentsStar(
         Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
         col("id_a"), col("id_b"))
@@ -1330,7 +1330,7 @@ object SparkEntry {
     // keyed hash); singletons behave like assignSplit on their own id ----
     "cluster_safe_splits" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Sampling.clusterSafeSplits(dupped, col("doc_id"),
         Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
         col("id_a"), col("id_b"),
@@ -1345,7 +1345,7 @@ object SparkEntry {
     // recall-1 band) while exact dedup correctly does NOT fire on them ----
     "corpus_curation" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000,
+      val dupped = d.union(d.select(col("doc_id") + 100000000L,
         concat(col("text"), lit(" dupmarker")).as("text")))
       graft.pipelines.CorpusCuration.curate(dupped, col("doc_id"), col("text"))
     }),
@@ -1353,7 +1353,7 @@ object SparkEntry {
     // ---- SimHash near-dup ----------------------------------------------
     "simhash_dup_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Dedup.simhashDupPairs(dupped, col("doc_id"), col("text"))
     }),
 
@@ -1362,14 +1362,14 @@ object SparkEntry {
     // xxhash64 variant above stays rows-only — that kernel is Spark-internal)
     "simhash_md5_pairs" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+      val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Dedup.simhashMd5DupPairs(dupped, col("doc_id"), col("text"))
     }),
 
     // ---- embedding near-dup via random-hyperplane LSH -------------------
     "embedding_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val dupped = e.union(e.select(col("vec_id") + 100000, col("embedding")))
+      val dupped = e.union(e.select(col("vec_id") + 100000000L, col("embedding")))
       // 2 bands × 16 planes: multi-band recovers the recall cliff a single
       // 16-bit bucket has below cos≈0.99 (P(hit) = 1−(1−p¹⁶)²)
       Dedup.embeddingNearDupLsh(dupped, col("vec_id"), col("embedding"),
@@ -1384,7 +1384,7 @@ object SparkEntry {
     // recall 1) and the exact-product oracle hash-checks the LSH path ----
     "embedding_neardup_incremental" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val incoming = e.select((col("vec_id") + 100000).as("vec_id"),
+      val incoming = e.select((col("vec_id") + 100000000L).as("vec_id"),
         col("embedding"))
       Dedup.embeddingNearDupIncremental(e, incoming,
         col("vec_id"), col("embedding"), planes = 16, bands = 2,
@@ -1734,7 +1734,7 @@ object SparkEntry {
   private val MinhashAllPairsCtes =
     """docs AS (
       |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+      |  UNION ALL SELECT doc_id + 100000000, text FROM documents),
       |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM docs),
       |s AS (SELECT doc_id,
       |        CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(len(toks) - 2),
@@ -2770,14 +2770,14 @@ object SparkEntry {
          |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // cross-side subset of the same all-pairs truth: ids < 100000 are the
+    // cross-side subset of the same all-pairs truth: ids < 1e8 are the
     // existing corpus, shifted ids the incoming batch; only existing ×
     // incoming pairs are in scope (the point of incrementality)
     "minhash_incremental" ->
       s"""WITH $MinhashAllPairsCtes
          |SELECT id_a AS existing_id, id_b AS incoming_id,
          |       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-         |FROM p WHERE id_a < 100000 AND id_b >= 100000
+         |FROM p WHERE id_a < 100000000 AND id_b >= 100000000
          |  AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
          |ORDER BY existing_id, incoming_id""".stripMargin,
 
@@ -2814,7 +2814,7 @@ object SparkEntry {
     "corpus_curation" ->
       s"""WITH RECURSIVE d2 AS (
          |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000, text || ' dupmarker' FROM documents),
+         |  UNION ALL SELECT doc_id + 100000000, text || ' dupmarker' FROM documents),
          |ck AS MATERIALIZED (SELECT doc_id, text,
          |         md5(trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))) AS ck
          |       FROM d2),
@@ -3090,7 +3090,7 @@ object SparkEntry {
     // band buckets, pigeonhole candidate join, full-64-bit Hamming count.
     "simhash_md5_pairs" ->
       """WITH docs AS (SELECT doc_id, text FROM documents
-        |              UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |              UNION ALL SELECT doc_id + 100000000, text FROM documents),
         |t AS (SELECT doc_id, unnest(list_filter(
         |        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
         |      FROM docs),
@@ -3120,7 +3120,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  SELECT vec_id + 100000000, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |        list_dot_product(a.v, b.v)
         |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
@@ -3132,7 +3132,7 @@ object SparkEntry {
       """WITH ex AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |inc AS (SELECT vec_id + 100000 AS vec_id, v FROM ex),
+        |inc AS (SELECT vec_id + 100000000 AS vec_id, v FROM ex),
         |p AS (SELECT a.vec_id AS existing_id, b.vec_id AS incoming_id,
         |        list_dot_product(a.v, b.v)
         |          / (sqrt(list_dot_product(a.v, a.v))

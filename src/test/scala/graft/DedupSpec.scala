@@ -72,7 +72,7 @@ class DedupSpec extends SparkSpec {
     "(deterministic recall matches the S-curve path)") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
-    val dupped = d.union(d.select(col("doc_id") + 100000, col("text")))
+    val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
     val prefix = Dedup.jaccardPrefixPairs(dupped, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val minhash = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
@@ -103,12 +103,12 @@ class DedupSpec extends SparkSpec {
     "all-pairs truth (shifted-copy batch)") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
-    val incoming = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val incoming = d.select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
     val inc = Dedup.minhashIncremental(d, incoming, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val dupped = d.union(incoming)
     val cross = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
-      .filter(col("id_a") < 100000 && col("id_b") >= 100000)
+      .filter(col("id_a") < 100000000L && col("id_b") >= 100000000L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(inc == cross)
     assert(inc.nonEmpty)

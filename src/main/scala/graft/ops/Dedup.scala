@@ -698,22 +698,64 @@ object Dedup {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must be >= 2 and divide 64, got $bands")
     val bandLen = 64 / bands
-    val banded = sims
-      .select(struct(col("doc_id"), col("sim")).as("ds"))
-      .select(col("ds"),
+    CapMetrics.ensureListener(sims.sparkSession)
+    // The signature computation above this call can be expensive (the md5
+    // twin folds a 64-long vote array per token), and the join plan below
+    // scans its output three times (bucket sizes + both self-join sides) —
+    // without a lineage cut Spark recomputes it per scan (measured 3.2x
+    // wall at sf0.1). sims is 16 bytes/row (id + packed signature) — one
+    // executor-storage copy per billion docs is ~16 GB cluster-wide, the
+    // canonical cache-the-small-projection trade. Nothing downstream reads
+    // the cut frame's stats (no explodedShuffleParts here), so the
+    // join-product stats pathology the cut can carry does not apply.
+    val simsOnce = graft.ops.Checkpoints.cut(
+      sims.select(col("doc_id"), col("sim")))
+    val banded = simsOnce
+      .select(col("doc_id"), col("sim"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("ds.sim"), b * bandLen)
+            shiftrightunsigned(col("sim"), b * bandLen)
               .bitwiseAND(lit((1L << bandLen) - 1)).as("bucket"))
         }: _*)).as("bb"))
-      .select(col("ds"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // struct sort order is lexicographic: distinct doc_ids ⇒ id_a < id_b
-    // sims rows are ~16 bytes (id + signature) and fan out `bands` ways
-    bucketPairs(banded, col("ds"), maxBucket,
-        pinnedParts = Some(explodedShuffleParts(sims, bytesPerRow = 4L)))
-      .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"),
-        hamming64(col("id_a.sim"), col("id_b.sim")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("sim"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Pair generation is a self-JOIN on (band, bucket) with the Hamming
+    // verify INSIDE the join predicate — NOT [[bucketPairs]]' per-bucket
+    // collect_list + pair explode. That array form builds a bucket's whole
+    // O(n²) pair set inside one row before exploding, so one dense bucket
+    // (a shared-vocabulary corpus collapses many docs onto near-identical
+    // signatures) OOMs a single task no matter the executor size — sf3.0
+    // measured: heap death at 64 g. The sort-merge join streams candidates
+    // and SPILLS its per-key buffer, so a mega-bucket costs time, not
+    // memory, and only verified pairs (hamming <= maxHamming) ever reach
+    // the pair-dedup exchange. Same output by construction: within-bucket
+    // id_a < id_b pairs, whole buckets over `maxBucket` dropped (the skew
+    // guard, observed via CapMetrics like every other capped family).
+    val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bn"))
+    val observeCaps = !sys.env.contains("SPARK_GRAFT_NO_CAP_OBSERVE")
+    val ok = (if (!observeCaps) sizes
+      else sizes
+        .observe(s"${CapMetrics.MetricPrefix}_${capObsId.incrementAndGet()}",
+          sum(when(col("_bn") > maxBucket, 1L).otherwise(0L))
+            .as("capped_buckets"),
+          max(col("_bn")).as("max_bucket")))
+      .filter(col("_bn").between(2, maxBucket))
+      .select(col("band"), col("bucket"))
+    // no broadcast hint: distinct buckets are data-bounded, not
+    // schema-bounded (bands * 2^bandLen can exceed any broadcast budget);
+    // the member join and the pair join share the (band, bucket) hash
+    // partitioning, and AQE still broadcasts `ok` when it measures small
+    val member = banded.join(ok, Seq("band", "bucket"))
+    val a = member.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sim").as("_sa"))
+    val b = member.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sim").as("_sb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("_sa"), col("_sb")).as("hamming"))
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 

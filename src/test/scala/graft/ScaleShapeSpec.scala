@@ -191,7 +191,10 @@ class ScaleShapeSpec extends SparkSpec {
       "pq_ann_topk" -> 100L,
       "corpus_curation" -> 2152L,
       "doc_pagerank_seeded" -> 1000L,
-      "simhash_md5_pairs" -> 6660L,
+      // r14: join-based band-bucket pair generation — the Hamming verify
+      // sits INSIDE the join, so only verified pairs reach the pair-dedup
+      // exchange (6660 -> 3834; the old plan shuffled every candidate)
+      "simhash_md5_pairs" -> 3834L,
       "containment_pairs" -> 358L,
       "semantic_decontamination" -> 1000L,
       // r13: bucket-collision pairs (2000 vecs, 40-vec eval) + per-vec

@@ -1266,7 +1266,9 @@ object SparkEntry {
     }),
 
     // ---- entity resolution: nation-blocked fuzzy name matching —
-    // blocking bounds candidates, levenshtein verifies each pair --------
+    // blocking bounds candidates, levenshtein verifies each pair; blocks
+    // past the plan switch go through the exact deletion-neighborhood
+    // join instead of the quadratic verify (uncapped semantics) --------
     "customer_fuzzy_pairs" -> ((s, dir) =>
       graft.ops.Linkage.blockedFuzzyPairs(
         Tables.customer(s, dir), col("c_custkey"), col("c_nationkey"),
@@ -2881,16 +2883,14 @@ object SparkEntry {
     // the star-contraction twin is checked against the SAME oracle
     "dedup_components_star" -> DedupComponentsOracle,
 
-    // block sizes mirrored (HAVING <= cap) so the cap is part of the
-    // checked semantics, not a fixture accident
+    // uncapped within-block semantics: the engine's deletion-neighborhood
+    // path makes oversized blocks exact instead of dropped, so the naive
+    // all-pairs baseline needs no block-size mirror (r14; the old
+    // HAVING <= 10000 mirror zeroed the query at sf3)
     "customer_fuzzy_pairs" ->
-      """WITH ok AS (SELECT c_nationkey FROM customer
-        |            GROUP BY 1 HAVING count(*) <= 10000),
-        |c AS (SELECT c_custkey, c_nationkey, c_name FROM customer
-        |      WHERE c_nationkey IN (SELECT c_nationkey FROM ok))
-        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        |FROM c a JOIN c b
+        |FROM customer a JOIN customer b
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,

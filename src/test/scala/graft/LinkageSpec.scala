@@ -60,7 +60,7 @@ class LinkageSpec extends SparkSpec {
     assert(again == out)
   }
 
-  test("oversized blocks are dropped whole (skew guard)") {
+  test("maxDist > 2: oversized blocks are dropped whole (legacy guard)") {
     val big = (0L until 10L).map(i => (i, "hot", s"name$i"))
     val small = Seq((100L, "cold", "alpha"), (101L, "cold", "alphb"))
     val df = recs(big ++ small: _*)
@@ -68,5 +68,89 @@ class LinkageSpec extends SparkSpec {
         col("name"), maxDist = 3, maxBlock = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((100L, 101L)))
+  }
+
+  // ---- deletion-neighborhood path (oversized blocks, maxDist <= 2) ----
+
+  private def bruteLev(x: String, y: String): Int = {
+    val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+    d(x.length)(y.length)
+  }
+
+  private def brutePairs(rows: Seq[(Long, String, String)], maxDist: Int) =
+    (for {
+      Seq((ia, ba, na), (ib, bb, nb)) <- rows.sortBy(_._1).combinations(2)
+      if ba == bb
+      d = bruteLev(na, nb)
+      if d <= maxDist
+    } yield (ia, ib, d.toLong)).toSet
+
+  test("oversized blocks switch to the deletion-neighborhood join and " +
+    "produce the exact uncapped pair set (sf3 regression)") {
+    // one block far over maxBlock: planted dist-1/2 neighbors, a dist-3
+    // miss, repeated names, and an unrelated small block
+    val hot = Seq(
+      (1L, "hot", "john smith"), (2L, "hot", "jon smith"),   // del, d1
+      (3L, "hot", "john smyth"),                             // sub, d1 of 1
+      (4L, "hot", "johnn smith"),                            // ins, d1 of 1
+      (5L, "hot", "mary jones"), (6L, "hot", "mary jones"),  // dup, d0
+      (7L, "hot", "completely other"),
+      (8L, "hot", "jxhn smxth"))                             // d2 of 1
+    val cold = Seq((100L, "cold", "alpha"), (101L, "cold", "alphb"))
+    val rows = hot ++ cold
+    val out = Linkage.blockedFuzzyPairs(recs(rows: _*), col("id"),
+        col("blk"), col("name"), maxDist = 2, maxBlock = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brutePairs(rows, 2))
+    assert(out.contains((1L, 8L, 2L)) && out.contains((5L, 6L, 0L)))
+  }
+
+  test("deletion-neighborhood recall equals brute force on random " +
+    "mutated strings (property)") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = (1 to edits).foldLeft(s) {
+      (t, _) =>
+        if (t.isEmpty) word(1)
+        else rnd.nextInt(3) match {
+          case 0 => // substitute
+            val i = rnd.nextInt(t.length)
+            t.updated(i, alpha(rnd.nextInt(alpha.length)))
+          case 1 => // delete
+            val i = rnd.nextInt(t.length); t.take(i) + t.drop(i + 1)
+          case _ => // insert
+            val i = rnd.nextInt(t.length + 1)
+            t.take(i) + alpha(rnd.nextInt(alpha.length)) + t.drop(i)
+        }
+    }
+    // 60 base words, each with a planted 0/1/2/3-edit neighbor; ONE block
+    // forced through the variant path (maxBlock = 2)
+    val rows = (0 until 60).flatMap { k =>
+      val base = word(6 + rnd.nextInt(6))
+      Seq((k * 2L, "b", base), (k * 2L + 1, "b", mutate(base, k % 4)))
+    }
+    for (d <- 0 to 2) {
+      val out = Linkage.blockedFuzzyPairs(recs(rows: _*), col("id"),
+          col("blk"), col("name"), maxDist = d, maxBlock = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == brutePairs(rows, d), s"maxDist=$d mismatch")
+    }
+  }
+
+  test("deletionVariants: exact alphabet, distinct, empty-string safe") {
+    import spark.implicits._
+    val vs = Seq("abc", "a", "", "aaa").toDF("s")
+      .select(col("s"), Linkage.deletionVariants(col("s"), 2).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(vs("abc") == Set("abc", "bc", "ac", "ab", "c", "b", "a"))
+    assert(vs("a") == Set("a", ""))
+    assert(vs("") == Set(""))
+    assert(vs("aaa") == Set("aaa", "aa", "a")) // duplicates collapsed
   }
 }

@@ -31,7 +31,8 @@ object Probe {
     val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
     // comma-separated family filter (minhash,simhash,embdup,ann,cc,ccstar,
-    // pagerank,asof,range,rangedensity,kmeans,pq,jaccard,bloomjoin,decon,
+    // pagerank,pagerankdecomp,jaccardwidth,asof,range,rangedensity,kmeans,
+    // pq,jaccard,bloomjoin,decon,
     // deconfix,sdecon,diff,diffbucketed,linkage,spanclean,curation,
     // curationfix,curationstages,curationiso,ivfpq,ivfregime,buckets) —
     // unset runs everything; a full ×128 sweep exceeds a single dev
@@ -198,6 +199,87 @@ object Probe {
         graft.ops.Graph.pageRank(sym, col("src"), col("dst"),
           iterations = 5).count()
       }
+      // ---- doc_pagerank wall DECOMPOSITION (r14 verdict #2): the sf3
+      // tier read 10.2x wall for 3x data with LINEAR shuffle records;
+      // this family splits the real query's wall into (a) the minhash
+      // front end on the query's own 2x-dup'd corpus, (b) the components
+      // clustering that shares it, and (c) pageRank at 1..5 iterations
+      // from the SAME checkpointed pair list — marginal per-iteration
+      // cost is the diff between consecutive rows. m == 1 only: the
+      // cross-tier signal comes from running this on different sf dirs.
+      if (want("pagerankdecomp") && m == 1) {
+        val dupped = docs.union(docs.select(
+          (col("doc_id") + 100000000L).as("doc_id"), col("text")))
+        var pairs: DataFrame = null
+        meter.reset()
+        val (tFront, nPairs) = timed {
+          pairs = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
+            .localCheckpoint()
+          pairs.count()
+        }
+        val (_, frontRec) = meter.snapshot()
+        fields += s""""prdc_front_s":$tFront"""
+        fields += s""""prdc_front_pairs":$nPairs"""
+        fields += s""""prdc_front_shufrec":$frontRec"""
+        fields += s""""prdc_front_spill":${meter.spilledBytes}"""
+        val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b"), col("id_a")))
+        meter.reset()
+        val (tCc, nCc) = timed(graft.ops.Graph.dedupClusters(
+          pairs, col("id_a"), col("id_b")).count())
+        val (_, ccRec) = meter.snapshot()
+        fields += s""""prdc_cc_s":$tCc"""
+        fields += s""""prdc_cc_nodes":$nCc"""
+        fields += s""""prdc_cc_shufrec":$ccRec"""
+        fields += s""""prdc_cc_spill":${meter.spilledBytes}"""
+        for (k <- 1 to 5) {
+          meter.reset()
+          val (tK, _) = timed(graft.ops.Graph.pageRank(sym, col("src"),
+            col("dst"), iterations = k).count())
+          val (_, kRec) = meter.snapshot()
+          fields += s""""prdc_pr${k}_s":$tK"""
+          fields += s""""prdc_pr${k}_shufrec":$kRec"""
+          fields += s""""prdc_pr${k}_spill":${meter.spilledBytes}"""
+        }
+      }
+
+      // ---- jaccard sf3 WIDTH AUDIT (r14 verdict #3): the in-file
+      // adjudication attributed ~4x of the 38x single-run sf3 wall to
+      // spill at 9.2x candidate volume. explodedShuffleParts sizes the
+      // pinned stages from LEAF bytes / rowsPerPartition — this family
+      // sweeps rowsPerPartition around the production default so the
+      // probe shows wall + spill bytes at narrower AND wider widths than
+      // production picks. If production's row already has ~zero spill
+      // (or wider is no faster), the width is right; if spill collapses
+      // only at a wider setting, bytesPerRow under-estimates this
+      // caller's expansion. m == 1 only, real query shape (2x dup'd).
+      if (want("jaccardwidth") && m == 1) {
+        val dupped = docs.union(docs.select(
+          (col("doc_id") + 100000000L).as("doc_id"), col("text")))
+        val rppKey = "spark.graft.shuffle.rowsPerPartition"
+        val rpp0 = spark.conf.get(rppKey, "1000000")
+        try {
+          // sweep chosen for the sf3 leaf estimate (~5.7M exploded rows
+          // from 2x17MB parquet): production rpp=1M floors at the session
+          // default width; the smaller settings give ~4x-steps of extra
+          // width so the spill cliff (if any) lands inside the sweep
+          for (rpp <- Seq(1000000L, 125000L, 31250L, 8000L)) {
+            spark.conf.set(rppKey, rpp.toString)
+            val parts = Dedup.explodedShuffleParts(dupped)
+            meter.reset()
+            val (tJ, nJ) = timed(Dedup.jaccardPrefixPairs(
+              dupped, col("doc_id"), col("text")).count())
+            val (_, jRec) = meter.snapshot()
+            val tag = s"jw_rpp${rpp / 1000}k"
+            fields += s""""${tag}_parts":$parts"""
+            fields += s""""${tag}_s":$tJ"""
+            fields += s""""${tag}_pairs":$nJ"""
+            fields += s""""${tag}_shufrec":$jRec"""
+            fields += s""""${tag}_spill":${meter.spilledBytes}"""
+          }
+        } finally spark.conf.set(rppKey, rpp0)
+      }
+
       run("asof", "asof_s", "asof_rows") {
         val p = ev.filter(col("event_type") === "purchase")
         val c = ev.filter(col("event_type") === "click")

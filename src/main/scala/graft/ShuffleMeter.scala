@@ -24,6 +24,7 @@ import org.apache.spark.sql.SparkSession
 final class ShuffleMeter private (spark: SparkSession) extends SparkListener {
   private val writeBytes = new AtomicLong
   private val writeRecords = new AtomicLong
+  private val spillBytesAcc = new AtomicLong
   private val drainTimedOut = new java.util.concurrent.atomic.AtomicBoolean
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
@@ -40,6 +41,7 @@ final class ShuffleMeter private (spark: SparkSession) extends SparkListener {
     if (m != null && taskEnd.reason == org.apache.spark.Success) {
       writeBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       writeRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      spillBytesAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
     }
   }
 
@@ -47,6 +49,7 @@ final class ShuffleMeter private (spark: SparkSession) extends SparkListener {
     val clean = drain()
     writeBytes.set(0L)
     writeRecords.set(0L)
+    spillBytesAcc.set(0L)
     // a dirty reset means the PREVIOUS query's in-flight task-end events
     // will land in THIS window — mark it contaminated from the start
     drainTimedOut.set(!clean)
@@ -57,6 +60,13 @@ final class ShuffleMeter private (spark: SparkSession) extends SparkListener {
     if (!drain()) drainTimedOut.set(true)
     (writeBytes.get, writeRecords.get)
   }
+
+  /** Memory+disk bytes spilled by successful tasks since `reset()` — the
+    * under-width signal the jaccard sf3 audit needed (r14 verdict #3):
+    * wall time can't distinguish "more data" from "same data sorted
+    * through too few partitions", spill bytes can. Read AFTER
+    * [[snapshot]] (which drains the bus) for an exact window. */
+  def spilledBytes: Long = spillBytesAcc.get
 
   /** True when any bus drain bounding the current window timed out: the
     * numbers may include a neighbour query's events (or miss this one's

@@ -98,6 +98,21 @@ object Dedup {
       }
   }
 
+  /** Attach the no-silent-caps observe to a frame carrying a group-size
+    * column: counts groups over `cap` plus the largest seen, WARN-logged
+    * by the shared [[CapMetrics]] listener. One helper so EVERY capped
+    * family — LSH buckets here, the maxDist > 2 drop-whole guard in
+    * [[graft.ops.Linkage]] — reports drops the same way. */
+  private[ops] def observeCap(sizes: DataFrame, sizeCol: Column,
+                              cap: Int): DataFrame = {
+    CapMetrics.ensureListener(sizes.sparkSession)
+    if (sys.env.contains("SPARK_GRAFT_NO_CAP_OBSERVE")) sizes
+    else sizes.observe(
+      s"${CapMetrics.MetricPrefix}_${capObsId.incrementAndGet()}",
+      sum(when(sizeCol > cap, 1L).otherwise(0L)).as("capped_buckets"),
+      max(sizeCol).as("max_bucket"))
+  }
+
   /** Shuffle width for a stage whose input EXPLODES (one row per token /
     * gram / shingle): the session default, GROWN — never shrunk — when
     * the estimated exploded row count would overload the default's
@@ -195,20 +210,13 @@ object Dedup {
                                pinnedParts: Option[Int] = None,
                                pairFilter: Option[(Column, Column) => Column]
                                  = None): DataFrame = {
-    CapMetrics.ensureListener(banded.sparkSession)
-    val observeCaps = !sys.env.contains("SPARK_GRAFT_NO_CAP_OBSERVE")
     val pinned = pinnedParts match {
       case Some(n) => banded.repartition(n, col("band"), col("bucket"))
       case None => banded
     }
     val aggregated = pinned.groupBy("band", "bucket")
       .agg(array_sort(collect_list(idCol)).as("ids"))
-    val grouped = (if (!observeCaps) aggregated
-      else aggregated
-        .observe(s"${CapMetrics.MetricPrefix}_${capObsId.incrementAndGet()}",
-          sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
-            .as("capped_buckets"),
-          max(size(col("ids"))).as("max_bucket")))
+    val grouped = observeCap(aggregated, size(col("ids")), maxBucket)
       .filter(size(col("ids")).between(2, maxBucket))
     val rawPairs = grouped
       .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2),
@@ -698,7 +706,6 @@ object Dedup {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must be >= 2 and divide 64, got $bands")
     val bandLen = 64 / bands
-    CapMetrics.ensureListener(sims.sparkSession)
     // The signature computation above this call can be expensive (the md5
     // twin folds a 64-long vote array per token), and the join plan below
     // scans its output three times (bucket sizes + both self-join sides) —
@@ -732,13 +739,7 @@ object Dedup {
     // id_a < id_b pairs, whole buckets over `maxBucket` dropped (the skew
     // guard, observed via CapMetrics like every other capped family).
     val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_bn"))
-    val observeCaps = !sys.env.contains("SPARK_GRAFT_NO_CAP_OBSERVE")
-    val ok = (if (!observeCaps) sizes
-      else sizes
-        .observe(s"${CapMetrics.MetricPrefix}_${capObsId.incrementAndGet()}",
-          sum(when(col("_bn") > maxBucket, 1L).otherwise(0L))
-            .as("capped_buckets"),
-          max(col("_bn")).as("max_bucket")))
+    val ok = observeCap(sizes, col("_bn"), maxBucket)
       .filter(col("_bn").between(2, maxBucket))
       .select(col("band"), col("bucket"))
     // no broadcast hint: distinct buckets are data-bounded, not
@@ -751,10 +752,14 @@ object Dedup {
     val b = member.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("sim").as("_sb"))
     a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b") &&
-        bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= maxHamming)
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("_sa"), col("_sb")).as("hamming"))
+      // one hamming64 expression serving both the verify predicate and
+      // the output column (r14 verdict nit: the filter previously spelled
+      // bit_count(xor) and the select hamming64 — same value, written
+      // twice); Catalyst inlines it into the join condition, so only
+      // verified pairs reach the dedup exchange, computed once
+      .withColumn("hamming", hamming64(col("_sa"), col("_sb")))
+      .filter(col("id_a") < col("id_b") && col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
       .distinct()
       .orderBy("id_a", "id_b")
   }

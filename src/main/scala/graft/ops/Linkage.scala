@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   * nations = 18k per block > 10000 — hash-green against a cap-mirroring
   * oracle, and semantically empty). Only for maxDist > 2 — where the
   * deletion neighborhood grows O(len^maxDist) — are oversized blocks
-  * still dropped whole (the legacy skew guard, documented lossy).
+  * still dropped whole (the legacy skew guard, documented lossy and
+  * observed via the shared CapMetrics counter, never silent).
   * Real deployments run several blocking passes with different keys and
   * union the pairs; one pass is the verified building block.
   */
@@ -41,7 +42,16 @@ object Linkage {
     * appear once, self-pairs never. Exact and uncapped for
     * maxDist <= 2: `maxBlock` only picks the plan (quadratic verify
     * vs deletion-neighborhood join — see the object doc); for
-    * maxDist > 2 oversized blocks are dropped whole (legacy guard).
+    * maxDist > 2 oversized blocks are dropped whole (legacy guard,
+    * OBSERVED: a CapMetrics counter WARN-logs every dropped block, so
+    * the lossy configuration can never lose rows silently).
+    *
+    * PRECONDITION: `id` must be unique per record. The two plans agree
+    * only under unique ids — the deletion-neighborhood path dedups on
+    * (id_a, id_b) (any surviving instance of a pair carries the same
+    * dist, which holds only when an id names one text), while the
+    * quadratic path emits one row per record instance. With duplicate
+    * ids the paths diverge silently; callers own the key contract.
     *
     * The self-join is ADAPTIVELY SEGMENT-SALTED: the block count can be
     * tiny (25 nations, 50 states) no matter how big the data, so joining
@@ -68,13 +78,21 @@ object Linkage {
   def blockedFuzzyPairs(df: DataFrame, id: Column, block: Column,
                         text: Column, maxDist: Int,
                         maxBlock: Int = 10000,
-                        segments: Int = 16): DataFrame = {
+                        segments: Int = 16,
+                        prefixLen: Int = 32): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     require(segments >= 1, s"segments must be >= 1, got $segments")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
     val t = df.select(block.as("blk"), id.as("rid"), text.as("txt"))
+    val bsizes = t.groupBy("blk").agg(count(lit(1)).as("_bn"))
+    // the maxDist > 2 path DROPS oversized blocks (legacy skew guard) —
+    // observe the drop like every other capped family, so the loss is
+    // WARN-logged instead of silent (maxDist <= 2 drops nothing: the
+    // deletion-neighborhood plan is exact, no observe needed)
     val counted = t.join(
-      t.groupBy("blk").agg(count(lit(1)).as("_bn")), Seq("blk"))
+      if (maxDist > 2) Dedup.observeCap(bsizes, col("_bn"), maxBlock)
+      else bsizes, Seq("blk"))
     val sized = counted.filter(col("_bn") <= maxBlock)
     // per-block segment count: 1 for blocks under 256 rows, capped at
     // `segments`; both sides derive it from the same _bn so the keys agree
@@ -100,11 +118,12 @@ object Linkage {
         levenshtein(col("txt_a"), col("txt_b"), maxDist).cast("long"))
       .filter(col("dist").between(0, maxDist))
       .select("id_a", "id_b", "dist")
-    if (maxDist > 2) smallPairs  // legacy drop-whole guard (lossy, doc'd)
+    if (maxDist > 2) smallPairs  // drop-whole guard (lossy, observed above)
     else {
       val big = counted.filter(col("_bn") > maxBlock)
         .select(col("blk"), col("rid"), col("txt"))
-      smallPairs.unionByName(deletionNeighborhoodPairs(df, big, maxDist))
+      smallPairs.unionByName(
+        deletionNeighborhoodPairs(df, big, maxDist, prefixLen))
     }
   }
 
@@ -136,27 +155,49 @@ object Linkage {
   }
 
   /** Exact within-block lev <= maxDist pairs for blocks too big to
-    * verify quadratically: explode each record into its deletion
-    * variants (hashed to 8-byte keys — a hash collision only adds a
-    * candidate the verify kills), equi-join on (block, variantHash),
-    * verify with the banded DP, then dedup (a pair shares up to ~len
-    * common variants, so dedup runs AFTER the cheap verify on 3-long
-    * rows rather than shuffling the texts). Everything is keyed — no
-    * cartesian, no per-bucket arrays — and the explode factor is a
-    * constant ~len²/2 per record, so cost is linear in block size plus
-    * the candidate volume the data's own name-collision shape induces
-    * (identical-text buckets stay quadratic in their TRUE pair count —
-    * output-bound, same posture as [[Dedup.bucketPairs]] verify). */
+    * verify quadratically: explode each record into the deletion
+    * variants of its first `prefixLen` chars (hashed to 8-byte keys — a
+    * hash collision only adds a candidate the verify kills), equi-join
+    * on (block, variantHash), verify the FULL texts with the banded DP,
+    * then dedup. Everything is keyed — no cartesian, no per-bucket
+    * arrays — and the explode factor is bounded at ~P²/2 variants of
+    * <= P chars per record (P = prefixLen), so per-row cost is a
+    * CONSTANT O(P³) bytes however long the text — arbitrary-length
+    * text columns cannot blow up variant generation (ADVICE r14).
+    *
+    * PREFIX KEYING IS STILL EXACT (SymSpell's prefix scheme). Proof:
+    * take an optimal <= d edit script for (a, b) and its matched-pair
+    * alignment p_1<…<p_t ↔ q_1<…<q_t (a(p_j) = b(q_j)). Let m be the
+    * matched pairs with BOTH p_j < P and q_j < P — a common
+    * subsequence of both prefixes. prefix_P(a) loses only (i) its <= s+e
+    * unmatched positions and (ii) boundary-crossing pairs p_j < P <= q_j,
+    * which need q_j − p_j >= 1 net insertions so number <= i; total
+    * <= s+e+i = lev(a,b) <= d. Symmetrically prefix_P(b) loses <= s+i+e
+    * <= d (crossings there consume deletions). So m is reachable by
+    * <= d deletions from BOTH prefixes and the key sets intersect, for
+    * ANY P >= 1. Verified exhaustively (alphabet 2–3, len <= 9, P 3–5,
+    * d <= 2) and by the long-text property spec. Shorter P = cheaper
+    * variants but coarser keys: texts sharing a P-prefix all collide,
+    * and the candidate volume for such clusters is quadratic — sized
+    * so registered name-like corpora (<= 32 chars) key on the full
+    * string. Identical texts share the whole ~P²/2 variant set, so
+    * duplicate-heavy blocks produce truePairs × ~P²/2 pre-dedup join
+    * rows — which is why dedup runs AFTER the cheap verify on 3-column
+    * rows rather than shuffling the texts (identical-text buckets stay
+    * quadratic in their TRUE pair count — output-bound, same posture
+    * as [[Dedup.bucketPairs]] verify). */
   private def deletionNeighborhoodPairs(src: DataFrame, recs: DataFrame,
-                                        maxDist: Int): DataFrame = {
-    // ~len²/2 variant rows per record each ~len bytes => about one
-    // exploded row per input byte; width from the ORIGINAL frame's leaf
-    // stats (recs sits behind the block-count join, whose size-only
-    // estimate is a child PRODUCT — the r13 width pathology)
+                                        maxDist: Int,
+                                        prefixLen: Int): DataFrame = {
+    // ~P²/2 variant rows per record each <= P bytes; width from the
+    // ORIGINAL frame's leaf stats (recs sits behind the block-count
+    // join, whose size-only estimate is a child PRODUCT — the r13
+    // width pathology)
     val parts = Dedup.explodedShuffleParts(src, bytesPerRow = 1L)
     val v = recs.filter(col("txt").isNotNull)
       .select(col("blk"), col("rid"), col("txt"),
-        explode(deletionVariants(col("txt"), maxDist)).as("_v"))
+        explode(deletionVariants(
+          substring(col("txt"), 1, prefixLen), maxDist)).as("_v"))
       .select(col("blk"), col("rid"), col("txt"),
         xxhash64(col("_v")).as("_vh"))
     val a = v.select(col("blk"), col("_vh"), col("rid").as("id_a"),

@@ -38,6 +38,36 @@ class DecontaminationSpec extends SparkSpec {
     }
   }
 
+  test("fixture gate: the LSH-vs-exact semantic-decontamination oracle " +
+    "equivalence assumption holds — every above-threshold exact pair is " +
+    "an identical-vector pair (cos_r == 1.0)") {
+    // The semantic_decontamination_lsh DuckDB oracle computes the EXACT
+    // product and hash-matches the LSH path only because (a) planted hits
+    // sit at cos 1.0 (identical vectors collide in every band) and (b)
+    // background cosines never reach 0.95. A future fixture with planted
+    // (0.95, 1.0) near-dups would break that silently — the LSH path could
+    // miss one with probability ~4e-4 per pair and flake the gate. Assert
+    // the assumption on every fixture tier present, pair-level (a vector
+    // can carry BOTH a 1.0 hit and a 0.96 hit, which a max-only check
+    // would miss), with the same rounded-cosine the operator uses.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+         if new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      val e = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("qv"))
+      val nearButNotIdentical = e.crossJoin(broadcast(q))
+        .select(round(graft.ops.VectorOps.cosine(col("qv"), col("embedding")),
+          4).as("cos_r"))
+        .filter(col("cos_r") >= 0.95 && col("cos_r") < 1.0)
+        .count()
+      assert(nearButNotIdentical == 0L,
+        s"$dir: $nearButNotIdentical eval-corpus pairs sit in [0.95, 1.0) — " +
+          "the LSH-vs-exact oracle equivalence no longer holds on this " +
+          "fixture; re-derive the semantic_decontamination_lsh oracle")
+    }
+  }
+
   test("sub-threshold partial overlap does not flag") {
     val partialEval = Seq(
       (100L, "the quick brown fox sat still all day long today"))

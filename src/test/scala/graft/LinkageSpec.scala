@@ -60,14 +60,62 @@ class LinkageSpec extends SparkSpec {
     assert(again == out)
   }
 
-  test("maxDist > 2: oversized blocks are dropped whole (legacy guard)") {
-    val big = (0L until 10L).map(i => (i, "hot", s"name$i"))
-    val small = Seq((100L, "cold", "alpha"), (101L, "cold", "alphb"))
-    val df = recs(big ++ small: _*)
-    val out = Linkage.blockedFuzzyPairs(df, col("id"), col("blk"),
-        col("name"), maxDist = 3, maxBlock = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(out.toSet == Set((100L, 101L)))
+  test("maxDist > 2: oversized blocks are dropped whole (legacy guard) " +
+    "and the drop is OBSERVED via a CapMetrics counter, never silent") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_bucket_caps") && !row.isNullAt(0))
+            seen.add(row.getLong(0))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val big = (0L until 10L).map(i => (i, "hot", s"name$i"))
+      val small = Seq((100L, "cold", "alpha"), (101L, "cold", "alphb"))
+      val df = recs(big ++ small: _*)
+      val out = Linkage.blockedFuzzyPairs(df, col("id"), col("blk"),
+          col("name"), maxDist = 3, maxBlock = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.toSet == Set((100L, 101L)))
+      // QueryExecutionListener delivery is async — poll for the metric
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.exists(_ >= 1L),
+        "dropped oversized block was not observed by graft_bucket_caps")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("prefix-keyed deletion neighborhood stays exact on texts far " +
+    "longer than prefixLen, including edits beyond and at the boundary") {
+    val pad = "abcdefghij" * 9 // 90 chars, way past the default P = 32
+    val rows = Seq(
+      (1L, "hot", "k" + pad),             // base, 91 chars
+      (2L, "hot", "k" + pad + "XY"),      // 2 inserts at the far END
+      (3L, "hot", "k" + pad.drop(2)),     // 2 deletes INSIDE the prefix
+      (4L, "hot", ("k" + pad).updated(31, 'Z').updated(32, 'Z')), // subs AT the boundary
+      (5L, "hot", "completely different text that shares nothing at all ok"),
+      (6L, "hot", "k" + pad),             // exact duplicate of 1
+      (7L, "hot", "ZZZ" + pad.drop(1)))   // front churn: d3 from row 1, a MISS
+    // maxBlock = 2 forces the whole block through the deletion path
+    val out = Linkage.blockedFuzzyPairs(recs(rows: _*), col("id"),
+        col("blk"), col("name"), maxDist = 2, maxBlock = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == brutePairs(rows, 2))
+    assert(out.contains((1L, 2L, 2L)) && out.contains((1L, 3L, 2L)) &&
+      out.contains((1L, 4L, 2L)) && out.contains((1L, 6L, 0L)))
+    // a tight prefixLen (4) must still be exact — only cheaper keys
+    val tight = Linkage.blockedFuzzyPairs(recs(rows: _*), col("id"),
+        col("blk"), col("name"), maxDist = 2, maxBlock = 2, prefixLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tight == out)
   }
 
   // ---- deletion-neighborhood path (oversized blocks, maxDist <= 2) ----

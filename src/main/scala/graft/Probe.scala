@@ -208,7 +208,20 @@ object Probe {
       // cost is the diff between consecutive rows. m == 1 only: the
       // cross-tier signal comes from running this on different sf dirs.
       if (want("pagerankdecomp") && m == 1) {
-        val dupped = docs.union(docs.select(
+        // Measure the PRODUCTION plan: unpersist the probe's shared
+        // corpus cache first. A "fresh" parquet read is NOT enough —
+        // Spark's CacheManager substitutes any logical plan EQUAL to a
+        // cached fragment, so Tables.documents(...).select(doc_id, text)
+        // silently becomes the InMemoryRelation, whose larger in-memory
+        // stats flip the downstream verify joins from broadcast to
+        // sort-merge (measured at sf1.0: 184M shuffle records + 53 GB
+        // spill + ~10x wall vs the production query's 122M records).
+        // These two families therefore want a DEDICATED probe run; other
+        // families in the same invocation lose the docs cache.
+        docs.unpersist(blocking = true)
+        val freshDocs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val dupped = freshDocs.union(freshDocs.select(
           (col("doc_id") + 100000000L).as("doc_id"), col("text")))
         var pairs: DataFrame = null
         meter.reset()
@@ -254,21 +267,41 @@ object Probe {
       // only at a wider setting, bytesPerRow under-estimates this
       // caller's expansion. m == 1 only, real query shape (2x dup'd).
       if (want("jaccardwidth") && m == 1) {
-        val dupped = docs.union(docs.select(
+        // same cache-substitution escape as pagerankdecomp: the audit is
+        // about the width PRODUCTION picks from parquet leaf stats
+        docs.unpersist(blocking = true)
+        val freshDocs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val dupped = freshDocs.union(freshDocs.select(
           (col("doc_id") + 100000000L).as("doc_id"), col("text")))
         val rppKey = "spark.graft.shuffle.rowsPerPartition"
         val rpp0 = spark.conf.get(rppKey, "1000000")
         try {
-          // sweep chosen for the sf3 leaf estimate (~5.7M exploded rows
-          // from 2x17MB parquet): production rpp=1M floors at the session
-          // default width; the smaller settings give ~4x-steps of extra
-          // width so the spill cliff (if any) lands inside the sweep
-          for (rpp <- Seq(1000000L, 125000L, 31250L, 8000L)) {
+          // sweep override (comma-separated rowsPerPartition values):
+          // now that production sizes the pair stages from measured
+          // candidate volume, the narrow settings of the full default
+          // sweep produce 32768-part stages whose shuffle files can
+          // exhaust local disk at sf3 — confirmation runs want just the
+          // production point (SPARK_GRAFT_PROBE_JW_RPP=1000000)
+          val sweep = sys.env.get("SPARK_GRAFT_PROBE_JW_RPP")
+            .map(_.split(",").map(_.trim.toLong).toSeq)
+            .getOrElse(Seq(1000000L, 125000L, 31250L, 8000L))
+          for (rpp <- sweep) {
             spark.conf.set(rppKey, rpp.toString)
             val parts = Dedup.explodedShuffleParts(dupped)
             meter.reset()
-            val (tJ, nJ) = timed(Dedup.jaccardPrefixPairs(
-              dupped, col("doc_id"), col("text")).count())
+            // bench-style FULL materialization, not count(): count()'s
+            // column pruning changes the verify tail's join plan (an
+            // extra candidate-stream exchange — measured 184M vs the
+            // production 122M records at sf1.0), and this family exists
+            // to audit the PRODUCTION plan's width
+            val (tJ, nJ) = timed {
+              val out = Dedup.jaccardPrefixPairs(
+                dupped, col("doc_id"), col("text"))
+              out.select(xxhash64(struct(
+                  out.columns.toIndexedSeq.map(col): _*)).as("h"))
+                .agg(count(lit(1))).collect().head.getLong(0)
+            }
             val (_, jRec) = meter.snapshot()
             val tag = s"jw_rpp${rpp / 1000}k"
             fields += s""""${tag}_parts":$parts"""

@@ -187,7 +187,14 @@ class ScaleShapeSpec extends SparkSpec {
       "props_k_stats" -> 10L,
       "cluster_safe_splits" -> 3000L,
       "price_percentiles" -> 6L,
-      "jaccard_prefix_pairs" -> 119620L,
+      // r15: the prefix stream is now checkpointed so the pair-stage
+      // width is sized from MEASURED candidate volume (sf3 width audit);
+      // this per-plan metric walk stops at the checkpoint, so the
+      // gram/window stages (92,518 records at sf0.01) moved into the
+      // checkpoint's own query execution — end-to-end listener volume is
+      // unchanged (122.2M at sf1.0, PROBE.md r15) and the post-cut plan
+      // carries pairs + verify + the tiny Σn² stats job
+      "jaccard_prefix_pairs" -> 27102L,
       "pq_ann_topk" -> 100L,
       "corpus_curation" -> 2152L,
       "doc_pagerank_seeded" -> 1000L,

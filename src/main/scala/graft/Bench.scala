@@ -281,7 +281,11 @@ object Bench {
     def isoRatio(t: Timing): Double =
       t.median / (bestKnown(t.name).getOrElse(t.lo) + 0.05)
     val prioritized = flagged.sortBy(t => (-isoRatio(t), -t.median))
-    val isoCap = sys.env.get("SPARK_GRAFT_BENCH_ISO_CAP").map(_.toInt)
+    // defensive parse: a malformed/negative override must not throw AFTER
+    // the full suite already ran (losing the whole report at the end) —
+    // fall back to the computed default instead
+    val isoCap = sys.env.get("SPARK_GRAFT_BENCH_ISO_CAP")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 0)
       .getOrElse(if (flagged.size > 16) flagged.size.min(32) else 16)
     val isoOmitted = (flagged.size - isoCap).max(0)
     val byName = queries.toMap

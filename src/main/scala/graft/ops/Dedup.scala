@@ -87,10 +87,15 @@ object Dedup {
             qe.observedMetrics.foreach { case (name, row) =>
               if (name.startsWith(MetricPrefix) && !row.isNullAt(0)
                   && row.getLong(0) > 0)
-                log.warn(s"$name: ${row.getLong(0)} LSH bucket(s) exceeded " +
-                  s"the skew cap and were dropped (largest bucket: " +
-                  s"${row.get(1)}); near-dup recall is reduced for their " +
-                  "members — raise maxBucket or pre-dedup exact duplicates")
+                // wording is caller-neutral (the metric name carries the
+                // caller's unit label): observeCap guards LSH buckets here
+                // AND Linkage's maxDist>2 blocking blocks, whose remedies
+                // differ (maxBucket vs maxBlock / pre-reduce the key)
+                log.warn(s"$name: ${row.getLong(0)} group(s) exceeded the " +
+                  s"skew cap and were dropped (largest group: " +
+                  s"${row.get(1)}); results under-report their members — " +
+                  "raise the operator's cap (maxBucket / maxBlock) or " +
+                  "pre-reduce the skewed key (e.g. pre-dedup exact copies)")
             }
           override def onFailure(funcName: String, qe: QueryExecution,
                                  exception: Exception): Unit = ()
@@ -104,13 +109,13 @@ object Dedup {
     * family — LSH buckets here, the maxDist > 2 drop-whole guard in
     * [[graft.ops.Linkage]] — reports drops the same way. */
   private[ops] def observeCap(sizes: DataFrame, sizeCol: Column,
-                              cap: Int): DataFrame = {
+                              cap: Int, what: String = "bucket"): DataFrame = {
     CapMetrics.ensureListener(sizes.sparkSession)
     if (sys.env.contains("SPARK_GRAFT_NO_CAP_OBSERVE")) sizes
     else sizes.observe(
-      s"${CapMetrics.MetricPrefix}_${capObsId.incrementAndGet()}",
-      sum(when(sizeCol > cap, 1L).otherwise(0L)).as("capped_buckets"),
-      max(sizeCol).as("max_bucket"))
+      s"${CapMetrics.MetricPrefix}_${what}_${capObsId.incrementAndGet()}",
+      sum(when(sizeCol > cap, 1L).otherwise(0L)).as("capped_groups"),
+      max(sizeCol).as("max_group"))
   }
 
   /** Shuffle width for a stage whose input EXPLODES (one row per token /
@@ -360,7 +365,7 @@ object Dedup {
     val parts = explodedShuffleParts(docs)
     val s = docs
       .select(id.cast("long").as("doc_id"), shingleHashes64(text, n).as("sh"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     // set size rides INSIDE the bucket id struct so the PPJoin length
     // filter — J ≥ t forces min(na,nb) ≥ t·(na+nb)/(1+t), exact, 1e-9
     // slack only ever keeps candidates — runs between pair generation and
@@ -377,7 +382,7 @@ object Dedup {
     val prefix = jaccardPrefixBuckets(s, threshold, partsOverride = Some(parts))
       .select(col("band"), col("bucket"),
         struct(col("doc_id"), col("nsh")).as("did"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     // Pair-stage width from the MEASURED candidate volume, not leaf
     // bytes (r14 verdict #3, sf3 width audit): the pinned stages below
     // carry Σ_buckets n(n−1)/2 candidate rows — the sum-df² quadratic,

@@ -91,7 +91,8 @@ object Linkage {
     // WARN-logged instead of silent (maxDist <= 2 drops nothing: the
     // deletion-neighborhood plan is exact, no observe needed)
     val counted = t.join(
-      if (maxDist > 2) Dedup.observeCap(bsizes, col("_bn"), maxBlock)
+      if (maxDist > 2) Dedup.observeCap(bsizes, col("_bn"), maxBlock,
+        what = "block")
       else bsizes, Seq("blk"))
     val sized = counted.filter(col("_bn") <= maxBlock)
     // per-block segment count: 1 for blocks under 256 rows, capped at

@@ -443,4 +443,38 @@ class DedupSpec extends SparkSpec {
     assert(stats.getDouble(0) < 0.90,
       s"background cosine ${stats.getDouble(0)} grazes the 0.95 threshold")
   }
+
+  test("Checkpoints.cut is EAGER: the input materializes at cut() time, " +
+    "before any downstream action") {
+    // the PPJoin pinned streams (and every iterative operator) rely on
+    // the cut materializing immediately — a lazy cut would re-run the
+    // gram/df-rank front end once per downstream consumer
+    val acc = spark.sparkContext.longAccumulator("cut_eager_probe")
+    val touch = udf((x: Long) => { acc.add(1L); x })
+    val df = spark.range(0, 100, 1, 4).select(touch(col("id")).as("v"))
+    graft.ops.Checkpoints.cut(df) // no action taken on the result
+    assert(acc.value >= 100L,
+      s"cut() returned without materializing (${acc.value} rows touched)")
+  }
+
+  test("jaccardPrefixPairs pinned streams sit behind Checkpoints.cut — " +
+    "RDD-backed leaves, covered by the reliable-checkpoint switch") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"),
+      (3L, "ff gg hh ii jj")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPrefixPairs(df, col("doc_id"), col("text"))
+    // the shingle stream `s` (read twice by the verify joins) and the
+    // prefix-bucket stream each ride a cut: the post-cut plan's leaves
+    // are LogicalRDDs, so spark.graft.checkpoint.dir makes BOTH
+    // reliable on a real cluster (r15 verdict #4: a bare localCheckpoint
+    // bypassed that switch)
+    val rddLeaves = out.queryExecution.analyzed.collectLeaves()
+      .count(_.getClass.getSimpleName == "LogicalRDD")
+    assert(rddLeaves >= 3,
+      s"expected >= 3 LogicalRDD leaves (s twice + prefix), got $rddLeaves" +
+        s" in:\n${out.queryExecution.analyzed}")
+    // and the operator still verifies: both dup pairs, exact Jaccard 1.0
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
 }

@@ -223,6 +223,38 @@ class ScaleShapeSpec extends SparkSpec {
       " — metric names or plan walk broke")
   }
 
+  test("jaccard PRE-checkpoint front end (gram/df-rank/prefix stages) " +
+    "moves a fixed record volume at sf0.01") {
+    // the jaccard_prefix_pairs pin above walks only the POST-cut plan
+    // (the per-plan metric walk stops at Checkpoints.cut), so the
+    // gram-explode → doc-frequency → rank-window front end lost shape
+    // coverage when the prefix stream was checkpointed in r15 (ADVICE
+    // r15). This pin walks jaccardPrefixBuckets' own execution — the
+    // exact pre-cut production plan — restoring it.
+    val sf = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    val pinnedSession = spark.newSession()
+    pinnedSession.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+    pinnedSession.conf.set("spark.sql.files.openCostInBytes", "4194304")
+    val docs = Tables.documents(pinnedSession, sf).select("doc_id", "text")
+    val parts = graft.ops.Dedup.explodedShuffleParts(docs)
+    val s = docs.select(col("doc_id").cast("long").as("doc_id"),
+      graft.ops.Dedup.shingleHashes64(col("text"), 3).as("sh"))
+    val pre = graft.ops.Dedup.jaccardPrefixBuckets(s, 0.7,
+      partsOverride = Some(parts))
+    // 42,381 = tok-stream repartition + doc-frequency agg + rank-window
+    // input for the sf0.01 fixture (measured 2026-08-15; the checkpointed
+    // production path runs this exact plan once — the smaller figure vs
+    // the old 119,620 full-plan walk is the point of the cut: the verify
+    // tail no longer re-reads the front end)
+    val nRows = pre.collect().length
+    val (bytes, recs) = ShuffleMeter.planShuffleWrite(pre)
+    assert(recs == 42381L,
+      s"jaccard front-end shuffle records moved: got $recs (rows $nRows)" +
+        " — the pre-cut plan changed; re-pin only after explaining")
+    assert(bytes > 0L, "zero shuffle bytes — metric walk broke")
+  }
+
   test("semanticDecontaminate LSH path replaces the broadcast-NL product " +
     "with a broadcast-hash bucket join") {
     val vecs = (1L to 200L).map(i =>

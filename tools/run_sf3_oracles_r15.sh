@@ -16,7 +16,8 @@ for q in decontamination semantic_decontamination minhash_incremental \
     ORACLE_TMP=/tmp/duckspill_r15 ORACLE_MAX_TMP=55GiB \
     ORACLE_TIMEOUT_S=5400 \
     python3 -u tools/check_oracle.py testdata-sf3.0 "$OUT" >> "$LOG" 2>&1
-  echo "=== $q end $(date -u +%H:%M:%S) rc=$? ===" >> "$LOG"
+  rc=$?  # capture BEFORE the date substitution below resets $?
+  echo "=== $q end $(date -u +%H:%M:%S) rc=$rc ===" >> "$LOG"
 done
 rm -rf /tmp/duckspill_r15
 echo "ALL DONE" >> "$LOG"

@@ -238,7 +238,17 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = queries.map { case (name, fn) =>
-      runOne(spark, sfDir, name, fn, reps, meter)
+      val t = runOne(spark, sfDir, name, fn, reps, meter)
+      // suite hygiene (r15 verdict #1): every query's lineage cuts leave
+      // dead localCheckpoint + shuffle blocks behind, and across 141
+      // queries the accumulated storage/GC pressure inflates LATER
+      // queries' walls order-dependently (doc_pagerank read 12.8 s in the
+      // r15 end-of-round suite vs 5.9 s targeted, same plan fingerprint;
+      // same mechanism as the sf3 suite-pressure note, PROBE.md r14). A
+      // driver GC between queries lets ContextCleaner release them —
+      // outside any timed window, so per-query walls are unaffected.
+      System.gc()
+      t
     }
 
     // ---- self-adjudication (r10 verdict #1): re-run suspicious medians

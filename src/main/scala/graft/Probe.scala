@@ -256,6 +256,36 @@ object Probe {
         }
       }
 
+      // ---- minhash FRONT-END width experiment (r15 verdict #1): the
+      // pagerankdecomp front row is near-CONSTANT across tiers (sf0.1
+      // 6.9 s / sf1.0 17 s / sf3 16.5 s for 30x the docs) — the CPU-dense
+      // shingle+minhash kernel runs inside the parquet SCAN stage, whose
+      // task count is the file-split count (a sub-128MB documents.parquet
+      // is 1-9 splits regardless of core count). This family times the
+      // production front end against one with the kernel stage widened by
+      // an explicit pre-kernel repartition, reps interleaved, same JVM.
+      if (want("frontwidth") && m == 1) {
+        docs.unpersist(blocking = true) // production plan, not the cache
+        val freshDocs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val dupped = freshDocs.union(freshDocs.select(
+          (col("doc_id") + 100000000L).as("doc_id"), col("text")))
+        val wide = dupped.repartition(
+          spark.sparkContext.defaultParallelism)
+        for (r <- 1 to 3; (tag, src) <- Seq("prod" -> dupped,
+                                            "wide" -> wide)) {
+          meter.reset()
+          val (t, nP) = timed {
+            Dedup.minhashDupPairs(src, col("doc_id"), col("text"))
+              .localCheckpoint().count()
+          }
+          val (_, rec) = meter.snapshot()
+          fields += s""""fw_${tag}${r}_s":$t"""
+          fields += s""""fw_${tag}${r}_pairs":$nP"""
+          fields += s""""fw_${tag}${r}_shufrec":$rec"""
+        }
+      }
+
       // ---- jaccard sf3 WIDTH AUDIT (r14 verdict #3): the in-file
       // adjudication attributed ~4x of the 38x single-run sf3 wall to
       // spill at 9.2x candidate volume. explodedShuffleParts sizes the

@@ -137,6 +137,56 @@ object Dedup {
     * (Spark carries them into the LogicalRDD). Target rows per partition
     * via `spark.graft.shuffle.rowsPerPartition` (default 1 M ≈ tens of MB
     * of sort input per task at gram-row widths). */
+  /** Sum of the LEAF byte estimates feeding `src` — the input-volume
+    * proxy both [[explodedShuffleParts]] and [[widenKernelStage]] size
+    * from (never top-of-plan stats: Spark's size-only visitor estimates
+    * a join's output as the PRODUCT of its children). Joins sum their
+    * children, leaves report their stats, unknown stats count 0. */
+  private def leafPlanBytes(src: DataFrame): BigInt = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode, LogicalPlan}
+    def sane(b: BigInt): BigInt =
+      // unknown stats surface as defaultSizeInBytes (Long.MaxValue) —
+      // treat as "no estimate" rather than exploding to the cap
+      if (b <= 0 || b >= BigInt(Long.MaxValue) / 2) BigInt(0) else b
+    def planBytes(p: LogicalPlan): BigInt = p match {
+      case j: Join => j.children.map(planBytes).sum
+      case l: LeafNode => sane(try l.stats.sizeInBytes
+        catch { case _: Exception => BigInt(0) })
+      case o if o.children.nonEmpty => o.children.map(planBytes).sum
+      case _ => BigInt(0)
+    }
+    try planBytes(src.queryExecution.optimizedPlan)
+    catch { case _: Exception => BigInt(0) }
+  }
+
+  /** Widen the CPU-dense per-document KERNEL stage (shingle + 64-way
+    * minhash) above the file scan. Without this the kernel's parallelism
+    * is the parquet SPLIT count — a sub-128 MB documents file is a
+    * handful of splits on any cluster, so the most expensive per-byte
+    * work in the operator serializes onto 1–9 cores no matter how many
+    * executors exist (measured: the minhash front end was near-CONSTANT
+    * ~17 s across sf0.1/sf1.0/sf3 — PROBE.md round 16 frontwidth family;
+    * widening cut the sf1.0 front 3.85 → 2.5 s warm, 10.5 → 4.7 s cold).
+    *
+    * The round-robin exchange of the raw (id, text) rows is linear in
+    * input bytes and far cheaper per byte than the kernel, but it is NOT
+    * free at 100 TB — so it only fires when the scan is narrower than
+    * the session shuffle width (a large corpus already scans thousands
+    * of splits and passes through untouched). The 1 MiB floor keeps
+    * micro-fixture plans (unit tests, the sf0.01 gate) byte-identical:
+    * below it the kernel is sub-core-second and the exchange's fixed
+    * cost dominates. Inputs behind a lineage cut estimate 0 bytes and
+    * pass through (their checkpointed RDDs already carry a width). */
+  private def widenKernelStage(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val bytes = leafPlanBytes(df)
+    val scanParts = bytes / BigInt(conf.filesMaxPartitionBytes.max(1L))
+    if (bytes >= BigInt(1L << 20) && scanParts < target)
+      df.repartition(target)
+    else df
+  }
+
   private[graft] def explodedShuffleParts(src: DataFrame,
                                           bytesPerRow: Long = 6L): Int = {
     val spark = src.sparkSession
@@ -162,21 +212,7 @@ object Dedup {
     // it replaces was unbounded (petabytes from megabytes, 32768 tasks);
     // in this codebase the explode sources are narrow (id, text)
     // projections of narrow tables, so the gap stays small.
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, LeafNode, LogicalPlan}
-    def sane(b: BigInt): BigInt =
-      // unknown stats surface as defaultSizeInBytes (Long.MaxValue) —
-      // treat as "no estimate" rather than exploding to the cap
-      if (b <= 0 || b >= BigInt(Long.MaxValue) / 2) BigInt(0) else b
-    def planBytes(p: LogicalPlan): BigInt = p match {
-      case j: Join => j.children.map(planBytes).sum
-      case l: LeafNode => sane(try l.stats.sizeInBytes
-        catch { case _: Exception => BigInt(0) })
-      case o if o.children.nonEmpty => o.children.map(planBytes).sum
-      case _ => BigInt(0)
-    }
-    val bytes =
-      try planBytes(src.queryExecution.optimizedPlan)
-      catch { case _: Exception => BigInt(0) }
+    val bytes = leafPlanBytes(src)
     val rows = bytes / bytesPerRow
     val need = (rows / target + 1).min(32768).toInt
     need.max(default)
@@ -298,7 +334,10 @@ object Dedup {
     // Shingle sets are carried as 8-byte hashes (set semantics preserved up
     // to negligible 64-bit collisions): cheaper to minhash, cheaper to join,
     // cheaper to intersect at verify time than the raw strings.
-    val base = df.select(id.as("doc_id"), shingleHashes64(text, n).as("sh"))
+    // widenKernelStage: the shingle+minhash kernel must not serialize on
+    // the file-split count (r15 verdict #1 — the doc_pagerank front end)
+    val base = widenKernelStage(df)
+      .select(id.as("doc_id"), shingleHashes64(text, n).as("sh"))
     // set size rides in the bucket id struct (doc_id first, so pair order
     // and distinct semantics are unchanged) and the exact length filter —
     // J ≥ t forces min(na,nb) ≥ t·(na+nb)/(1+t) — drops length-mismatched
@@ -363,7 +402,9 @@ object Dedup {
     // scales, grows with the corpus so the gram-stream shuffles below
     // never sort-spill through a core-count-sized width (PROBE.md r8)
     val parts = explodedShuffleParts(docs)
-    val s = docs
+    // widenKernelStage: the cut below MATERIALIZES the shingle stream —
+    // without widening, that job's parallelism is the file-split count
+    val s = widenKernelStage(docs)
       .select(id.cast("long").as("doc_id"), shingleHashes64(text, n).as("sh"))
       .transform(Checkpoints.cut)
     // set size rides INSIDE the bucket id struct so the PPJoin length

@@ -517,7 +517,7 @@ object Dedup {
                          n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
                          jaccardThreshold: Double = 0.7,
                          maxBucket: Int = 1000): DataFrame = {
-    def side(df: DataFrame, s: Int) = df
+    def side(df: DataFrame, s: Int) = widenKernelStage(df)
       .select(lit(s).as("side"), id.cast("long").as("doc_id"),
         shingleHashes64(text, n).as("sh"))
     val base = side(existing, 0).union(side(incoming, 1))
@@ -581,7 +581,9 @@ object Dedup {
     * exist, and the corpus is scanned once instead of cross-joined. */
   private def shingleOverlap(corpus: DataFrame, queries: DataFrame,
                              id: Column, text: Column, n: Int): DataFrame = {
-    def sh(df: DataFrame, idAs: String) = df
+    // widenKernelStage: the corpus side shingles the 100 TB stream — the
+    // queries side is benchmark-sized and passes the 1 MiB floor untouched
+    def sh(df: DataFrame, idAs: String) = widenKernelStage(df)
       .filter(size(TextAnalytics.tokensCol(text)) >= n)
       .select(id.as(idAs), shingleHashes64(text, n).as("sh"))
     val c = sh(corpus, "doc_id")
@@ -766,7 +768,7 @@ object Dedup {
                       bands: Int = 4, maxHamming: Int = 3,
                       maxBucket: Int = 1000): DataFrame =
     simhashBandedPairs(
-      df.select(id.as("doc_id"), simhash64(text).as("sim")),
+      widenKernelStage(df).select(id.as("doc_id"), simhash64(text).as("sim")),
       bands, maxHamming, maxBucket)
 
   /** Banding + pigeonhole + Hamming-verify tail shared by [[simhashDupPairs]]
@@ -876,7 +878,9 @@ object Dedup {
       shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
         .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
     }
-    val sims = df
+    // widenKernelStage: the 64-long vote fold below is the most expensive
+    // per-byte kernel in the file — it must not run at file-split width
+    val sims = widenKernelStage(df)
       .select(id.as("doc_id"),
         TextAnalytics.tokensCol(text).as("toks"))
       .filter(size(col("toks")) > 0)

@@ -31,7 +31,8 @@ object Probe {
     val scales = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALES", "1,2,4,8")
       .split(",").map(_.trim.toInt).toSeq
     // comma-separated family filter (minhash,simhash,embdup,ann,cc,ccstar,
-    // pagerank,pagerankdecomp,jaccardwidth,asof,range,rangedensity,kmeans,
+    // pagerank,pagerankdecomp,jaccardwidth,frontwidth,kernelwidth,asof,
+    // range,rangedensity,kmeans,
     // pq,jaccard,bloomjoin,decon,
     // deconfix,sdecon,diff,diffbucketed,linkage,spanclean,curation,
     // curationfix,curationstages,curationiso,ivfpq,ivfregime,buckets) —
@@ -264,19 +265,23 @@ object Probe {
       // is 1-9 splits regardless of core count). This family times the
       // production front end against one with the kernel stage widened by
       // an explicit pre-kernel repartition, reps interleaved, same JVM.
+      // Arms are the `spark.graft.widenKernel` conf lever (ADVICE r16:
+      // minhashDupPairs now widens INTERNALLY, so a source-side
+      // repartition A/B would measure widened-vs-double-widened):
+      // fw_prod = widening DISABLED (the pre-r16 scan-width plan),
+      // fw_wide = the shipped production widening.
       if (want("frontwidth") && m == 1) {
         docs.unpersist(blocking = true) // production plan, not the cache
         val freshDocs = Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("text"))
         val dupped = freshDocs.union(freshDocs.select(
           (col("doc_id") + 100000000L).as("doc_id"), col("text")))
-        val wide = dupped.repartition(
-          spark.sparkContext.defaultParallelism)
-        for (r <- 1 to 3; (tag, src) <- Seq("prod" -> dupped,
-                                            "wide" -> wide)) {
+        for (r <- 1 to 3; (tag, widen) <- Seq("prod" -> false,
+                                              "wide" -> true)) {
+          spark.conf.set("spark.graft.widenKernel", widen.toString)
           meter.reset()
           val (t, nP) = timed {
-            Dedup.minhashDupPairs(src, col("doc_id"), col("text"))
+            Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
               .localCheckpoint().count()
           }
           val (_, rec) = meter.snapshot()
@@ -284,6 +289,60 @@ object Probe {
           fields += s""""fw_${tag}${r}_pairs":$nP"""
           fields += s""""fw_${tag}${r}_shufrec":$rec"""
         }
+        spark.conf.set("spark.graft.widenKernel", "true")
+      }
+
+      // ---- kernel-stage width A/B over PRODUCTION queries (r16 verdict
+      // #1): runs each named SparkEntry query under three widenKernel
+      // settings — off = widening disabled (the pre-r16 scan-width
+      // plan), jmp = legacy jump-to-session-width (bytesPerTask=0),
+      // prp = shipped bytes-proportional width — reps interleaved, same
+      // JVM, bench-style full materialization (xxhash over all output
+      // columns) so column pruning can't change the audited plan.
+      // SPARK_GRAFT_PROBE_KW_QUERIES / _KW_ARMS / _KW_REPS override the
+      // defaults for focused re-probes.
+      if (want("kernelwidth") && m == 1) {
+        docs.unpersist(blocking = true) // production plan, not the cache
+        val kwQueries = sys.env.get("SPARK_GRAFT_PROBE_KW_QUERIES")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq("span_clean_docs", "doc_repetition",
+            "bigram_logprob", "dup_ngram_fraction", "doc_quality_filter",
+            "tfidf_top_terms", "unigram_logprob", "pii_redaction",
+            "column_correlations", "customer_fuzzy_pairs",
+            "doc_pagerank", "simhash_md5_pairs"))
+        val kwArms = sys.env.get("SPARK_GRAFT_PROBE_KW_ARMS")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq("off", "jmp", "prp"))
+        val kwReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_KW_REPS", "2").toInt
+        for (r <- 1 to kwReps; arm <- kwArms; q <- kwQueries) {
+          arm match {
+            case "off" =>
+              spark.conf.set("spark.graft.widenKernel", "false")
+            case "jmp" =>
+              spark.conf.set("spark.graft.widenKernel", "true")
+              spark.conf.set("spark.graft.widenKernel.bytesPerTask", "0")
+            case _ =>
+              spark.conf.set("spark.graft.widenKernel", "true")
+              spark.conf.set("spark.graft.widenKernel.bytesPerTask", "262144")
+          }
+          meter.reset()
+          val (t, nR) = timed {
+            val out = SparkEntry.queries(q)(spark, sfDir)
+            out.select(xxhash64(struct(
+                out.columns.toIndexedSeq.map(col): _*)).as("h"))
+              .agg(count(lit(1))).collect().head.getLong(0)
+          }
+          val (_, rec) = meter.snapshot()
+          fields += s""""kw_${q}_${arm}${r}_s":$t"""
+          fields += s""""kw_${q}_${arm}${r}_rows":$nR"""
+          fields += s""""kw_${q}_${arm}${r}_shufrec":$rec"""
+          // Bench-level GC hygiene (r16): let ContextCleaner release the
+          // dead localCheckpoint/shuffle blocks between arms so later
+          // arms don't pay earlier arms' block-manager pressure
+          System.gc()
+        }
+        spark.conf.set("spark.graft.widenKernel", "true")
+        spark.conf.set("spark.graft.widenKernel.bytesPerTask", "262144")
       }
 
       // ---- jaccard sf3 WIDTH AUDIT (r14 verdict #3): the in-file

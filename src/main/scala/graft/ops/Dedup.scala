@@ -176,15 +176,42 @@ object Dedup {
     * micro-fixture plans (unit tests, the sf0.01 gate) byte-identical:
     * below it the kernel is sub-core-second and the exchange's fixed
     * cost dominates. Inputs behind a lineage cut estimate 0 bytes and
-    * pass through (their checkpointed RDDs already carry a width). */
-  private def widenKernelStage(df: DataFrame): DataFrame = {
-    val conf = df.sparkSession.sessionState.conf
+    * pass through (their checkpointed RDDs already carry a width).
+    *
+    * The widened width is PROPORTIONAL to input bytes, not a jump to the
+    * session default: `ceil(bytes / widenKernel.bytesPerTask)` capped at
+    * the default and floored above the scan width. Jump-to-target
+    * over-widened the SMALL tier — at sf0.1 the 1.17 MB dup'd bench
+    * corpus got 32 near-empty kernel tasks, regressing doc_pagerank
+    * 3.75 → 4.68 s (ADVICE r16) because the iterative tail re-planned
+    * off the wider front; proportional sizing keeps the small tier
+    * near its old plan while corpora a task-width past the floor still
+    * reach the full session width. Tiers at/above sf1.0 are unaffected
+    * (their byte estimates already exceed target × bytesPerTask).
+    *
+    * Conf (runtime-settable, probe/A-B levers):
+    *   - `spark.graft.widenKernel` (default true): disable to measure
+    *     the pre-widening plan (Probe frontwidth/kernelwidth families).
+    *   - `spark.graft.widenKernel.bytesPerTask` (default 256 KiB;
+    *     <= 0 = legacy jump-to-target): compressed-parquet bytes of
+    *     kernel input per widened task. */
+  private[graft] def widenKernelStage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    if (!spark.conf.get("spark.graft.widenKernel", "true").toBoolean)
+      return df
     val target = conf.numShufflePartitions
     val bytes = leafPlanBytes(df)
     val scanParts = bytes / BigInt(conf.filesMaxPartitionBytes.max(1L))
-    if (bytes >= BigInt(1L << 20) && scanParts < target)
-      df.repartition(target)
-    else df
+    if (bytes >= BigInt(1L << 20) && scanParts < target) {
+      val perTask = spark.conf
+        .get("spark.graft.widenKernel.bytesPerTask", "262144").toLong
+      val parts =
+        if (perTask <= 0L) target
+        else ((bytes + perTask - 1) / perTask)
+          .min(target).max(scanParts + 1).toInt
+      df.repartition(parts)
+    } else df
   }
 
   private[graft] def explodedShuffleParts(src: DataFrame,
@@ -581,14 +608,19 @@ object Dedup {
     * exist, and the corpus is scanned once instead of cross-joined. */
   private def shingleOverlap(corpus: DataFrame, queries: DataFrame,
                              id: Column, text: Column, n: Int): DataFrame = {
-    // widenKernelStage: the corpus side shingles the 100 TB stream — the
-    // queries side is benchmark-sized and passes the 1 MiB floor untouched
-    def sh(df: DataFrame, idAs: String) = widenKernelStage(df)
-      .filter(size(TextAnalytics.tokensCol(text)) >= n)
-      .select(id.as(idAs), shingleHashes64(text, n).as("sh"))
-    val c = sh(corpus, "doc_id")
+    // widenKernelStage: the CORPUS side only — it shingles the 100 TB
+    // stream. The queries side is COLLECTED into a broadcast below, so
+    // widening it would insert a full round-robin exchange whose output
+    // is immediately gathered to the driver — pure overhead for any
+    // query set past the 1 MiB floor (ADVICE r16)
+    def sh(df: DataFrame, idAs: String, widen: Boolean) = {
+      val src = if (widen) widenKernelStage(df) else df
+      src.filter(size(TextAnalytics.tokensCol(text)) >= n)
+        .select(id.as(idAs), shingleHashes64(text, n).as("sh"))
+    }
+    val c = sh(corpus, "doc_id", widen = true)
       .select(col("doc_id"), size(col("sh")).as("n_c"), explode(col("sh")).as("g"))
-    val q = sh(queries, "query_id")
+    val q = sh(queries, "query_id", widen = false)
       .select(col("query_id"), size(col("sh")).as("n_q"), explode(col("sh")).as("g"))
     // the pair aggregate's shuffle input is one row per matched shingle —
     // corpus-exploded volume; widen it with the corpus when the estimate
@@ -1016,7 +1048,10 @@ object Dedup {
                             n: Int = 3, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = docs.select(id.as("doc_id"),
+    // widenKernelStage: the tokenize + positional gram-hash build AND
+    // the per-row keep/rebuild tail both run at file-split width
+    // without it (r17 kernelwidth A/B — PROBE.md)
+    val base = widenKernelStage(docs).select(id.as("doc_id"),
       coalesce(TextAnalytics.tokensCol(text), array()).as("_toks"))
     val nt = size(col("_toks"))
     // grams travel as 64-bit hashes: the strings are built (and

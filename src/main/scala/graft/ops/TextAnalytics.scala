@@ -328,7 +328,9 @@ object TextAnalytics {
     * spans). The counts make drop-rate monitoring a one-aggregate
     * downstream query instead of a second regex pass. */
   def piiScan(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(
+    // widenKernelStage: the five-regex chain is pure scan-stage CPU —
+    // file-split-capped without it (r17 A/B)
+    Dedup.widenKernelStage(df).select(
       id.as("doc_id"),
       redactPii(text).as("clean_text"),
       regexp_count(text, lit(UrlRe)).cast("long").as("n_url"),
@@ -369,7 +371,9 @@ object TextAnalytics {
                     minTokens: Long = 20, maxTokens: Long = 100000,
                     maxTopTokenFrac: Double = 0.12,
                     minStopRatio: Double = 0.02): DataFrame = {
-    val base = df
+    // widenKernelStage: the tokenize + stopword membership fold is the
+    // scan-stage kernel (r17 A/B; also feeds corpus_curation's filter leg)
+    val base = Dedup.widenKernelStage(df)
       .select(id.as("doc_id"), tokensCol(text).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -416,7 +420,10 @@ object TextAnalytics {
     // corpus size as a broadcast 1-row frame: keeps the whole operator one
     // lazy DAG (no separate driver-side count action)
     val nDocs = df.select(id.as("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = df
+    // widenKernelStage: tokenize + explode + (doc, term) partial agg run
+    // in the scan stage (r17 A/B); nDocs keeps the unwidened scan — a
+    // bare count never pays an exchange
+    val pairs = Dedup.widenKernelStage(df)
       .select(id.as("doc_id"), explode(tokensCol(text)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docFreq = pairs
@@ -511,7 +518,12 @@ object TextAnalytics {
                       ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be >= 1, got $ns")
     val toks = tokensCol(text)
-    df.select(id.as("doc_id"), toks.as("_toks"))
+    // widenKernelStage: zero-shuffle per-row math means the WHOLE
+    // operator runs at file-split width without it — a sub-128 MB
+    // corpus serializes the gram fold onto one core (r16 pathology
+    // class; kernelwidth A/B r17: sf1.0 15.4 s → see PROBE.md)
+    Dedup.widenKernelStage(df)
+      .select(id.as("doc_id"), toks.as("_toks"))
       .filter(size(col("_toks")) > 0)
       .select(col("doc_id"),
         explode(array(ns.map { n =>
@@ -543,7 +555,10 @@ object TextAnalytics {
   def duplicatedNgramFraction(df: DataFrame, id: Column, text: Column,
                               n: Int = 5): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val occ = df
+    // widenKernelStage: the tokenize + gram explode + map-side partial
+    // aggregate all run inside the scan stage — file-split-capped
+    // without the widening (kernelwidth A/B r17, PROBE.md)
+    val occ = Dedup.widenKernelStage(df)
       .select(id.as("doc_id"), tokensCol(text).as("_toks"))
       .filter(size(col("_toks")) > 0)
       .select(col("doc_id"),
@@ -649,7 +664,10 @@ object TextAnalytics {
     * text) surface with n_tokens = 0 rather than dropping.
     */
   def unigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val docs = df.select(id.as("doc_id"), text.as("text"))
+    // widenKernelStage: same scan-stage tokenize kernel as the bigram
+    // twin (r17 A/B)
+    val docs = Dedup.widenKernelStage(df)
+      .select(id.as("doc_id"), text.as("text"))
     val docTok = docs
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("m"))
@@ -684,7 +702,10 @@ object TextAnalytics {
     * window); docs with < 2 tokens surface with n_bigrams = 0.
     */
   def bigramLogProb(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val docs = df.select(id.as("doc_id"), text.as("text"))
+    // widenKernelStage: tokenize + zip_with bigram build + partial agg
+    // run in the scan stage — file-split-capped without it (r17 A/B)
+    val docs = Dedup.widenKernelStage(df)
+      .select(id.as("doc_id"), text.as("text"))
     val withToks = docs.select(col("doc_id"), tokensCol(col("text")).as("t"))
     val len = greatest(size(col("t")) - 1, lit(0))
     val bg = withToks.select(col("doc_id"),

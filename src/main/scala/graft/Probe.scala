@@ -328,9 +328,15 @@ object Probe {
           meter.reset()
           val (t, nR) = timed {
             val out = SparkEntry.queries(q)(spark, sfDir)
+            // Bench's exact materialization: bit_xor CONSUMES the hash
+            // column, forcing every output column. (A bare count(lit(1))
+            // lets Catalyst prune the hash and with it the whole per-row
+            // kernel — measured span_clean_docs at 0.25 s vs its real
+            // 20 s before this was caught.)
             out.select(xxhash64(struct(
                 out.columns.toIndexedSeq.map(col): _*)).as("h"))
-              .agg(count(lit(1))).collect().head.getLong(0)
+              .agg(count(lit(1)), bit_xor(col("h")))
+              .collect().head.getLong(0)
           }
           val (_, rec) = meter.snapshot()
           fields += s""""kw_${q}_${arm}${r}_s":$t"""

@@ -194,8 +194,17 @@ object Dedup {
     *     the pre-widening plan (Probe frontwidth/kernelwidth families).
     *   - `spark.graft.widenKernel.bytesPerTask` (default 256 KiB;
     *     <= 0 = legacy jump-to-target): compressed-parquet bytes of
-    *     kernel input per widened task. */
-  private[graft] def widenKernelStage(df: DataFrame): DataFrame = {
+    *     kernel input per widened task.
+    *
+    * `callerBytesPerTask` overrides the conf default (still subject to
+    * the on/off lever and the conf's <= 0 jump-to-target A/B arm) for
+    * kernels whose per-INPUT-byte cost is amplified beyond the text
+    * kernels the default is calibrated for — e.g. the semantic
+    * decontamination exact path does |eval| cosine folds per corpus
+    * row inside the broadcast-NL stage. */
+  private[graft] def widenKernelStage(df: DataFrame,
+                                      callerBytesPerTask: Long = -1L
+                                     ): DataFrame = {
     val spark = df.sparkSession
     val conf = spark.sessionState.conf
     if (!spark.conf.get("spark.graft.widenKernel", "true").toBoolean)
@@ -204,8 +213,12 @@ object Dedup {
     val bytes = leafPlanBytes(df)
     val scanParts = bytes / BigInt(conf.filesMaxPartitionBytes.max(1L))
     if (bytes >= BigInt(1L << 20) && scanParts < target) {
-      val perTask = spark.conf
+      val confPerTask = spark.conf
         .get("spark.graft.widenKernel.bytesPerTask", "262144").toLong
+      val perTask =
+        if (confPerTask <= 0L) confPerTask // jump-to-target A/B arm
+        else if (callerBytesPerTask > 0L) callerBytesPerTask
+        else confPerTask
       val parts =
         if (perTask <= 0L) target
         else ((bytes + perTask - 1) / perTask)
@@ -735,7 +748,15 @@ object Dedup {
                             lsh: Option[(Int, Int)] = None): DataFrame = {
     require(cosThreshold > 0.0 && cosThreshold <= 1.0,
       s"cosThreshold must be in (0,1], got $cosThreshold")
-    val c = corpus.select(id.as("vec_id"), vec.as("cv"))
+    // widenKernelStage on the corpus side: the exact path's
+    // |corpus|·|eval| cosine product runs INSIDE the corpus scan stage
+    // (broadcast-NL), so its per-corpus-byte cost is |eval|× a text
+    // kernel's — hence the 32 KiB caller override (sf1.0: 27.2 s on a
+    // one-split embeddings scan → ~2 s widened; the LSH path's banding
+    // kernel shares the win). The eval side stays unwidened: it is
+    // collected into a broadcast either way.
+    val c = widenKernelStage(corpus, callerBytesPerTask = 32L << 10)
+      .select(id.as("vec_id"), vec.as("cv"))
     val q = evalSet.select(id.as("eval_id"), vec.as("qv"))
     val pairCos = lsh match {
       case None =>

@@ -70,6 +70,10 @@ object SparkEntry {
 
     // ---- TPC-H Q1 shape: multi-aggregate summary ------------------------
     "q1_pricing_summary" -> ((s, dir) => {
+      // NOT widened (r17 kernelwidth A/B): unlike column_correlations'
+      // 10-cross-moment kernel, Q1's four decimal sums are too light to
+      // amortize a raw-row exchange — widened arms measured 10.2-11.2 s
+      // vs 8.1 s unwidened at sf1.0
       val li = Tables.lineitem(s, dir)
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(

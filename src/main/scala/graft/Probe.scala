@@ -268,28 +268,39 @@ object Probe {
       // Arms are the `spark.graft.widenKernel` conf lever (ADVICE r16:
       // minhashDupPairs now widens INTERNALLY, so a source-side
       // repartition A/B would measure widened-vs-double-widened):
-      // fw_prod = widening DISABLED (the pre-r16 scan-width plan),
-      // fw_wide = the shipped production widening.
+      // fw_off = widening DISABLED (the pre-r16 scan-width plan),
+      // fw_on = the shipped production widening. (ADVICE r17: these were
+      // briefly named fw_prod/fw_wide with INVERTED meaning vs the r16
+      // output — fw_prod was the shipped plan in r16 JSON, widening-off
+      // after; renamed so old and new probe JSON cannot be conflated.)
       if (want("frontwidth") && m == 1) {
         docs.unpersist(blocking = true) // production plan, not the cache
         val freshDocs = Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("text"))
         val dupped = freshDocs.union(freshDocs.select(
           (col("doc_id") + 100000000L).as("doc_id"), col("text")))
-        for (r <- 1 to 3; (tag, widen) <- Seq("prod" -> false,
-                                              "wide" -> true)) {
-          spark.conf.set("spark.graft.widenKernel", widen.toString)
-          meter.reset()
-          val (t, nP) = timed {
-            Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
-              .localCheckpoint().count()
+        // ADVICE r17: restore the caller's session values (not hardcoded
+        // defaults), and restore even when an arm throws — a failing arm
+        // must not leave widening disabled for every later probe family.
+        val savedWiden = spark.conf.getOption("spark.graft.widenKernel")
+        try {
+          for (r <- 1 to 3; (tag, widen) <- Seq("off" -> false,
+                                                "on" -> true)) {
+            spark.conf.set("spark.graft.widenKernel", widen.toString)
+            meter.reset()
+            val (t, nP) = timed {
+              Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
+                .localCheckpoint().count()
+            }
+            val (_, rec) = meter.snapshot()
+            fields += s""""fw_${tag}${r}_s":$t"""
+            fields += s""""fw_${tag}${r}_pairs":$nP"""
+            fields += s""""fw_${tag}${r}_shufrec":$rec"""
           }
-          val (_, rec) = meter.snapshot()
-          fields += s""""fw_${tag}${r}_s":$t"""
-          fields += s""""fw_${tag}${r}_pairs":$nP"""
-          fields += s""""fw_${tag}${r}_shufrec":$rec"""
+        } finally {
+          savedWiden.fold(spark.conf.unset("spark.graft.widenKernel"))(
+            spark.conf.set("spark.graft.widenKernel", _))
         }
-        spark.conf.set("spark.graft.widenKernel", "true")
       }
 
       // ---- kernel-stage width A/B over PRODUCTION queries (r16 verdict
@@ -314,41 +325,54 @@ object Probe {
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq("off", "jmp", "prp"))
         val kwReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_KW_REPS", "2").toInt
-        for (r <- 1 to kwReps; arm <- kwArms; q <- kwQueries) {
-          arm match {
-            case "off" =>
-              spark.conf.set("spark.graft.widenKernel", "false")
-            case "jmp" =>
-              spark.conf.set("spark.graft.widenKernel", "true")
-              spark.conf.set("spark.graft.widenKernel.bytesPerTask", "0")
-            case _ =>
-              spark.conf.set("spark.graft.widenKernel", "true")
-              spark.conf.set("spark.graft.widenKernel.bytesPerTask", "262144")
+        // ADVICE r17: restore the caller's session values (not hardcoded
+        // defaults), and restore even when an arm throws — a failing arm
+        // must not leave widening disabled/mis-sized for later families.
+        val savedWiden = spark.conf.getOption("spark.graft.widenKernel")
+        val savedBpt =
+          spark.conf.getOption("spark.graft.widenKernel.bytesPerTask")
+        try {
+          for (r <- 1 to kwReps; arm <- kwArms; q <- kwQueries) {
+            arm match {
+              case "off" =>
+                spark.conf.set("spark.graft.widenKernel", "false")
+              case "jmp" =>
+                spark.conf.set("spark.graft.widenKernel", "true")
+                spark.conf.set("spark.graft.widenKernel.bytesPerTask", "0")
+              case _ =>
+                spark.conf.set("spark.graft.widenKernel", "true")
+                spark.conf.set("spark.graft.widenKernel.bytesPerTask",
+                  "262144")
+            }
+            meter.reset()
+            val (t, nR) = timed {
+              val out = SparkEntry.queries(q)(spark, sfDir)
+              // Bench's exact materialization: bit_xor CONSUMES the hash
+              // column, forcing every output column. (A bare count(lit(1))
+              // lets Catalyst prune the hash and with it the whole per-row
+              // kernel — measured span_clean_docs at 0.25 s vs its real
+              // 20 s before this was caught.)
+              out.select(xxhash64(struct(
+                  out.columns.toIndexedSeq.map(col): _*)).as("h"))
+                .agg(count(lit(1)), bit_xor(col("h")))
+                .collect().head.getLong(0)
+            }
+            val (_, rec) = meter.snapshot()
+            fields += s""""kw_${q}_${arm}${r}_s":$t"""
+            fields += s""""kw_${q}_${arm}${r}_rows":$nR"""
+            fields += s""""kw_${q}_${arm}${r}_shufrec":$rec"""
+            // Bench-level GC hygiene (r16): let ContextCleaner release the
+            // dead localCheckpoint/shuffle blocks between arms so later
+            // arms don't pay earlier arms' block-manager pressure
+            System.gc()
           }
-          meter.reset()
-          val (t, nR) = timed {
-            val out = SparkEntry.queries(q)(spark, sfDir)
-            // Bench's exact materialization: bit_xor CONSUMES the hash
-            // column, forcing every output column. (A bare count(lit(1))
-            // lets Catalyst prune the hash and with it the whole per-row
-            // kernel — measured span_clean_docs at 0.25 s vs its real
-            // 20 s before this was caught.)
-            out.select(xxhash64(struct(
-                out.columns.toIndexedSeq.map(col): _*)).as("h"))
-              .agg(count(lit(1)), bit_xor(col("h")))
-              .collect().head.getLong(0)
-          }
-          val (_, rec) = meter.snapshot()
-          fields += s""""kw_${q}_${arm}${r}_s":$t"""
-          fields += s""""kw_${q}_${arm}${r}_rows":$nR"""
-          fields += s""""kw_${q}_${arm}${r}_shufrec":$rec"""
-          // Bench-level GC hygiene (r16): let ContextCleaner release the
-          // dead localCheckpoint/shuffle blocks between arms so later
-          // arms don't pay earlier arms' block-manager pressure
-          System.gc()
+        } finally {
+          savedWiden.fold(spark.conf.unset("spark.graft.widenKernel"))(
+            spark.conf.set("spark.graft.widenKernel", _))
+          savedBpt.fold(
+            spark.conf.unset("spark.graft.widenKernel.bytesPerTask"))(
+            spark.conf.set("spark.graft.widenKernel.bytesPerTask", _))
         }
-        spark.conf.set("spark.graft.widenKernel", "true")
-        spark.conf.set("spark.graft.widenKernel.bytesPerTask", "262144")
       }
 
       // ---- jaccard sf3 WIDTH AUDIT (r14 verdict #3): the in-file

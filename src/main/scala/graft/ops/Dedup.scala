@@ -159,6 +159,50 @@ object Dedup {
     catch { case _: Exception => BigInt(0) }
   }
 
+  /** Max partition count among lineage-cut ([[org.apache.spark.sql.execution.LogicalRDD]])
+    * leaves of `src`'s optimized plan — 0 when none. A checkpointed
+    * frame's PARALLELISM is its RDD's partition count, while its leaf
+    * STATS still carry the origin plan's (possibly join-inflated) byte
+    * estimate (verify skill, round-13 gotcha) — so width decisions on
+    * cut inputs must consult the real RDD width, not bytes/splitSize. */
+  private def leafRddMaxParts(src: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.LogicalRDD
+    def walk(p: LogicalPlan): Int = p match {
+      case l: LogicalRDD =>
+        try l.rdd.getNumPartitions catch { case _: Exception => 0 }
+      case o => if (o.children.isEmpty) 0
+                else o.children.map(walk).max
+    }
+    try walk(src.queryExecution.optimizedPlan)
+    catch { case _: Exception => 0 }
+  }
+
+  /** Runtime-conf parse with a clear failure: a typo'd value (e.g.
+    * bytesPerTask="256k") must name the conf key at the call boundary,
+    * not throw a bare NumberFormatException from deep inside a widened
+    * production query (ADVICE r17). */
+  private def confLong(spark: SparkSession, key: String,
+                       default: String): Long = {
+    val raw = spark.conf.get(key, default)
+    try raw.trim.toLong
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"conf $key must be a long, got '$raw'")
+    }
+  }
+
+  private def confBool(spark: SparkSession, key: String,
+                       default: String): Boolean = {
+    val raw = spark.conf.get(key, default)
+    raw.trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case _ => throw new IllegalArgumentException(
+        s"conf $key must be true|false, got '$raw'")
+    }
+  }
+
   /** Widen the CPU-dense per-document KERNEL stage (shingle + 64-way
     * minhash) above the file scan. Without this the kernel's parallelism
     * is the parquet SPLIT count — a sub-128 MB documents file is a
@@ -175,8 +219,14 @@ object Dedup {
     * of splits and passes through untouched). The 1 MiB floor keeps
     * micro-fixture plans (unit tests, the sf0.01 gate) byte-identical:
     * below it the kernel is sub-core-second and the exchange's fixed
-    * cost dominates. Inputs behind a lineage cut estimate 0 bytes and
-    * pass through (their checkpointed RDDs already carry a width).
+    * cost dominates. Inputs behind a lineage cut keep their ORIGIN byte
+    * estimate in the LogicalRDD leaf (round-13 gotcha — NOT 0 bytes, as
+    * this doc once claimed), while their actual parallelism is the
+    * checkpointed RDD's partition count — so that count joins scanParts
+    * in the already-wide test: a 32-wide cut frame passes through
+    * untouched instead of paying a redundant round-robin exchange
+    * (ADVICE r17 — e.g. qualityFilter(s1) inside CorpusCuration.curate),
+    * while a genuinely narrow cut frame still widens.
     *
     * The widened width is PROPORTIONAL to input bytes, not a jump to the
     * session default: `ceil(bytes / widenKernel.bytesPerTask)` capped at
@@ -207,14 +257,18 @@ object Dedup {
                                      ): DataFrame = {
     val spark = df.sparkSession
     val conf = spark.sessionState.conf
-    if (!spark.conf.get("spark.graft.widenKernel", "true").toBoolean)
+    if (!confBool(spark, "spark.graft.widenKernel", "true"))
       return df
     val target = conf.numShufflePartitions
     val bytes = leafPlanBytes(df)
-    val scanParts = bytes / BigInt(conf.filesMaxPartitionBytes.max(1L))
-    if (bytes >= BigInt(1L << 20) && scanParts < target) {
-      val confPerTask = spark.conf
-        .get("spark.graft.widenKernel.bytesPerTask", "262144").toLong
+    // effective current width: file-split count for scans, the real RDD
+    // partition count for lineage-cut (LogicalRDD) leaves — whose byte
+    // stats carry the ORIGIN estimate, not their post-shuffle width
+    val curWidth = (bytes / BigInt(conf.filesMaxPartitionBytes.max(1L)))
+      .max(BigInt(leafRddMaxParts(df)))
+    if (bytes >= BigInt(1L << 20) && curWidth < target) {
+      val confPerTask = confLong(spark,
+        "spark.graft.widenKernel.bytesPerTask", "262144")
       val perTask =
         if (confPerTask <= 0L) confPerTask // jump-to-target A/B arm
         else if (callerBytesPerTask > 0L) callerBytesPerTask
@@ -222,7 +276,7 @@ object Dedup {
       val parts =
         if (perTask <= 0L) target
         else ((bytes + perTask - 1) / perTask)
-          .min(target).max(scanParts + 1).toInt
+          .min(target).max(curWidth + 1).toInt
       df.repartition(parts)
     } else df
   }
@@ -231,8 +285,8 @@ object Dedup {
                                           bytesPerRow: Long = 6L): Int = {
     val spark = src.sparkSession
     val default = spark.sessionState.conf.numShufflePartitions
-    val target = spark.conf
-      .get("spark.graft.shuffle.rowsPerPartition", "1000000").toLong.max(1L)
+    val target = confLong(spark,
+      "spark.graft.shuffle.rowsPerPartition", "1000000").max(1L)
     // INPUT-volume estimate, not top-of-plan stats: Spark's
     // size-only visitor estimates a join's output as the PRODUCT of its
     // children's sizes, so a frame downstream of any equi-join reports
@@ -474,8 +528,8 @@ object Dedup {
     // sizes it exactly — PROBE.md round 15). Capped buckets are
     // excluded, matching what bucketPairs actually emits. Driver state:
     // ONE scalar.
-    val target = docs.sparkSession.conf
-      .get("spark.graft.shuffle.rowsPerPartition", "1000000").toLong.max(1L)
+    val target = confLong(docs.sparkSession,
+      "spark.graft.shuffle.rowsPerPartition", "1000000").max(1L)
     val pairVol = prefix
       .groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
       .filter(col("_n").between(2, maxBucket))

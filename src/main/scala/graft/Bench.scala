@@ -203,6 +203,29 @@ object Bench {
     }.getOrElse(("none", Map.empty))
   }
 
+  /** The >2×-of-best-known residual gate (r17 verdict #2): the
+    * self-adjudication loop re-runs suspicious medians in isolation, but
+    * until this key existed a run could still END with an isolated median
+    * above 2× best-known and nobody but a judge reading per-query tables
+    * would notice (r17: triangle_counts 2.95×, jaccard_prefix_pairs
+    * 2.31× — both silent). Every suite query whose EFFECTIVE median —
+    * its isolated re-run when one happened, its in-suite median
+    * otherwise — exceeds `2 × bestKnown + 0.2 s` ships as
+    * `(name, effectiveMedian, bestKnown)`. Expected EMPTY on a clean
+    * run; a non-empty list is the driver-visible "adjudicate me" signal
+    * (fresh-JVM REPS=5 alone-run + fingerprint compare, the PROBE.md
+    * protocol). The 0.2 s absolute guard keeps sub-second scheduling
+    * jitter out, matching the isolation flag rule. */
+  private[graft] def over2xResiduals(
+      suiteMedians: Map[String, Double], isoMedians: Map[String, Double],
+      bestKnown: String => Option[Double]): Vector[(String, Double, Double)] =
+    suiteMedians.iterator
+      .filter { case (_, med) => med >= 0.5 }
+      .flatMap { case (n, med) =>
+        val eff = isoMedians.getOrElse(n, med)
+        bestKnown(n).collect { case b if eff > 2.0 * b + 0.2 => (n, eff, b) }
+      }.toVector.sortBy(_._1)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core (the grading target is local[32]); override
@@ -320,6 +343,15 @@ object Bench {
         }
       }.toVector.sortBy(_._1)
 
+    // ---- >2x-of-best-known residuals (r17 verdict #2): computed BEFORE
+    // the reference roll, against the best-known this run was judged by
+    val over2x = over2xResiduals(
+      results.iterator.collect {
+        case t if t.status == "ok" && !only.isDefined => t.name -> t.median
+      }.toMap,
+      isolated.map { case (n, t) => n -> t.median }.toMap,
+      bestKnown)
+
     // roll the reference forward: best-known medians + this plan's volumes
     writeReference(sfDir, refSec, refRec, results, isolated)
 
@@ -355,13 +387,17 @@ object Bench {
     // were silently reported as exact)
     val drainTimeouts = results.filter(_.tainted).map("\"" + _.name + "\"")
       .mkString("[", ",", "]")
+    val over2xJson = over2x.map { case (n, eff, b) =>
+      "\"" + n + "\":[" + r3(eff) + "," + r3(b) + "]"
+    }.mkString("{", ",", "}")
     java.nio.file.Files.write(detailPath,
       (s"""{"detail":"[lo,median,hi]","reps":$reps,"spread":$spread,""" +
         s""""shuffle_write_bytes_records":$shuffle,""" +
         s""""drain_timeouts":$drainTimeouts,""" +
         s""""prior":"$priorFile","reference":"${referencePath(sfDir)}",""" +
         s""""shuffle_flags":$shuffleFlagsJson,"iso_reps":$isoReps,""" +
-        s""""iso_omitted":$isoOmitted,"isolated":$isoSpread}\n""")
+        s""""iso_omitted":$isoOmitted,"isolated":$isoSpread,""" +
+        s""""over_2x_best_known":$over2xJson}\n""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // isolated medians ride in the main line (they're the adjudication
     // verdict: isolated ≈ prior ⇒ the in-suite number was suite noise);
@@ -377,8 +413,16 @@ object Bench {
     val sfLine = (if (shuffleFlags.size <= 8) sfShown
                   else sfShown :+ s""""_more":${shuffleFlags.size - 8}""")
       .mkString("{", ",", "}")
+    // over_2x_best_known in the main line, capped like shuffle_flags —
+    // expected empty; each entry is "name":[effectiveMedian, bestKnown]
+    val o2Shown = over2x.take(8).map { case (n, eff, b) =>
+      "\"" + n + "\":[" + r2(eff) + "," + r2(b) + "]"
+    }
+    val o2Line = (if (over2x.size <= 8) o2Shown
+                  else o2Shown :+ s""""_more":${over2x.size - 8}""")
+      .mkString("{", ",", "}")
     def fullLine(q: String) =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q,"isolated":$iso,"shuffle_flags":$sfLine,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q,"isolated":$iso,"shuffle_flags":$sfLine,"over_2x_best_known":$o2Line,"errors":$errs,"sf":"$sfDir"}"""
     // the harness tail window is ~2000 chars: pack per-query medians
     // slowest-first until the budget is hit, count the rest in "_omitted"
     // (the sub-tail entries are the ~0.2 s queries nobody reads one by

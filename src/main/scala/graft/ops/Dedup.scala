@@ -736,7 +736,13 @@ object Dedup {
     * (thousands), the corpus is the 100 TB side — the eval shingles
     * broadcast, the corpus streams through one scan + one aggregation;
     * intersection sizes arrive as join-match counts, so zero-overlap
-    * (eval, doc) pairs never materialize. */
+    * (eval, doc) pairs never materialize. The eval-side broadcast is
+    * EXPLICIT (no autoBroadcast fallback) and sized O(|eval| ×
+    * shingles/doc) — correct because an eval suite is a fixed artifact,
+    * not a corpus fraction (the sf-coupled fixture measured ~1.1M
+    * hashed shingles at sf3, 8g-safe — PROBE.md r18 heap audit); a
+    * genuinely corpus-scale eval set must swap the broadcast for the
+    * shuffle shingle join instead of growing the driver collect. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame,
                     id: Column, text: Column,
                     n: Int = 3, threshold: Double = 0.8): DataFrame = {

@@ -3485,6 +3485,12 @@ object SparkEntry {
         |                     + CAST(0.75 AS DOUBLE) * acc), 6) AS ewma_r
         |FROM s ORDER BY key""".stripMargin,
 
+    // sqrt is CASE-guarded: SQL conjunct order is not guaranteed, and at
+    // sf3 a catastrophic-cancellation ex2 - mean^2 goes epsilon-negative
+    // on one window — DuckDB raised sqrt-of-negative from inside
+    // `variance > 0 AND abs(((x-mean)/sqrt(variance))) > 2.5` (caught by
+    // the r18 full-contract sf3 oracle pass; Spark's sqrt(neg) is NaN so
+    // the engine side never crashes, it just drops the row)
     "rolling_outliers" ->
       """WITH v AS (SELECT user_id, event_id, ts, CAST(round(value * 1e6) AS BIGINT) AS vs FROM events),
         |m AS (SELECT user_id, event_id, CAST(vs AS DOUBLE) / 1e6 AS x,
@@ -3495,9 +3501,12 @@ object SparkEntry {
         |                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
         |z AS (SELECT user_id AS key, event_id AS id, x, mean,
         |             ex2 - mean * mean AS variance
-        |      FROM m WHERE n >= 5)
-        |SELECT key, id, round((x - mean) / sqrt(variance), 4) AS z_r
-        |FROM z WHERE variance > 0 AND abs((x - mean) / sqrt(variance)) > 2.5
+        |      FROM m WHERE n >= 5),
+        |zz AS (SELECT key, id,
+        |         CASE WHEN variance > 0 THEN (x - mean) / sqrt(variance) END AS z
+        |       FROM z)
+        |SELECT key, id, round(z, 4) AS z_r
+        |FROM zz WHERE z IS NOT NULL AND abs(z) > 2.5
         |ORDER BY key, id""".stripMargin,
 
     // the oracle states the range join declaratively (DuckDB plans an

@@ -13,7 +13,6 @@ import duckdb
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
 # Large-sf runs (sf>=1.0): a few oracle SQLs are intentionally naive
 # (all-pairs gram joins the Spark side replaces with bucketed LSH) and
 # explode in DuckDB at 100k docs. Bound them instead of hanging the
@@ -22,20 +21,51 @@ con = duckdb.connect()
 # that query still exists; what timed out is the naive baseline.
 timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0") or 0)
 mem_limit = os.environ.get("ORACLE_MEM_LIMIT", "")
-if mem_limit:
-    con.execute(f"SET memory_limit='{mem_limit}'")
 threads = os.environ.get("ORACLE_THREADS", "")
-if threads:
-    con.execute(f"SET threads={int(threads)}")
 # Per-process spill dir: concurrent workers sharing DuckDB's default
 # ".tmp" race on each other's temp files (observed: IOException abort).
 tmp_dir = os.environ.get("ORACLE_TMP", "")
-if tmp_dir:
-    os.makedirs(tmp_dir, exist_ok=True)
-    con.execute(f"SET temp_directory='{tmp_dir}'")
 max_tmp = os.environ.get("ORACLE_MAX_TMP", "")
-if max_tmp:
-    con.execute(f"SET max_temp_directory_size='{max_tmp}'")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def make_con():
+    c = duckdb.connect()
+    if mem_limit:
+        c.execute(f"SET memory_limit='{mem_limit}'")
+    if threads:
+        c.execute(f"SET threads={int(threads)}")
+    if tmp_dir:
+        os.makedirs(tmp_dir, exist_ok=True)
+        c.execute(f"SET temp_directory='{tmp_dir}'")
+    if max_tmp:
+        c.execute(f"SET max_temp_directory_size='{max_tmp}'")
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{sf}/{t}.parquet')")
+    return c
+
+
+con = make_con()
+
+
+def recycle_con():
+    """Rebuild the shared connection. A DuckDB OOM does not reliably
+    release the connection's memory back to the buffer manager: in the
+    r18 full-contract sf3/zipf1.0 passes, the first genuine OOM
+    (lsh_candidates_md5) left the connection so starved that six later
+    MODEST queries reported spurious 30-60GB OOMs and the process
+    eventually died with a bare MemoryError — every one was hash-green
+    in a fresh process. INFEASIBLE rows are only trustworthy from an
+    unpoisoned connection, so any OOM/interrupt recycles it."""
+    global con
+    try:
+        con.close()
+    except Exception:
+        pass
+    con = make_con()
 # Subset selection, for splitting a large-sf gate across processes
 # (the heavy naive SQLs then run concurrently instead of serially):
 # ORACLE_ONLY = comma list to run; ORACLE_SKIP = comma list to skip.
@@ -74,9 +104,7 @@ def run_with_timeout(sql):
         done.set()
         t.join()
         cur.close()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 # Coverage accounting (ADVICE r12): an ORACLE_ONLY typo must not read as
@@ -100,15 +128,20 @@ for name, sql in sorted(oracle.items()):
         # mismatch — report it like the timeout path so large-sf gate
         # artifacts don't read a resource limit as a correctness failure.
         msg = str(e)
-        is_oom = isinstance(e, getattr(duckdb, "OutOfMemoryException", ())) \
+        is_oom = isinstance(e, (getattr(duckdb, "OutOfMemoryException", ()),
+                                MemoryError)) \
             or "Out of Memory" in msg
         if is_oom and glob.glob(f"{out}/{name}/*.parquet"):
             print(f"INFEASIBLE {name}: oracle OOM under "
                   f"mem={mem_limit or 'default'} tmp={max_tmp or 'default'} "
                   f"(naive baseline; engine output present)")
             timeouts += 1
+            recycle_con()  # an OOM'd connection starves later queries
             continue
-        print(f"FAIL {name}: oracle sql error: {e}"); fail += 1; continue
+        print(f"FAIL {name}: oracle sql error: {e}"); fail += 1
+        if is_oom:
+            recycle_con()
+        continue
     if timed_out:
         # what timed out is the naive DuckDB baseline — but only say the
         # engine's answer exists after checking it does (ADVICE r12)
@@ -119,11 +152,19 @@ for name, sql in sorted(oracle.items()):
         else:
             print(f"FAIL {name}: oracle timed out AND no spark output")
             fail += 1
+        recycle_con()  # interrupted queries can leave pinned buffers
         continue
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fail += 1; continue
-    sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+    # the engine-side read is tiny next to the baselines, so an OOM here
+    # means the connection is poisoned, not that the data is big — one
+    # recycle+retry (the r18 pass 1 died exactly here)
+    try:
+        sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+    except (MemoryError, duckdb.Error):
+        recycle_con()
+        sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
     if sorted(odf.columns) != sorted(sdf.columns):
         print(f"FAIL {name}: columns {sorted(sdf.columns)} vs oracle {sorted(odf.columns)}")
         fail += 1; continue

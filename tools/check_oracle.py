@@ -164,7 +164,15 @@ for name, sql in sorted(oracle.items()):
         sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
     except (MemoryError, duckdb.Error):
         recycle_con()
-        sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+        try:
+            sdf = con.execute(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+        except (MemoryError, duckdb.Error) as e:
+            # genuinely unreadable engine output: record the FAIL and keep
+            # the per-query accounting + exit-code contract intact
+            print(f"FAIL {name}: engine output unreadable: {e}")
+            fail += 1
+            recycle_con()
+            continue
     if sorted(odf.columns) != sorted(sdf.columns):
         print(f"FAIL {name}: columns {sorted(sdf.columns)} vs oracle {sorted(odf.columns)}")
         fail += 1; continue

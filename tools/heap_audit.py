@@ -132,7 +132,9 @@ def main():
         budget = max(600, 5 * refs.get(q, 60))
         for heap in heaps:
             if heap in row:
-                continue  # resumed
+                if row[heap].get("outcome") == "ok":
+                    break  # resumed min working heap; skip higher arms
+                continue  # resumed non-ok arm; try the next heap
             print(f"[heap_audit] {q} @ {heap} (budget {budget:.0f}s)",
                   flush=True)
             row[heap] = run_one(q, heap, budget)

@@ -521,6 +521,45 @@ object SparkEntry {
         .select(col("vec_id"), col("n_eval_hits"), col("contaminated"))
     }),
 
+    // ---- semantic decontamination, AUTO-routed: the library default —
+    // exact broadcast-NL below the measured |corpus|×|eval| byte-product
+    // crossover (1e13), the LSH prefilter above it (sf3: 5.8×, sf10:
+    // 19×). Projects the route-stable verdict columns so the SAME
+    // exact-computation oracle hash-checks whichever path the estimator
+    // picks at the current tier (exact at the gate tiers, LSH at sf3+) --
+    "semantic_decontamination_auto" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Dedup.semanticDecontaminateAuto(e, e.filter(col("vec_id") % 50 === 0),
+        col("vec_id"), col("embedding"), cosThreshold = 0.95)
+        .select(col("vec_id"), col("n_eval_hits"), col("contaminated"))
+    }),
+
+    // ---- semantic decontamination, FIXED-eval arm: eval pinned at the
+    // sf1.0 census (vec_id < 8000), so cross-tier walls isolate
+    // corpus-side scaling from the eval-grows-with-sf fixture (eval is a
+    // fixed fraction of the corpus in the driver shape; a real eval suite
+    // is a fixed-size artifact — r18 verdict #2) ------------------------
+    "semantic_decontamination_fixedeval" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Dedup.semanticDecontaminate(e,
+        e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 8000),
+        col("vec_id"), col("embedding"), cosThreshold = 0.95)
+    }),
+
+    // ---- lexical decontamination, FIXED-eval arm: eval prefixes drawn
+    // from the first 50000 doc ids only (the sf1.0 census) — the
+    // fixed-size-eval twin of `decontamination`; ids offset by 1e8 (the
+    // r14 collision rule: offsets must clear nDocs at every tier) -------
+    "decontamination_fixedeval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val evalSet = docs
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") < 50000)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          substring(col("text"), 1, 120).as("text"))
+      Dedup.decontaminate(docs, evalSet, col("doc_id"), col("text"),
+        n = 3, threshold = 0.5)
+    }),
+
     // ---- PII redaction audit: deterministic synthetic PII (email, phone,
     // IP, URL derived from doc_id) appended to every doc, then redacted
     // with typed placeholders + per-category counts; the oracle replays
@@ -3346,6 +3385,46 @@ object SparkEntry {
         |         AS contaminated
         |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // auto-routed path: verdict columns only — route-stable (exact and
+    // LSH agree on hits for every planted cos-1.0 pair; background 64-dim
+    // gaussian cosines never reach 0.95), so one exact-computation oracle
+    // covers both routes
+    "semantic_decontamination_auto" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT c.vec_id,
+        |        round(list_dot_product(q.qv, c.v)
+        |          / (sqrt(list_dot_product(q.qv, q.qv))
+        |             * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_r
+        |      FROM e c, q)
+        |SELECT vec_id,
+        |       CAST(sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_eval_hits,
+        |       sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END) > 0
+        |         AS contaminated
+        |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // fixed-eval arm: eval pinned to the sf1.0 census (vec_id < 8000)
+    "semantic_decontamination_fixedeval" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e
+        |      WHERE vec_id % 50 = 0 AND vec_id < 8000),
+        |s AS (SELECT c.vec_id,
+        |        round(list_dot_product(q.qv, c.v)
+        |          / (sqrt(list_dot_product(q.qv, q.qv))
+        |             * sqrt(list_dot_product(c.v, c.v))), 4) AS cos_r
+        |      FROM e c, q)
+        |SELECT vec_id, max(cos_r) AS max_eval_cos_r,
+        |       CAST(sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_eval_hits,
+        |       sum(CASE WHEN cos_r >= 0.95 THEN 1 ELSE 0 END) > 0
+        |         AS contaminated
+        |FROM s GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "decontamination" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
@@ -3353,6 +3432,29 @@ object SparkEntry {
          |      FROM t WHERE len(toks) >= 3),
          |et AS (SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 120) AS text
          |       FROM documents WHERE doc_id % 20 = 0),
+         |et2 AS (SELECT doc_id, $toksSql AS toks FROM et),
+         |e AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+         |      FROM et2 WHERE len(toks) >= 3),
+         |p AS (SELECT c.doc_id AS doc_id,
+         |        CAST(len(list_intersect(q.sh, c.sh)) AS DOUBLE) / len(q.sh) AS c
+         |      FROM e q, s c WHERE q.doc_id <> c.doc_id),
+         |f AS (SELECT doc_id, max(c) AS maxc,
+         |        CAST(count(*) FILTER (WHERE c >= 0.5) AS BIGINT) AS n_eval_hits
+         |      FROM p GROUP BY doc_id)
+         |SELECT doc_id, round(maxc, 6) AS max_containment_r, n_eval_hits
+         |FROM f WHERE n_eval_hits > 0 ORDER BY doc_id""".stripMargin,
+
+    // fixed-eval arm: eval prefixes from the first 50000 doc ids (the
+    // sf1.0 census), offset 1e8 per the r14 id-collision rule
+    "decontamination_fixedeval" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+         |      FROM t WHERE len(toks) >= 3),
+         |et AS (SELECT doc_id + 100000000 AS doc_id,
+         |              substr(text, 1, 120) AS text
+         |       FROM documents WHERE doc_id % 20 = 0 AND doc_id < 50000),
          |et2 AS (SELECT doc_id, $toksSql AS toks FROM et),
          |e AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
          |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh

@@ -861,6 +861,54 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Auto-routed [[semanticDecontaminate]]: picks the exact broadcast-NL
+    * path or the LSH prefilter from the ESTIMATED |corpus|×|eval| work
+    * product, so a pipeline author does not have to know the crossover.
+    *
+    * The route statistic is `leafPlanBytes(corpus) × leafPlanBytes(eval)`
+    * — pure optimizer stats (parquet/file-relation sizes), zero jobs. Both
+    * sides carry the same embedding schema, so the byte product is the
+    * row-count product up to a constant, and the threshold is calibrated
+    * in the same units. Measured crossover (isolated 8g walls, this repo's
+    * probe `sdeconroute`): at sf1.0 (product 4.4e12) exact ≈ LSH
+    * (1.28 s vs 0.89 s, inside suite noise — exact kept for its true
+    * `max_eval_cos_r` audit); at sf3 (3.9e13) LSH wins 25.0→4.3 s (5.8×);
+    * at sf10 (4.3e14) 108.7→5.7 s (19×). Default threshold 1e13 — the
+    * geometric midpoint of the bracketing tiers — overridable via
+    * `spark.graft.sdecon.autoBytesProduct`.
+    *
+    * Route conservatism: an eval set carved from the corpus by a FILTER
+    * inherits the full corpus byte estimate (size-only stats do not scale
+    * filters), so the product is an upper bound and the auto route flips
+    * to LSH early — the safe direction at scale. A caller who KNOWS the
+    * eval side is tiny and wants the exact path's true-max audit passes
+    * `lsh = None` to [[semanticDecontaminate]] explicitly. Unknown stats
+    * (estimate 0 on either side) also route to LSH: at 100 TB the
+    * unbounded |corpus|·|eval| broadcast-NL product is the failure mode
+    * to avoid, and the prefilter is within noise of exact even at the
+    * smallest measured tier.
+    *
+    * Output contract follows the chosen path (documented on
+    * [[semanticDecontaminate]]); the verdict columns (`n_eval_hits`,
+    * `contaminated`) are route-stable whenever every true hit collides in
+    * some band — at the default (p=12, b=24) a cosine-0.95 pair misses
+    * with P ≈ 4e-4. Callers needing route-independent OUTPUT SHAPE should
+    * project the verdict columns, as the registered
+    * `semantic_decontamination_auto` query does. */
+  def semanticDecontaminateAuto(corpus: DataFrame, evalSet: DataFrame,
+                                id: Column, vec: Column,
+                                cosThreshold: Double = 0.95,
+                                planes: Int = 12,
+                                bands: Int = 24): DataFrame = {
+    val threshold = confLong(corpus.sparkSession,
+      "spark.graft.sdecon.autoBytesProduct", "10000000000000")
+    val cb = leafPlanBytes(corpus)
+    val eb = leafPlanBytes(evalSet)
+    val useLsh = cb == 0 || eb == 0 || cb * eb > BigInt(threshold)
+    semanticDecontaminate(corpus, evalSet, id, vec, cosThreshold,
+      lsh = if (useLsh) Some((planes, bands)) else None)
+  }
+
   /** 64-bit SimHash as a single long — native codegen kernel
     * ([[graft.functions.SimHash64]]): per token, xxhash64 contributes ±1 to
     * each bit position; final bit = sign of the sum. */

@@ -304,6 +304,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminateAuto routes on the estimated byte product: " +
+    "exact below the threshold, LSH prefilter above it (r18 verdict #2)") {
+    // Route detection via the documented OUTPUT contract difference: the
+    // exact path reports the true max_eval_cos_r on every row; the LSH
+    // path reports NULL for corpus vectors with no bucket collision.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val evalSet = e.filter(col("vec_id") % 50 === 0)
+    def collectAll(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getLong(2), r.getBoolean(3))).toSeq
+    val exact = collectAll(Dedup.semanticDecontaminate(e, evalSet,
+      col("vec_id"), col("embedding"), cosThreshold = 0.95))
+    val lshed = collectAll(Dedup.semanticDecontaminate(e, evalSet,
+      col("vec_id"), col("embedding"), cosThreshold = 0.95,
+      lsh = Some((12, 24))))
+    // sanity: the two paths are distinguishable on this fixture
+    assert(exact != lshed, "fixture must distinguish the routes")
+    // default threshold (1e13): sf0.001 parquet stats are far below it
+    val auto = collectAll(Dedup.semanticDecontaminateAuto(e, evalSet,
+      col("vec_id"), col("embedding"), cosThreshold = 0.95))
+    assert(auto == exact, "small product must take the exact path")
+    // threshold 1 byte²: any known-stats product crosses it
+    spark.conf.set("spark.graft.sdecon.autoBytesProduct", "1")
+    try {
+      val autoBig = collectAll(Dedup.semanticDecontaminateAuto(e, evalSet,
+        col("vec_id"), col("embedding"), cosThreshold = 0.95))
+      assert(autoBig == lshed, "big product must take the LSH prefilter")
+    } finally spark.conf.unset("spark.graft.sdecon.autoBytesProduct")
+  }
+
   test("jaccardPrefixPairs equals brute force on random corpora — the " +
     "prefix lemma's deterministic recall survives the r13 length/size " +
     "prunes (property)") {

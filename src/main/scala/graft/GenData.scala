@@ -30,8 +30,17 @@ import org.apache.spark.sql.functions._
   * read); the single-file coalesce is a one-time generation cost, not an
   * operator pattern.
   *
-  * Usage: `runMain graft.GenData <scale> <outDir> [vocab] [names]` — e.g.
-  * `runMain graft.GenData 1.0 testdata-sf1.0`.
+  * Usage: `runMain graft.GenData <scale> <outDir> [vocab] [names] [eventsSf]`
+  * — e.g. `runMain graft.GenData 1.0 testdata-sf1.0`.
+  *
+  * `eventsSf` (default = `scale`) scales ONLY `events` + the user-id
+  * space it draws from — an events-heavy tier (e.g. `0.1 … driver seq 100`
+  * = 100M events over the same fixed 30-day window against sf0.1
+  * dimensions) stresses the temporal/streaming family's regime — range
+  * joins, as-of joins, sessionization, resample — without paying for a
+  * 100× lineitem. Users scale WITH eventsSf so per-user event density
+  * stays constant (~67 events/user/month) and per-key state doesn't
+  * silently grow with the tier.
   *
   * `vocab` (default `driver`) selects the documents vocabulary:
   *   - `driver` — the 31-token driver-matched vocabulary (the oracle-gate
@@ -147,16 +156,18 @@ object GenData {
   }
 
   def main(args: Array[String]): Unit = {
-    val (sfArg, outDir, vocabMode, namesMode) = args match {
-      case Array(s, o)       => (s, o, "driver", "seq")
-      case Array(s, o, v)    => (s, o, v, "seq")
-      case Array(s, o, v, n) => (s, o, v, n)
+    val (sfArg, outDir, vocabMode, namesMode, eventsSfArg) = args match {
+      case Array(s, o)          => (s, o, "driver", "seq", s)
+      case Array(s, o, v)       => (s, o, v, "seq", s)
+      case Array(s, o, v, n)    => (s, o, v, n, s)
+      case Array(s, o, v, n, e) => (s, o, v, n, e)
     }
     require(vocabMode == "driver" || vocabMode == "zipf",
       s"vocab must be 'driver' or 'zipf', got $vocabMode")
     require(namesMode == "seq" || namesMode == "drawn",
       s"names must be 'seq' or 'drawn', got $namesMode")
     val sf = sfArg.toDouble
+    val eventsSf = eventsSfArg.toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -172,8 +183,8 @@ object GenData {
     val nPart     = (200000 * sf).toLong.max(1)
     val nOrders   = (1500000 * sf).toLong.max(1)
     val nLineitem = (6000000 * sf).toLong.max(1)
-    val nEvents   = (1000000 * sf).toLong.max(1)
-    val nUsers    = (15000 * sf).toLong.max(1)
+    val nEvents   = (1000000 * eventsSf).toLong.max(1)
+    val nUsers    = (15000 * eventsSf).toLong.max(1)
     val nDocs     = (50000 * sf).toLong.max(1)
     val nEmb      = (8000 * sf).toLong.max(500) // driver steps 4×/tier, not 10×
 

@@ -8,12 +8,22 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER lets the multi-executor gate run the SAME dump
+    // under local-cluster[n,c,m] — real serialization, network shuffle and
+    // broadcast limits that local[N] never exercises. Executors there are
+    // separate JVMs launched from SPARK_HOME, so the graft classes must
+    // ride along on the executor classpath (this JVM's own classpath
+    // already contains exactly the classes dir + the Spark jars).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // pre-generate fixture corpora (content-marker idempotent): the

@@ -251,13 +251,23 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     // fixture corpora are test scaffolding, not operator work: generate
     // them once before the timed loop (in-query ensureFixtures calls then
-    // hit the content marker and return immediately)
-    graft.sources.BlogCorpus.ensureFixtures(spark, sfDir)
-    graft.sources.ZipImages.ensureFixtures()
-    graft.sources.CsvTables.ensureEventsCsv(spark, sfDir)
-    graft.sources.JsonTables.ensureEventsJsonl(spark, sfDir)
-    graft.sources.OrcTables.ensureEventsOrc(spark, sfDir)
-    graft.sources.PartitionedTables.ensureEventsPartitioned(spark, sfDir)
+    // hit the content marker and return immediately).
+    // SPARK_GRAFT_BENCH_NO_FIXTURES=1 skips them for targeted runs whose
+    // SPARK_GRAFT_BENCH_ONLY slice touches none (e.g. the events-heavy
+    // tier, where ensureEventsCsv/Jsonl/Orc alone would materialize
+    // ~25 GB of format copies of a 100M-row table no selected query
+    // reads). Only valid WITH a slice: a query that does need a fixture
+    // would otherwise regenerate it inside its first timed rep.
+    val noFixtures = only.isDefined &&
+      sys.env.get("SPARK_GRAFT_BENCH_NO_FIXTURES").contains("1")
+    if (!noFixtures) {
+      graft.sources.BlogCorpus.ensureFixtures(spark, sfDir)
+      graft.sources.ZipImages.ensureFixtures()
+      graft.sources.CsvTables.ensureEventsCsv(spark, sfDir)
+      graft.sources.JsonTables.ensureEventsJsonl(spark, sfDir)
+      graft.sources.OrcTables.ensureEventsOrc(spark, sfDir)
+      graft.sources.PartitionedTables.ensureEventsPartitioned(spark, sfDir)
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = queries.map { case (name, fn) =>

@@ -545,16 +545,72 @@ object Dedup {
     // pin the expansion stages (pair generation, exact-Jaccard verify):
     // their shuffle INPUTS are small, so AQE coalescing would serialize
     // the quadratic work — same pathology as Linkage.blockedFuzzyPairs
-    exactJaccardTail(
-      bucketPairs(prefix, col("did"), maxBucket,
-          pinnedParts = Some(pairParts),
-          pairFilter = Some(lengthFilter))
-        .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"))
-        .repartition(pairParts, col("id_a"))
-        .join(s.select(col("doc_id").as("id_a"), col("sh").as("_sha")), "id_a")
-        .join(s.select(col("doc_id").as("id_b"), col("sh").as("_shb")), "id_b"),
-      "id_a", "id_b", threshold)
-      .orderBy("id_a", "id_b")
+    def verified(bkts: DataFrame, w: Int): DataFrame =
+      exactJaccardTail(
+        bucketPairs(bkts, col("did"), maxBucket,
+            pinnedParts = Some(w),
+            pairFilter = Some(lengthFilter))
+          .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"))
+          .repartition(w, col("id_a"))
+          .join(s.select(col("doc_id").as("id_a"), col("sh").as("_sha")), "id_a")
+          .join(s.select(col("doc_id").as("id_b"), col("sh").as("_shb")), "id_b"),
+        "id_a", "id_b", threshold)
+    // ---- disk-budget staging (r19: the first FULL sf10 pass found it) --
+    // On the 31-token fixture at 1M docs the measured candidate volume is
+    // ~12B pairs; the dedup exchange plus the two verify joins' transient
+    // shuffle/sort spill for that volume exceeds one box's disk (observed:
+    // >70 GB spill, then SPILL_OUT_OF_MEMORY "No space left on device" at
+    // sf10 — the r18 heap audit bounded MEMORY, never disk). On a real
+    // cluster aggregate disk scales with executors, but the same guard
+    // applies per-wave there: when the projected spill exceeds the budget,
+    // process the bucket space in hash-disjoint PASSES — each pass
+    // generates/verifies only the buckets with xxhash64(band,bucket) ≡ p
+    // (mod passes), and only its (tiny, output-sized) verified pairs are
+    // materialized. Bucket groups are disjoint, so per-pass candidate
+    // volume is ~pairVol/passes and peak transient disk is bounded; a pair
+    // sharing prefix tokens in two DIFFERENT groups is verified twice and
+    // collapsed by the final distinct (identical rows — same integer
+    // Jaccard). passes=1 is byte-identical to the unstaged plan, and
+    // holds everywhere pairVol is small (sf3's measured 1.13B projects
+    // ~18 GB, under the default budget — no bench-wall change at ≤sf3).
+    // The 16 B/candidate constant is calibrated on those two measured
+    // tiers (sf3 single-pass OK; sf10 single-pass overruns 3×+).
+    val spillBudget = pairSpillBudget(docs.sparkSession)
+    val passes =
+      if (spillBudget <= 0) 1
+      else math.min(64L, pairVol * 16L / spillBudget + 1).toInt
+    if (passes <= 1) verified(prefix, pairParts).orderBy("id_a", "id_b")
+    else {
+      val w = math.max(parts, pairParts / passes + 1)
+      val outs = (0 until passes).map { p =>
+        val slice = prefix.filter(
+          pmod(xxhash64(col("band"), col("bucket")), lit(passes.toLong))
+            === lit(p.toLong))
+        val v = Checkpoints.cut(verified(slice, w))
+        // the finished pass's shuffle files are only deleted once the
+        // ContextCleaner sees its dependencies unreachable — without a
+        // driver GC here, pass p+1 races pass p's spill for the same
+        // disk budget (the Bench inter-query System.gc() precedent)
+        System.gc()
+        v
+      }
+      outs.reduce(_.union(_)).distinct().orderBy("id_a", "id_b")
+    }
+  }
+
+  /** Disk budget for one quadratic candidate stage's transient shuffle/
+    * sort spill. `spark.graft.pairSpillBudget`: bytes (>0), `-1` =
+    * unbounded (never stage), `0` (default) = a third of the shuffle
+    * dir's currently-usable space, floored at 8 GiB — deterministic
+    * enough per box while refusing to plan a spill into a full disk. */
+  private def pairSpillBudget(spark: SparkSession): Long = {
+    val conf = confLong(spark, "spark.graft.pairSpillBudget", "0")
+    if (conf != 0L) conf
+    else {
+      val dir = spark.conf.get("spark.local.dir",
+        System.getProperty("java.io.tmpdir", "/tmp")).split(",").head
+      math.max(new java.io.File(dir).getUsableSpace / 3, 8L << 30)
+    }
   }
 
   /** The prefix-token candidate buckets behind [[jaccardPrefixPairs]], as

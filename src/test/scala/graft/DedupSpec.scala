@@ -81,6 +81,25 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty)
   }
 
+  test("jaccardPrefixPairs: disk-budget staging (forced max passes) is " +
+    "row-identical to the single-pass plan — hash-disjoint bucket groups " +
+    "cover every candidate, cross-pass re-verifies collapse in the final " +
+    "distinct") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.jaccardPrefixPairs(dupped, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val conf = spark.conf
+    conf.set("spark.graft.pairSpillBudget", "-1") // unbounded: 1 pass
+    val single = try run() finally conf.unset("spark.graft.pairSpillBudget")
+    conf.set("spark.graft.pairSpillBudget", "1") // 1 byte: capped 64 passes
+    val staged = try run() finally conf.unset("spark.graft.pairSpillBudget")
+    assert(staged == single)
+    assert(single.nonEmpty)
+  }
+
   test("minhashIncremental: cross-side pairs only, incl. a doc present on " +
     "both sides; existing↔existing never re-paired") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again"

@@ -571,28 +571,57 @@ object Dedup {
     // sharing prefix tokens in two DIFFERENT groups is verified twice and
     // collapsed by the final distinct (identical rows — same integer
     // Jaccard). passes=1 is byte-identical to the unstaged plan, and
-    // holds everywhere pairVol is small (sf3's measured 1.13B projects
-    // ~18 GB, under the default budget — no bench-wall change at ≤sf3).
-    // The 16 B/candidate constant is calibrated on those two measured
-    // tiers (sf3 single-pass OK; sf10 single-pass overruns 3×+).
+    // holds everywhere pairVol is small (sf3's measured 1.13B stays
+    // single-digit-pass under the default budget — no bench-wall change
+    // at ≤sf3 beyond the per-pass constant).
+    //
+    // The 96 B/candidate constant is a MEASURED lower bound with 2×
+    // headroom, not the first guess: the 16 B calibration was refuted by
+    // the second sf10 pass (12 passes of ~1B candidates each still ate
+    // ~50 GB before SPILL_OUT_OF_MEMORY — ≥50 B/candidate, because the
+    // id_b-side verify exchange carries the id_a shingle ARRAY on every
+    // pair row, so spill scales with array bytes, not pair count alone).
+    // And because the budget is sized at COMPOSITION time while the disk
+    // is shared (Verify dumps, oracle spill, fixture copies), each pass
+    // re-probes live usable space just before running and hash-splits
+    // itself further (salted second hash — disjoint within the pass) when
+    // the disk has shrunk under the plan. Sub-splits are output-identical:
+    // same verify, same final distinct.
     val spillBudget = pairSpillBudget(docs.sparkSession)
+    val maxPasses = confLong(docs.sparkSession,
+      "spark.graft.pairMaxPasses", "256").max(1L)
     val passes =
       if (spillBudget <= 0) 1
-      else math.min(64L, pairVol * 16L / spillBudget + 1).toInt
+      else math.min(maxPasses, pairVol * 96L / spillBudget + 1).toInt
     if (passes <= 1) verified(prefix, pairParts).orderBy("id_a", "id_b")
     else {
       val w = math.max(parts, pairParts / passes + 1)
-      val outs = (0 until passes).map { p =>
+      val perPassBytes = pairVol * 96L / passes
+      val outs = (0 until passes).flatMap { p =>
         val slice = prefix.filter(
           pmod(xxhash64(col("band"), col("bucket")), lit(passes.toLong))
             === lit(p.toLong))
-        val v = Checkpoints.cut(verified(slice, w))
-        // the finished pass's shuffle files are only deleted once the
-        // ContextCleaner sees its dependencies unreachable — without a
-        // driver GC here, pass p+1 races pass p's spill for the same
-        // disk budget (the Bench inter-query System.gc() precedent)
-        System.gc()
-        v
+        // live-disk guard: never plan a pass whose projected spill
+        // exceeds half of what is usable RIGHT NOW
+        val usable = pairSpillUsable(docs.sparkSession)
+        val sub =
+          if (usable <= 0) 1
+          else math.min(16L,
+            perPassBytes / math.max(usable / 2, 1L) + 1).toInt
+        (0 until sub).map { q =>
+          val ss =
+            if (sub <= 1) slice
+            else slice.filter(
+              pmod(xxhash64(col("band"), col("bucket"), lit(7919L)),
+                lit(sub.toLong)) === lit(q.toLong))
+          val v = Checkpoints.cut(verified(ss, math.max(parts, w / sub + 1)))
+          // the finished pass's shuffle files are only deleted once the
+          // ContextCleaner sees its dependencies unreachable — without a
+          // driver GC here, pass p+1 races pass p's spill for the same
+          // disk budget (the Bench inter-query System.gc() precedent)
+          System.gc()
+          v
+        }
       }
       outs.reduce(_.union(_)).distinct().orderBy("id_a", "id_b")
     }
@@ -610,6 +639,21 @@ object Dedup {
       val dir = spark.conf.get("spark.local.dir",
         System.getProperty("java.io.tmpdir", "/tmp")).split(",").head
       math.max(new java.io.File(dir).getUsableSpace / 3, 8L << 30)
+    }
+  }
+
+  /** Live usable bytes in the spill dir, re-probed per staged pass (the
+    * budget above is composition-time; the disk is shared with dumps and
+    * oracle spill, so it can shrink under a running plan).
+    * `spark.graft.pairSpillUsable`: `-1` disables the per-pass guard,
+    * `>0` overrides the probe (test hook), `0` (default) = live probe. */
+  private def pairSpillUsable(spark: SparkSession): Long = {
+    val conf = confLong(spark, "spark.graft.pairSpillUsable", "0")
+    if (conf != 0L) { if (conf < 0) -1L else conf }
+    else {
+      val dir = spark.conf.get("spark.local.dir",
+        System.getProperty("java.io.tmpdir", "/tmp")).split(",").head
+      new java.io.File(dir).getUsableSpace
     }
   }
 

@@ -94,8 +94,36 @@ class DedupSpec extends SparkSpec {
     val conf = spark.conf
     conf.set("spark.graft.pairSpillBudget", "-1") // unbounded: 1 pass
     val single = try run() finally conf.unset("spark.graft.pairSpillBudget")
-    conf.set("spark.graft.pairSpillBudget", "1") // 1 byte: capped 64 passes
-    val staged = try run() finally conf.unset("spark.graft.pairSpillBudget")
+    conf.set("spark.graft.pairSpillBudget", "1") // 1 byte: cap kicks in
+    conf.set("spark.graft.pairMaxPasses", "4")   // pinned for test speed
+    val staged = try run() finally {
+      conf.unset("spark.graft.pairSpillBudget")
+      conf.unset("spark.graft.pairMaxPasses")
+    }
+    assert(staged == single)
+    assert(single.nonEmpty)
+  }
+
+  test("jaccardPrefixPairs: live-disk sub-split (forced via the usable " +
+    "override) is row-identical — a pass that would out-spill the disk " +
+    "splits itself on a salted second hash, disjoint within the pass") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.jaccardPrefixPairs(dupped, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val conf = spark.conf
+    conf.set("spark.graft.pairSpillBudget", "-1")
+    val single = try run() finally conf.unset("spark.graft.pairSpillBudget")
+    conf.set("spark.graft.pairSpillBudget", "1")
+    conf.set("spark.graft.pairMaxPasses", "2")
+    conf.set("spark.graft.pairSpillUsable", "1") // 1 usable byte: sub=16
+    val staged = try run() finally {
+      conf.unset("spark.graft.pairSpillBudget")
+      conf.unset("spark.graft.pairMaxPasses")
+      conf.unset("spark.graft.pairSpillUsable")
+    }
     assert(staged == single)
     assert(single.nonEmpty)
   }

@@ -542,19 +542,52 @@ object Dedup {
     val lengthFilter = (a: Column, b: Column) =>
       least(a("nsh"), b("nsh")).cast("double") >=
         (a("nsh") + b("nsh")).cast("double") * lit(tf) - 1e-9
+    // The verify must attach BOTH shingle arrays to every surviving
+    // candidate. Shape matters enormously here: a sort-merge join carries
+    // the id_a-side ARRAY on every pair row through the id_b exchange, so
+    // its transient sort spill is (candidate pairs × array bytes) — the
+    // quadratic times ~450 B at sf10, which is what actually filled the
+    // disk on the saturated vocabulary (the 96 B/candidate projection
+    // below only ever covered the skinny dedup exchange). The signature
+    // table itself is LINEAR and small (count × (24 + 8·avg|sh|): ~500 MB
+    // for the 1M-doc dup'd sf10 corpus), so the Spark-first verify is two
+    // BroadcastHashJoins against it — the quadratic stream stays map-side
+    // after its dedup exchange and no shuffle ever carries an array.
+    // `spark.graft.verifyBroadcastBytes` (default 2 GiB; <=0 disables)
+    // gates the hint: beyond it (true corpus scale, where the signature
+    // table outgrows executor memory) the sort-merge shape below is kept —
+    // on a real cluster its spill is aggregate across executors, and the
+    // staged passes bound it per wave.
+    val sStats = s.agg(count(lit(1)),
+      coalesce(sum(size(col("sh"))), lit(0L))).head
+    val sBytes = sStats.getLong(0) * 24L + sStats.getLong(1) * 8L
+    val bcastLimit = confLong(docs.sparkSession,
+      "spark.graft.verifyBroadcastBytes", (2L << 30).toString)
+    val useBcast = bcastLimit > 0 && sBytes <= bcastLimit
     // pin the expansion stages (pair generation, exact-Jaccard verify):
     // their shuffle INPUTS are small, so AQE coalescing would serialize
     // the quadratic work — same pathology as Linkage.blockedFuzzyPairs
-    def verified(bkts: DataFrame, w: Int): DataFrame =
-      exactJaccardTail(
-        bucketPairs(bkts, col("did"), maxBucket,
-            pinnedParts = Some(w),
-            pairFilter = Some(lengthFilter))
-          .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"))
-          .repartition(w, col("id_a"))
-          .join(s.select(col("doc_id").as("id_a"), col("sh").as("_sha")), "id_a")
-          .join(s.select(col("doc_id").as("id_b"), col("sh").as("_shb")), "id_b"),
-        "id_a", "id_b", threshold)
+    def verified(bkts: DataFrame, w: Int): DataFrame = {
+      val pairs = bucketPairs(bkts, col("did"), maxBucket,
+          pinnedParts = Some(w),
+          pairFilter = Some(lengthFilter))
+        .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"))
+      val withSets =
+        if (useBcast)
+          pairs
+            .join(broadcast(s.select(col("doc_id").as("id_a"),
+              col("sh").as("_sha"))), "id_a")
+            .join(broadcast(s.select(col("doc_id").as("id_b"),
+              col("sh").as("_shb"))), "id_b")
+        else
+          pairs
+            .repartition(w, col("id_a"))
+            .join(s.select(col("doc_id").as("id_a"), col("sh").as("_sha")),
+              "id_a")
+            .join(s.select(col("doc_id").as("id_b"), col("sh").as("_shb")),
+              "id_b")
+      exactJaccardTail(withSets, "id_a", "id_b", threshold)
+    }
     // ---- disk-budget staging (r19: the first FULL sf10 pass found it) --
     // On the 31-token fixture at 1M docs the measured candidate volume is
     // ~12B pairs; the dedup exchange plus the two verify joins' transient

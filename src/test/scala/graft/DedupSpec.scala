@@ -104,6 +104,23 @@ class DedupSpec extends SparkSpec {
     assert(single.nonEmpty)
   }
 
+  test("jaccardPrefixPairs: the sort-merge verify fallback (broadcast " +
+    "disabled) is row-identical to the broadcast-verify default") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.jaccardPrefixPairs(dupped, col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val conf = spark.conf
+    val bcast = run() // default: signature table under 2 GiB → broadcast
+    conf.set("spark.graft.verifyBroadcastBytes", "0") // force sort-merge
+    val smj = try run()
+      finally conf.unset("spark.graft.verifyBroadcastBytes")
+    assert(smj == bcast)
+    assert(bcast.nonEmpty)
+  }
+
   test("jaccardPrefixPairs: live-disk sub-split (forced via the usable " +
     "override) is row-identical — a pass that would out-spill the disk " +
     "splits itself on a salted second hash, disjoint within the pass") {

@@ -20,9 +20,18 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // ABSOLUTE paths only: ExecutorRunner launches executors with
+    // cwd = SPARK_HOME/work/app-*/<n>, so a relative classes dir in the
+    // inherited classpath silently drops the graft classes there — every
+    // driver-serialized lambda then deserializes as a bare
+    // SerializedLambda and fails with ClassCastException on the executor
+    // (caught by this gate's first run, round 19)
     if (master.startsWith("local-cluster"))
       builder.config("spark.executor.extraClassPath",
-        System.getProperty("java.class.path"))
+        System.getProperty("java.class.path")
+          .split(java.io.File.pathSeparator)
+          .map(p => new java.io.File(p).getAbsolutePath)
+          .mkString(java.io.File.pathSeparator))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -193,8 +193,13 @@ class ScaleShapeSpec extends SparkSpec {
       // gram/window stages (92,518 records at sf0.01) moved into the
       // checkpoint's own query execution — end-to-end listener volume is
       // unchanged (122.2M at sf1.0, PROBE.md r15) and the post-cut plan
-      // carries pairs + verify + the tiny Σn² stats job
-      "jaccard_prefix_pairs" -> 27102L,
+      // carries pairs + verify + the tiny Σn² stats job.
+      // r19: 27102 → 26490 (−612): the verify is now two
+      // BroadcastHashJoins against the signature table, so the two
+      // verify-side exchanges (pair stream re-keyed by id_a, then the
+      // s-side shuffles) no longer move records — only the pair-dedup
+      // exchange, the prefix stages and the Σn² stats job remain
+      "jaccard_prefix_pairs" -> 26490L,
       "pq_ann_topk" -> 100L,
       "corpus_curation" -> 2152L,
       "doc_pagerank_seeded" -> 1000L,

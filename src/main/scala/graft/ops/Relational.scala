@@ -157,16 +157,28 @@ object Relational {
 
   /** Latest-snapshot compaction: the single newest row per key by
     * (version, tie-break) — the CDC/upsert-log → current-state operator
-    * every incrementally-updated training corpus needs. One shuffle on the
-    * key; `row_number` keeps exactly one row per key deterministically
-    * (max_by would too, but the window form also yields rank > 1 history
-    * if callers want it). */
+    * every incrementally-updated training corpus needs.
+    *
+    * Shape: `max_by(struct(all columns), struct(version, tie))` under a
+    * keyed aggregate — PARTIAL-AGGREGATABLE, so the map side compacts
+    * each task's rows to one per locally-seen key before the exchange
+    * and per-task memory is one aggregation map entry per key, spillable.
+    * The previous `row_number` window form OOM'd outright at the
+    * events100 tier (100M change rows → ~3M-row sorts × 32 concurrent
+    * tasks exhausted execution memory at the 8g default:
+    * UNABLE_TO_ACQUIRE_MEMORY), and the first fix attempt — an explicit
+    * volume-sized repartition before the window — cured the OOM but
+    * defeated Spark's map-side WindowGroupLimit pushdown and shuffled
+    * 325× more records (615k → 200M at the tier). The aggregate form is
+    * both: map-side-bounded memory AND map-side-compacted volume.
+    * Deterministic whenever (version, tie) is unique per key — the same
+    * contract the window form had. */
   def latestPerKey(df: DataFrame, key: Seq[Column],
                    version: Column, tieBreak: Column): DataFrame = {
-    val w = Window.partitionBy(key: _*).orderBy(version.desc, tieBreak.desc)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
+    df.groupBy(key: _*)
+      .agg(max_by(payload, struct(version, tieBreak)).as("_row"))
+      .select(col("_row.*"))
   }
 
   /** MERGE semantics: apply a CDC change batch to a base snapshot. The
@@ -176,8 +188,9 @@ object Relational {
     *
     * `base` and `changes` must share the (key, payload) columns;
     * `changes` additionally carries the delete flag and ordering
-    * columns, which do not survive into the output. Plan: one window
-    * shuffle to compact the batch (changes-sized, not base-sized), one
+    * columns, which do not survive into the output. Plan: one keyed
+    * aggregate to compact the batch (map-side combined — the exchange
+    * carries ~one row per locally-seen key, not the raw change log), one
     * left-anti join against the compacted keys, one union — base never
     * shuffles on anything but the join key, which at warehouse scale is
     * the bucketed layout's sort key (exchange-free). The operation is

@@ -1028,7 +1028,10 @@ object SparkEntry {
         .localCheckpoint()
       val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b"), col("id_a")))
-      Graph.pageRank(sym, col("src"), col("dst"), iterations = 5)
+      // pairs are distinct with id_a < id_b, so the reversal union is
+      // disjoint — the edge list is already a set (edgesDistinct)
+      Graph.pageRank(sym, col("src"), col("dst"), iterations = 5,
+          edgesDistinct = true)
         .select(col("node").as("doc_id"), col("r").as("rank_micro"))
         .orderBy("doc_id")
     }),
@@ -1043,9 +1046,10 @@ object SparkEntry {
         .localCheckpoint()
       val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b"), col("id_a")))
+      // same disjoint-reversal set argument as doc_pagerank
       Graph.personalizedPageRank(sym, col("src"), col("dst"),
           seeds = d.select(col("doc_id")).filter(col("doc_id") < 50),
-          seed = col("doc_id"), iterations = 5)
+          seed = col("doc_id"), iterations = 5, edgesDistinct = true)
         .select(col("node").as("doc_id"), col("r").as("rank_micro"))
         .orderBy("doc_id")
     }),

@@ -429,9 +429,16 @@ object Dedup {
     // to negligible 64-bit collisions): cheaper to minhash, cheaper to join,
     // cheaper to intersect at verify time than the raw strings.
     // widenKernelStage: the shingle+minhash kernel must not serialize on
-    // the file-split count (r15 verdict #1 — the doc_pagerank front end)
-    val base = widenKernelStage(df)
-      .select(id.as("doc_id"), shingleHashes64(text, n).as("sh"))
+    // the file-split count (r15 verdict #1 — the doc_pagerank front end).
+    // CHECKPOINTED (r19 opt): the signature table feeds THREE lineages —
+    // the banding stream and both verify sides — and uncut each re-ran the
+    // tokenize+shingle kernel, the operator's dominant per-byte cost, over
+    // the whole corpus (3 full kernel passes measured in the plan: 6
+    // parquet scans). One materialization pays a linear, small table
+    // (count × (24 + 8·avg|sh|), the same ~450 B/doc arithmetic as
+    // jaccardPrefixPairs') and every consumer reads it.
+    val base = Checkpoints.cut(widenKernelStage(df)
+      .select(id.as("doc_id"), shingleHashes64(text, n).as("sh")))
     // set size rides in the bucket id struct (doc_id first, so pair order
     // and distinct semantics are unchanged) and the exact length filter —
     // J ≥ t forces min(na,nb) ≥ t·(na+nb)/(1+t) — drops length-mismatched
@@ -448,18 +455,49 @@ object Dedup {
     // banded stream ≈ one row per (k/rowsPerBand ≈ 16) per doc — about one
     // row per ~75 input bytes; width floors at the session default and
     // grows with the corpus (same posture as the gram-stream operators)
-    exactJaccardTail(
-      bucketPairs(banded, col("did"), maxBucket,
-          pinnedParts = Some(partsHint.getOrElse(
-            explodedShuffleParts(df, bytesPerRow = 75L))),
-          pairFilter = Some(lengthFilter))
-        .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"))
-        .join(base.select(col("doc_id").as("id_a"), col("sh").as("_sha")),
-          "id_a")
-        .join(base.select(col("doc_id").as("id_b"), col("sh").as("_shb")),
-          "id_b"),
-      "id_a", "id_b", jaccardThreshold)
+    val pairs = bucketPairs(banded, col("did"), maxBucket,
+        pinnedParts = Some(partsHint.getOrElse(
+          explodedShuffleParts(df, bytesPerRow = 75L))),
+        pairFilter = Some(lengthFilter))
+      .select(col("id_a.doc_id").as("id_a"), col("id_b.doc_id").as("id_b"))
+    // Verify join shape (r19 opt, the jaccardPrefixPairs sf10 lesson): a
+    // sort-merge/shuffled verify carries the id_a-side shingle ARRAY on
+    // every candidate row through the id_b exchange — spill scales with
+    // candidates × array bytes. The signature table is linear and small,
+    // so broadcast it (gated by spark.graft.verifyBroadcastBytes, default
+    // 2 GiB; <=0 or oversized keeps the keyed-join shape, whose spill is
+    // aggregate across executors on a real cluster).
+    val withSets =
+      if (verifyBroadcastOk(base))
+        pairs
+          .join(broadcast(base.select(col("doc_id").as("id_a"),
+            col("sh").as("_sha"))), "id_a")
+          .join(broadcast(base.select(col("doc_id").as("id_b"),
+            col("sh").as("_shb"))), "id_b")
+      else
+        pairs
+          .join(base.select(col("doc_id").as("id_a"), col("sh").as("_sha")),
+            "id_a")
+          .join(base.select(col("doc_id").as("id_b"), col("sh").as("_shb")),
+            "id_b")
+    exactJaccardTail(withSets, "id_a", "id_b", jaccardThreshold)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Whether a (doc_id, sh) signature table fits the verify-broadcast
+    * budget (`spark.graft.verifyBroadcastBytes`, default 2 GiB; <=0
+    * disables). Size measured as count × 24 B + Σ|sh| × 8 B — one scalar
+    * aggregate over the (checkpointed) table, the same arithmetic the
+    * jaccard verify ships. */
+  private def verifyBroadcastOk(s: DataFrame): Boolean = {
+    val limit = confLong(s.sparkSession,
+      "spark.graft.verifyBroadcastBytes", (2L << 30).toString)
+    if (limit <= 0) false
+    else {
+      val r = s.agg(count(lit(1)),
+        coalesce(sum(size(col("sh"))), lit(0L))).head
+      r.getLong(0) * 24L + r.getLong(1) * 8L <= limit
+    }
   }
 
   /** EXACT all-pairs Jaccard self-join via prefix filtering (the
@@ -558,12 +596,7 @@ object Dedup {
     // table outgrows executor memory) the sort-merge shape below is kept —
     // on a real cluster its spill is aggregate across executors, and the
     // staged passes bound it per wave.
-    val sStats = s.agg(count(lit(1)),
-      coalesce(sum(size(col("sh"))), lit(0L))).head
-    val sBytes = sStats.getLong(0) * 24L + sStats.getLong(1) * 8L
-    val bcastLimit = confLong(docs.sparkSession,
-      "spark.graft.verifyBroadcastBytes", (2L << 30).toString)
-    val useBcast = bcastLimit > 0 && sBytes <= bcastLimit
+    val useBcast = verifyBroadcastOk(s)
     // pin the expansion stages (pair generation, exact-Jaccard verify):
     // their shuffle INPUTS are small, so AQE coalescing would serialize
     // the quadratic work — same pathology as Linkage.blockedFuzzyPairs
@@ -747,7 +780,9 @@ object Dedup {
     def side(df: DataFrame, s: Int) = widenKernelStage(df)
       .select(lit(s).as("side"), id.cast("long").as("doc_id"),
         shingleHashes64(text, n).as("sh"))
-    val base = side(existing, 0).union(side(incoming, 1))
+    // checkpointed for the same reason as minhashDupPairs: three consumers
+    // (banding + both verify sides), one kernel pass instead of three
+    val base = Checkpoints.cut(side(existing, 0).union(side(incoming, 1)))
     // side-first struct keeps the cross-side filter two field tests; nsh
     // rides last so the PPJoin length filter can drop length-mismatched
     // candidates before the pair-dedup exchange (exact, as in
@@ -762,7 +797,7 @@ object Dedup {
     val lengthFilter = (a: Column, b: Column) =>
       least(a("nsh"), b("nsh")).cast("double") >=
         (a("nsh") + b("nsh")).cast("double") * lit(tf) - 1e-9
-    bucketPairs(banded, col("sid"), maxBucket,
+    val pairs = bucketPairs(banded, col("sid"), maxBucket,
         pinnedParts = Some(
           explodedShuffleParts(existing, bytesPerRow = 75L)
             .max(explodedShuffleParts(incoming, bytesPerRow = 75L))),
@@ -770,14 +805,20 @@ object Dedup {
       .filter(col("id_a.side") === 0 && col("id_b.side") === 1)
       .select(col("id_a.doc_id").as("existing_id"),
         col("id_b.doc_id").as("incoming_id"))
-      .join(base.filter(col("side") === 0)
-        .select(col("doc_id").as("existing_id"), col("sh").as("_sha")),
-        "existing_id")
-      .join(base.filter(col("side") === 1)
-        .select(col("doc_id").as("incoming_id"), col("sh").as("_shb")),
-        "incoming_id")
-      .transform(exactJaccardTail(_, "existing_id", "incoming_id",
-        jaccardThreshold))
+    val exA = base.filter(col("side") === 0)
+      .select(col("doc_id").as("existing_id"), col("sh").as("_sha"))
+    val inB = base.filter(col("side") === 1)
+      .select(col("doc_id").as("incoming_id"), col("sh").as("_shb"))
+    // broadcast-gated verify — no shuffle may carry a shingle array
+    // (minhashDupPairs' sf10 rationale; same conf gate)
+    val withSets =
+      if (verifyBroadcastOk(base))
+        pairs.join(broadcast(exA), "existing_id")
+          .join(broadcast(inB), "incoming_id")
+      else
+        pairs.join(exA, "existing_id").join(inB, "incoming_id")
+    exactJaccardTail(withSets, "existing_id", "incoming_id",
+        jaccardThreshold)
       .orderBy("existing_id", "incoming_id")
   }
 

@@ -56,16 +56,22 @@ object Graph {
     // node's own label back in)
     val undirected = base
       .union(base.select(col("b").as("a"), col("a").as("b")))
-    val sym = undirected
-      .union(undirected.select(col("a"), col("a")))
-      .distinct()
-      .persist()
     // localCheckpoint (eager), NOT persist: each round's plan references the
     // previous round's labels, so an uncut lineage grows per round —
     // exponential plan size by round ~20. Checkpointing truncates the plan
     // to the materialized result, keeping every round's plan constant-size.
-    var labels = Checkpoints.cut(sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")))
+    var labels = Checkpoints.cut(undirected.select(col("a").as("id"))
+      .distinct().withColumn("comp", col("id")))
+    // ONE distinct (r19 opt): the old shape dedup'd the full 4|E|-row
+    // symmetrized+self-loop stream AND ran a second distinct for the label
+    // init — but the groupBy-min below is idempotent under duplicate
+    // edges, so sym needs no dedup of its own: self-loops come one-per-node
+    // from the already-distinct label table, and duplicate caller edges
+    // only add rows to the min aggregate (same labels, same convergence
+    // sums). Callers here feed ordered, distinct similarity pairs anyway.
+    val sym = undirected
+      .union(labels.select(col("id").as("a"), col("id").as("b")))
+      .persist()
     // labels only ever decrease, so an unchanged exact SUM of labels ⇔ no
     // label changed — one scalar aggregate per round instead of a compare
     // join (decimal: a long sum overflows at ~1e6 nodes with 1e15 ids)
@@ -259,14 +265,19 @@ object Graph {
     * An eager localCheckpoint every `checkpointInterval` rounds bounds
     * plan depth for long runs without paying one materialization job per
     * round. */
+  /** `edgesDistinct = true` — caller guarantees the edge list is already a
+    * set (e.g. ordered similarity pairs plus their disjoint reversals):
+    * skips the full-edge-list dedup shuffle. Semantics are unchanged only
+    * under that guarantee (PageRank is defined over the edge SET). */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               iterations: Int = 5, checkpointInterval: Int = 10): DataFrame = {
+               iterations: Int = 5, checkpointInterval: Int = 10,
+               edgesDistinct: Boolean = false): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(checkpointInterval > 0,
       s"checkpointInterval must be positive, got $checkpointInterval")
-    val e = edges
+    val e0 = edges
       .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .distinct().persist()
+    val e = (if (edgesDistinct) e0 else e0.distinct()).persist()
     // materialize BEFORE fan-out: aug references e several times (join
     // side, outdegree, node self-loops); without an eager fill those
     // sibling scans race the cold cache and each recompute e's upstream
@@ -290,10 +301,14 @@ object Graph {
       .repartition(col("src"))
       .persist()
     aug.count() // materialize once; every iteration re-reads it
-    // the initial checkpoint DOES pay: it cuts whatever expensive lineage
-    // produced the edge list (e.g. the minhash pipeline) out of every
-    // iteration's plan
-    var ranks = Checkpoints.cut(nodes.withColumn("r", lit(1000000L)))
+    // initial ranks from aug's OWN self-loop rows (r19 opt): the cached
+    // augmented table already carries one (node, node, null) row per node,
+    // so r₀ needs no second node-set distinct and no extra checkpoint job —
+    // its lineage is one filter over the materialized cache, and it arrives
+    // already hash-partitioned on the join key (the repartition above), so
+    // round 1's join is exchange-free on both sides like every later round
+    var ranks = aug.filter(col("d").isNull)
+      .select(col("src").as("node"), lit(1000000L).as("r"))
     for (i <- 1 to iterations) {
       ranks = aug.join(ranks, aug("src") === ranks("node"))
         .select(aug("dst").as("to"),
@@ -334,13 +349,14 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
                            seeds: DataFrame, seed: Column,
                            iterations: Int = 5,
-                           checkpointInterval: Int = 10): DataFrame = {
+                           checkpointInterval: Int = 10,
+                           edgesDistinct: Boolean = false): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     require(checkpointInterval > 0,
       s"checkpointInterval must be positive, got $checkpointInterval")
-    val e = edges
+    val e0 = edges
       .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .distinct().persist()
+    val e = (if (edgesDistinct) e0 else e0.distinct()).persist()
     e.count()
     val sd = seeds.select(seed.cast("long").as("node")).distinct()
     val nodes = e.select(col("src").as("node"))
@@ -358,8 +374,13 @@ object Graph {
       .repartition(col("src"))
       .persist()
     aug.count()
-    var ranks = Checkpoints.cut(flagged.select(col("node"),
-      (col("is_seed") * 1000000L).as("r")))
+    // initial ranks from aug's self-loop rows (see pageRank): the seed flag
+    // rides the cached `base` column, so r₀ = 1e6 exactly on seeds — no
+    // second node-set pass, no extra checkpoint job, co-partitioned with
+    // the round-1 join
+    var ranks = aug.filter(col("d").isNull)
+      .select(col("src").as("node"),
+        when(col("base") > 0, lit(1000000L)).otherwise(lit(0L)).as("r"))
     for (i <- 1 to iterations) {
       ranks = aug.join(ranks, aug("src") === ranks("node"))
         .select(aug("dst").as("to"),

@@ -281,6 +281,24 @@ object Dedup {
     } else df
   }
 
+  /** Checkpoint a shared-kernel frame ONLY when the source corpus is big
+    * enough that re-running the per-byte kernel once per consumer costs
+    * more than one materialization job. Below the threshold the lazy
+    * two-pass plan is kept byte-identical (same posture as
+    * widenKernelStage's 1 MiB floor): at bench scales a localCheckpoint
+    * job costs ~0.2-0.4 s, which is MORE than a second tokenize of a
+    * sub-MB corpus, while at 100 TB the duplicated kernel pass dominates
+    * by orders of magnitude. `spark.graft.sharedKernelCutBytes` (default
+    * 64 MiB) moves the boundary. */
+  private[graft] def cutSharedKernel(df: DataFrame,
+                                     src: DataFrame): DataFrame = {
+    val minBytes = confLong(df.sparkSession,
+      "spark.graft.sharedKernelCutBytes", (64L << 20).toString)
+    if (minBytes >= 0 && leafPlanBytes(src) >= BigInt(minBytes))
+      Checkpoints.cut(df)
+    else df
+  }
+
   private[graft] def explodedShuffleParts(src: DataFrame,
                                           bytesPerRow: Long = 6L): Int = {
     val spark = src.sparkSession

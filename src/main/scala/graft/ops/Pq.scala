@@ -59,11 +59,21 @@ object Pq {
     val cb0 = Codebooks(dims, m, k, shift, scale, IndexedSeq.empty)
     val q = quantized(df, id, vec, cb0).persist()
     q.count()
-    val centroids = (0 until m).map { s =>
-      Clustering.lloyd(
-        q.select(col("item_id"), subVec(col("q"), s, cb0.subDim).as("q")),
-        k, iters)
-    }
+    // the m subspace Lloyd loops are independent given the persisted
+    // quantized frame — run them as concurrent driver-submitted jobs
+    // (guide §2.6: later jobs back-fill executors freed by the current
+    // job's tail) instead of m sequential loops of tiny collects. Each
+    // loop's own iteration order (and so its centroids) is unchanged —
+    // results are bit-identical, only the wall overlaps.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val centroids = Await.result(
+      Future.sequence((0 until m).toIndexedSeq.map { s => Future {
+        Clustering.lloyd(
+          q.select(col("item_id"), subVec(col("q"), s, cb0.subDim).as("q")),
+          k, iters)
+      }}), Duration.Inf)
     q.unpersist(blocking = false)
     cb0.copy(centroids = centroids)
   }

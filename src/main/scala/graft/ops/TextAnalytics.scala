@@ -598,16 +598,25 @@ object TextAnalytics {
     // the tokenizer lowercases, so query terms must match that domain;
     // dedup so a repeated query term cannot double-count a score
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    val docs = df.select(id.as("doc_id"), tokensCol(text).as("_toks"))
-      .select(col("doc_id"), col("_toks"),
-        size(col("_toks")).cast("long").as("dl"))
-      .filter(col("dl") > 0)
+    // ONE tokenize pass at scale (r19 opt): the stats aggregate and the tf
+    // stream both need the tokenizer, and as separate lineages each re-ran
+    // it over the whole corpus. Project the tokens down to (dl, query-term
+    // hits) — a few bytes per doc — and share that slim frame; on a corpus
+    // past the cutSharedKernel threshold it is checkpointed so both
+    // consumers read one materialization (below it the lazy two-pass plan
+    // is cheaper than the extra job). The kernel is widened off the
+    // file-split count like every other scan-stage text kernel.
+    val docs = Dedup.cutSharedKernel(Dedup.widenKernelStage(df)
+      .select(id.as("doc_id"), tokensCol(text).as("_toks"))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("dl"),
+        filter(col("_toks"), t => t.isin(terms: _*)).as("_hits"))
+      .filter(col("dl") > 0), src = df)
     // N and total token count in ONE broadcast row; avgdl derived in a
     // fixed order (sumdl/N) so both engines divide the same integers
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
     val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), explode(col("_hits")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"),
         first(col("dl")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

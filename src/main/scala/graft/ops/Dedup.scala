@@ -1372,8 +1372,12 @@ object Dedup {
     // widenKernelStage: the tokenize + positional gram-hash build AND
     // the per-row keep/rebuild tail both run at file-split width
     // without it (r17 kernelwidth A/B — PROBE.md)
-    val base = widenKernelStage(docs).select(id.as("doc_id"),
-      coalesce(TextAnalytics.tokensCol(text), array()).as("_toks"))
+    // cutSharedKernel: the token frame feeds the gram pipeline AND the
+    // final rebuild join — past the size gate the tokenizer runs once,
+    // below it the lazy two-pass plan is kept (r19 opt)
+    val base = cutSharedKernel(widenKernelStage(docs)
+      .select(id.as("doc_id"),
+        coalesce(TextAnalytics.tokensCol(text), array()).as("_toks")), docs)
     val nt = size(col("_toks"))
     // grams travel as 64-bit hashes: the strings are built (and
     // discarded) inside the scan stage — the distinct/df-count/join

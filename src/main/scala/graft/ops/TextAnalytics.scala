@@ -558,12 +558,15 @@ object TextAnalytics {
     // widenKernelStage: the tokenize + gram explode + map-side partial
     // aggregate all run inside the scan stage — file-split-capped
     // without the widening (kernelwidth A/B r17, PROBE.md)
-    val occ = Dedup.widenKernelStage(df)
+    // cutSharedKernel: `occ` feeds both the gram-df aggregate and the
+    // per-doc join below — past the size gate the tokenize+explode+
+    // partial-agg pipeline runs once instead of twice (r19 opt)
+    val occ = Dedup.cutSharedKernel(Dedup.widenKernelStage(df)
       .select(id.as("doc_id"), tokensCol(text).as("_toks"))
       .filter(size(col("_toks")) > 0)
       .select(col("doc_id"),
         explode(ngramsWithDups(col("_toks"), n)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt")), src = df)
     val gramDocs = occ.groupBy("g").agg(count(lit(1)).as("n_docs"))
     occ.join(gramDocs, "g")
       .groupBy("doc_id")
@@ -677,9 +680,12 @@ object TextAnalytics {
     // twin (r17 A/B)
     val docs = Dedup.widenKernelStage(df)
       .select(id.as("doc_id"), text.as("text"))
-    val docTok = docs
+    // cutSharedKernel: docTok feeds the corpus-frequency aggregate AND the
+    // per-doc scoring join — one tokenize+explode+partial-agg pass past
+    // the size gate (r19 opt)
+    val docTok = Dedup.cutSharedKernel(docs
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("m"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("m")), src = df)
     val freq = docTok.groupBy("token").agg(sum(col("m")).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
     val scored = freq.join(broadcast(total))
@@ -721,7 +727,12 @@ object TextAnalytics {
       explode(zip_with(
         slice(col("t"), lit(1), len), slice(col("t"), lit(2), len),
         (a, b) => concat_ws(" ", a, b))).as("bg"))
-    val docBg = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
+    // cutSharedKernel: docBg feeds the bigram-count aggregate AND the
+    // per-doc scoring join — one tokenize+bigram-build pass past the size
+    // gate (r19 opt; the vocabulary count keeps its own pass — unigram
+    // vocabulary is not derivable from the bigram multiset)
+    val docBg = Dedup.cutSharedKernel(
+      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("m")), src = df)
     val c12 = docBg.groupBy("bg").agg(sum(col("m")).as("c12"))
     val c1 = c12.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("c12")).as("c1"))

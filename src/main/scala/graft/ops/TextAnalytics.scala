@@ -379,15 +379,30 @@ object TextAnalytics {
         size(col("toks")).cast("long").as("n_tokens"),
         (size(filter(col("toks"), t => t.isin(Stopwords.map(lit): _*)))
           .cast("double") / greatest(size(col("toks")), lit(1))).as("stop_ratio"))
-    val top = base
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max(col("cnt")).as("max_cnt"))
-    // LEFT join: a zero-token document has no (doc, token) rows — it must
-    // surface with keep=false, not silently vanish from the verdict table
-    base.join(top, Seq("doc_id"), "left")
+    // max token multiplicity PER ROW (r19 opt, guide §2.4 "remove shuffles
+    // outright"): the old shape exploded the token stream through two
+    // groupBy exchanges and joined the per-doc max back — a corpus-sized
+    // token shuffle to compute a value that is a pure function of the row.
+    // array_sort + run-length fold gives the same max_cnt (ties/values
+    // exact-integer, engine-independent) in one narrow codegen map: the
+    // whole verdict table now computes with ZERO shuffles at any corpus
+    // size. Per-row cost is O(n log n) on the token count — bounded by the
+    // same doc-length bounds the filter itself enforces.
+    val maxCnt = aggregate(
+      array_sort(col("toks")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc("prev"), acc("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    base
       .select(col("doc_id"), col("n_tokens"),
-        (coalesce(col("max_cnt"), lit(0L)).cast("double")
+        // coalesce replicates the old left-join semantics for NULL token
+        // arrays (no (doc, token) rows → max_cnt 0, frac 0.0)
+        (coalesce(maxCnt, lit(0L)).cast("double")
           / greatest(col("n_tokens"), lit(1L))).as("top_token_frac"),
         col("stop_ratio"))
       .withColumn("keep",
@@ -423,9 +438,12 @@ object TextAnalytics {
     // widenKernelStage: tokenize + explode + (doc, term) partial agg run
     // in the scan stage (r17 A/B); nDocs keeps the unwidened scan — a
     // bare count never pays an exchange
-    val pairs = Dedup.widenKernelStage(df)
+    // cutSharedKernel: `pairs` feeds the document-frequency aggregate AND
+    // the scoring join — one tokenize+explode+partial-agg pass past the
+    // size gate (r19 opt)
+    val pairs = Dedup.cutSharedKernel(Dedup.widenKernelStage(df)
       .select(id.as("doc_id"), explode(tokensCol(text)).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")), src = df)
     val docFreq = pairs
       .groupBy("term").agg(count(lit(1)).as("df"))
     // docFreq is vocabulary-sized — unbounded at corpus scale (Heaps' law),

@@ -1024,7 +1024,8 @@ object SparkEntry {
       // checkpoint before symmetrizing: the pair list feeds BOTH union
       // branches, and an uncut lineage would run the whole minhash
       // pipeline twice inside one job
-      val pairs = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
+      val pairs = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"),
+          ordered = false) // edge list — pair order is irrelevant
         .localCheckpoint()
       val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b"), col("id_a")))
@@ -1042,7 +1043,8 @@ object SparkEntry {
     "doc_pagerank_seeded" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
-      val pairs = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"))
+      val pairs = Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"),
+          ordered = false) // edge list — pair order is irrelevant
         .localCheckpoint()
       val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b"), col("id_a")))
@@ -1061,7 +1063,8 @@ object SparkEntry {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Graph.triangleCounts(
-        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
+        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"),
+          ordered = false), // intermediate — order irrelevant downstream
         col("id_a"), col("id_b"))
     }),
 
@@ -1292,7 +1295,8 @@ object SparkEntry {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Graph.connectedComponents(
-        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
+        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"),
+          ordered = false), // intermediate — order irrelevant downstream
         col("id_a"), col("id_b"))
         .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
         .orderBy("id")
@@ -1306,7 +1310,8 @@ object SparkEntry {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Graph.connectedComponentsStar(
-        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
+        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"),
+          ordered = false), // intermediate — order irrelevant downstream
         col("id_a"), col("id_b"))
         .select(col("id"), col("comp"), (col("id") === col("comp")).as("keep"))
         .orderBy("id")
@@ -1381,7 +1386,8 @@ object SparkEntry {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val dupped = d.union(d.select(col("doc_id") + 100000000L, col("text")))
       Sampling.clusterSafeSplits(dupped, col("doc_id"),
-        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text")),
+        Dedup.minhashDupPairs(dupped, col("doc_id"), col("text"),
+          ordered = false), // intermediate — order irrelevant downstream
         col("id_a"), col("id_b"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("doc_id")

@@ -438,11 +438,18 @@ object Dedup {
     * would pin tiny stages to the 32768-task cap (the measured capstone
     * pathology, PROBE.md round 13). Pipelines know their corpus size from
     * the source scan — pass that estimate through. */
+  /** `ordered = false` — skip the final deterministic orderBy: for callers
+    * that consume the pairs as an order-irrelevant INTERMEDIATE (connected
+    * components, pagerank edge lists, triangle counting, split assignment)
+    * the sort is a pure range-exchange tax that gets materialized into
+    * their own lineage cut. The pair SET is identical either way; terminal
+    * (oracle-faced) callers keep the default. */
   def minhashDupPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
                       jaccardThreshold: Double = 0.7,
                       maxBucket: Int = 1000,
-                      partsHint: Option[Int] = None): DataFrame = {
+                      partsHint: Option[Int] = None,
+                      ordered: Boolean = true): DataFrame = {
     // Shingle sets are carried as 8-byte hashes (set semantics preserved up
     // to negligible 64-bit collisions): cheaper to minhash, cheaper to join,
     // cheaper to intersect at verify time than the raw strings.
@@ -498,8 +505,9 @@ object Dedup {
             "id_a")
           .join(base.select(col("doc_id").as("id_b"), col("sh").as("_shb")),
             "id_b")
-    exactJaccardTail(withSets, "id_a", "id_b", jaccardThreshold)
-      .orderBy("id_a", "id_b")
+    val verified = exactJaccardTail(withSets, "id_a", "id_b",
+      jaccardThreshold)
+    if (ordered) verified.orderBy("id_a", "id_b") else verified
   }
 
   /** Whether a (doc_id, sh) signature table fits the verify-broadcast

@@ -74,7 +74,7 @@ object CorpusCuration {
     // stats are the honest volume signal.
     val mparts = Dedup.explodedShuffleParts(base, bytesPerRow = 75L)
     val pairs = Dedup.minhashDupPairs(s2, col("doc_id"), col("text"),
-      partsHint = Some(mparts))
+      partsHint = Some(mparts), ordered = false) // feeds components only
     val nearDropped = Graph.dedupClusters(pairs, col("id_a"), col("id_b"))
       .filter(!col("keep"))
       .select(col("id").as("doc_id"), lit("near_dup").as("status"),

@@ -3,11 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan auditor: prints `explain("formatted")` for each query (or the
   * names given as args) so pushdown / broadcast / codegen spans can be
-  * inspected. `sbt "runMain graft.Explain [sfDir] [name...]"`. */
+  * inspected. `sbt "runMain graft.Explain [sfDir] [conf:k=v...] [name...]"`
+  * — `conf:` args set session confs (e.g.
+  * `conf:spark.graft.sharedKernelCutBytes=0` dumps the forced-gate arm). */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val (confArgs, nameArgs) = args.drop(1).toSeq.partition(_.startsWith("conf:"))
+    val names = if (nameArgs.nonEmpty) nameArgs
                 else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -15,6 +18,10 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    confArgs.map(_.stripPrefix("conf:").split("=", 2)).foreach {
+      case Array(k, v) => spark.conf.set(k, v)
+      case other => sys.error(s"bad conf arg: ${other.mkString("=")}")
+    }
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n===================== $name =====================")

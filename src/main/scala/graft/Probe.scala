@@ -712,7 +712,7 @@ object Probe {
           fields += s""""cs_hint_parts":$hint"""
           cutPairs = Checkpoints.cut(
             Dedup.minhashDupPairs(s2, col("doc_id"), col("text"),
-              partsHint = Some(hint)))
+              partsHint = Some(hint), gateSrc = Some(base)))
           cutPairs.count()
         }
         run("curationstages", "cs_cc_s", "cs_cc_rows") {

@@ -291,12 +291,19 @@ object Dedup {
     * by orders of magnitude. `spark.graft.sharedKernelCutBytes` (default
     * 64 MiB) moves the boundary. */
   private[graft] def cutSharedKernel(df: DataFrame,
-                                     src: DataFrame): DataFrame = {
-    val minBytes = confLong(df.sparkSession,
+                                     src: DataFrame): DataFrame =
+    if (sharedKernelCutOk(src)) Checkpoints.cut(df) else df
+
+  /** Whether the shared-kernel gate is open for `src` — exposed separately
+    * so operators can hang ALL of their eager machinery (materialization
+    * jobs, driver-side scalar probes, broadcast-size measurements) off one
+    * condition instead of paying any driver-blocking job on a sub-gate
+    * corpus (r19 verdict #1: the ungated minhash signature cut plus its
+    * per-call verify aggregate regressed the whole family in-suite). */
+  private[graft] def sharedKernelCutOk(src: DataFrame): Boolean = {
+    val minBytes = confLong(src.sparkSession,
       "spark.graft.sharedKernelCutBytes", (64L << 20).toString)
-    if (minBytes >= 0 && leafPlanBytes(src) >= BigInt(minBytes))
-      Checkpoints.cut(df)
-    else df
+    minBytes >= 0 && leafPlanBytes(src) >= BigInt(minBytes)
   }
 
   private[graft] def explodedShuffleParts(src: DataFrame,
@@ -444,26 +451,39 @@ object Dedup {
     * the sort is a pure range-exchange tax that gets materialized into
     * their own lineage cut. The pair SET is identical either way; terminal
     * (oracle-faced) callers keep the default. */
+  /** `gateSrc` — the frame whose leaf bytes decide the shared-kernel gate
+    * and the verify-broadcast estimate, when `df` itself sits behind
+    * lineage cuts whose carried stats are join-inflated (the same
+    * pathology `partsHint` exists for): pipelines pass their source scan. */
   def minhashDupPairs(df: DataFrame, id: Column, text: Column,
                       n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
                       jaccardThreshold: Double = 0.7,
                       maxBucket: Int = 1000,
                       partsHint: Option[Int] = None,
-                      ordered: Boolean = true): DataFrame = {
+                      ordered: Boolean = true,
+                      gateSrc: Option[DataFrame] = None): DataFrame = {
     // Shingle sets are carried as 8-byte hashes (set semantics preserved up
     // to negligible 64-bit collisions): cheaper to minhash, cheaper to join,
     // cheaper to intersect at verify time than the raw strings.
     // widenKernelStage: the shingle+minhash kernel must not serialize on
     // the file-split count (r15 verdict #1 — the doc_pagerank front end).
-    // CHECKPOINTED (r19 opt): the signature table feeds THREE lineages —
-    // the banding stream and both verify sides — and uncut each re-ran the
-    // tokenize+shingle kernel, the operator's dominant per-byte cost, over
-    // the whole corpus (3 full kernel passes measured in the plan: 6
-    // parquet scans). One materialization pays a linear, small table
-    // (count × (24 + 8·avg|sh|), the same ~450 B/doc arithmetic as
-    // jaccardPrefixPairs') and every consumer reads it.
-    val base = Checkpoints.cut(widenKernelStage(df)
-      .select(id.as("doc_id"), shingleHashes64(text, n).as("sh")))
+    // CHECKPOINTED PAST THE SHARED-KERNEL GATE (r19 opt, r20 gating): the
+    // signature table feeds THREE lineages — the banding stream and both
+    // verify sides — and uncut each re-ran the tokenize+shingle kernel,
+    // the operator's dominant per-byte cost, over the whole corpus (3 full
+    // kernel passes measured in the plan: 6 parquet scans). One
+    // materialization pays a linear, small table (count × (24 + 8·avg|sh|),
+    // the same ~450 B/doc arithmetic as jaccardPrefixPairs') and every
+    // consumer reads it. Below the gate the lazy three-pass plan wins: the
+    // r19 UNGATED cut fired on sub-MB corpora — an eager 32-task job plus
+    // block registrations per call, 3 reps × 9 family queries — and was
+    // the measured cause of the family's in-suite walls running 2-4× their
+    // isolated medians at local[32] (r19 verdict #1).
+    val gateDf = gateSrc.getOrElse(df)
+    val doCut = sharedKernelCutOk(gateDf)
+    val sig = widenKernelStage(df)
+      .select(id.as("doc_id"), shingleHashes64(text, n).as("sh"))
+    val base = if (doCut) Checkpoints.cut(sig) else sig
     // set size rides in the bucket id struct (doc_id first, so pair order
     // and distinct semantics are unchanged) and the exact length filter —
     // J ≥ t forces min(na,nb) ≥ t·(na+nb)/(1+t) — drops length-mismatched
@@ -493,7 +513,8 @@ object Dedup {
     // 2 GiB; <=0 or oversized keeps the keyed-join shape, whose spill is
     // aggregate across executors on a real cluster).
     val withSets =
-      if (verifyBroadcastOk(base))
+      if (verifyBroadcastOk(base, exact = doCut,
+          srcBytes = leafPlanBytes(gateDf)))
         pairs
           .join(broadcast(base.select(col("doc_id").as("id_a"),
             col("sh").as("_sha"))), "id_a")
@@ -512,17 +533,35 @@ object Dedup {
 
   /** Whether a (doc_id, sh) signature table fits the verify-broadcast
     * budget (`spark.graft.verifyBroadcastBytes`, default 2 GiB; <=0
-    * disables). Size measured as count × 24 B + Σ|sh| × 8 B — one scalar
-    * aggregate over the (checkpointed) table, the same arithmetic the
-    * jaccard verify ships. */
-  private def verifyBroadcastOk(s: DataFrame): Boolean = {
+    * disables).
+    *
+    * `exact = true` (the table is already materialized behind a lineage
+    * cut): size measured as count × 24 B + Σ|sh| × 8 B — one scalar
+    * aggregate over the checkpointed blocks, the same arithmetic the
+    * jaccard verify ships.
+    *
+    * `exact = false` (sub-gate corpus, nothing materialized): NO driver
+    * job — the r19 per-call `.head` aggregate here re-ran the shingle
+    * kernel eagerly on every family call and was half of verdict #1's
+    * in-suite regression. Bound the table from the source leaf bytes
+    * instead: ≤1 shingle hash (8 B) per ~2 raw text bytes plus the 24 B
+    * row struct, and parquet leaf stats under-report raw text by the
+    * compression ratio (≤4× on these corpora), so 8 × leaf bytes is a
+    * safe ceiling — a gate-closed (<64 MiB) corpus bounds at 512 MiB,
+    * always inside the 2 GiB default budget. Unknown stats (0) refuse the
+    * broadcast: the keyed-join shape is correct at any scale. */
+  private def verifyBroadcastOk(s: DataFrame, exact: Boolean,
+                                srcBytes: => BigInt): Boolean = {
     val limit = confLong(s.sparkSession,
       "spark.graft.verifyBroadcastBytes", (2L << 30).toString)
     if (limit <= 0) false
-    else {
+    else if (exact) {
       val r = s.agg(count(lit(1)),
         coalesce(sum(size(col("sh"))), lit(0L))).head
       r.getLong(0) * 24L + r.getLong(1) * 8L <= limit
+    } else {
+      val b = srcBytes
+      b > 0 && b * 8 <= BigInt(limit)
     }
   }
 
@@ -560,11 +599,31 @@ object Dedup {
     // scales, grows with the corpus so the gram-stream shuffles below
     // never sort-spill through a core-count-sized width (PROBE.md r8)
     val parts = explodedShuffleParts(docs)
+    // MEASURED MODE (r20): the staging machinery below — two lineage
+    // cuts, the pairVol scalar job, the exact verify-broadcast aggregate —
+    // sizes/bounds the QUADRATIC candidate stages, whose volume leaf
+    // bytes cannot predict (sf3: 1.13B candidates from 34 MB of parquet).
+    // `spark.graft.pairVolMinBytes` gates it on the corpus leaf size
+    // (default 0 = always measured: unlike the minhash family's linear
+    // verify machinery, the cuts here REUSE the df-rank window across the
+    // pairVol job and the pair plan, and an A/B at sf0.1 read the
+    // cut-free arm ~1 s SLOWER in-suite — 4.23 vs 3.08 — so the r18/r19
+    // measured shape stays the default at every scale; -1 disables
+    // measuring). An explicitly pinned positive spill budget forces
+    // measured mode regardless, so staging stays testable on tiny
+    // fixtures.
+    val srcBytes = leafPlanBytes(docs)
+    val volGate = confLong(docs.sparkSession,
+      "spark.graft.pairVolMinBytes", "0")
+    val budgetConf = confLong(docs.sparkSession,
+      "spark.graft.pairSpillBudget", "0")
+    val measured =
+      (volGate >= 0 && srcBytes >= BigInt(volGate)) || budgetConf > 0
     // widenKernelStage: the cut below MATERIALIZES the shingle stream —
     // without widening, that job's parallelism is the file-split count
-    val s = widenKernelStage(docs)
+    val s0 = widenKernelStage(docs)
       .select(id.cast("long").as("doc_id"), shingleHashes64(text, n).as("sh"))
-      .transform(Checkpoints.cut)
+    val s = if (measured) Checkpoints.cut(s0) else s0
     // set size rides INSIDE the bucket id struct so the PPJoin length
     // filter — J ≥ t forces min(na,nb) ≥ t·(na+nb)/(1+t), exact, 1e-9
     // slack only ever keeps candidates — runs between pair generation and
@@ -578,10 +637,10 @@ object Dedup {
     // materialization. The stored stream is ~30% of the gram volume
     // (linear in corpus) — the price of sizing the quadratic stages
     // from MEASURED volume instead of a leaf-bytes guess.
-    val prefix = jaccardPrefixBuckets(s, threshold, partsOverride = Some(parts))
+    val prefix0 = jaccardPrefixBuckets(s, threshold, partsOverride = Some(parts))
       .select(col("band"), col("bucket"),
         struct(col("doc_id"), col("nsh")).as("did"))
-      .transform(Checkpoints.cut)
+    val prefix = if (measured) Checkpoints.cut(prefix0) else prefix0
     // Pair-stage width from the MEASURED candidate volume, not leaf
     // bytes (r14 verdict #3, sf3 width audit): the pinned stages below
     // carry Σ_buckets n(n−1)/2 candidate rows — the sum-df² quadratic,
@@ -594,7 +653,10 @@ object Dedup {
     // ONE scalar.
     val target = confLong(docs.sparkSession,
       "spark.graft.shuffle.rowsPerPartition", "1000000").max(1L)
-    val pairVol = prefix
+    // unmeasured (sub-gate) corpora keep the leaf-based width: their
+    // candidate volume is bounded by (gate bytes)² worth of buckets and
+    // the session default width holds it comfortably
+    val pairVol = if (!measured) 0L else prefix
       .groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
       .filter(col("_n").between(2, maxBucket))
       .agg(coalesce(sum(col("_n") * (col("_n") - 1) / 2), lit(0L))
@@ -622,7 +684,8 @@ object Dedup {
     // table outgrows executor memory) the sort-merge shape below is kept —
     // on a real cluster its spill is aggregate across executors, and the
     // staged passes bound it per wave.
-    val useBcast = verifyBroadcastOk(s)
+    val useBcast = verifyBroadcastOk(s, exact = measured,
+      srcBytes = srcBytes)
     // pin the expansion stages (pair generation, exact-Jaccard verify):
     // their shuffle INPUTS are small, so AQE coalescing would serialize
     // the quadratic work — same pathology as Linkage.blockedFuzzyPairs
@@ -683,7 +746,7 @@ object Dedup {
     val maxPasses = confLong(docs.sparkSession,
       "spark.graft.pairMaxPasses", "256").max(1L)
     val passes =
-      if (spillBudget <= 0) 1
+      if (!measured || spillBudget <= 0) 1
       else math.min(maxPasses, pairVol * 96L / spillBudget + 1).toInt
     if (passes <= 1) verified(prefix, pairParts).orderBy("id_a", "id_b")
     else {
@@ -807,8 +870,12 @@ object Dedup {
       .select(lit(s).as("side"), id.cast("long").as("doc_id"),
         shingleHashes64(text, n).as("sh"))
     // checkpointed for the same reason as minhashDupPairs: three consumers
-    // (banding + both verify sides), one kernel pass instead of three
-    val base = Checkpoints.cut(side(existing, 0).union(side(incoming, 1)))
+    // (banding + both verify sides), one kernel pass instead of three —
+    // and gated for the same reason (r20): below the shared-kernel gate
+    // the eager cut job costs more than re-running the kernel
+    val doCut = sharedKernelCutOk(existing) || sharedKernelCutOk(incoming)
+    val sides = side(existing, 0).union(side(incoming, 1))
+    val base = if (doCut) Checkpoints.cut(sides) else sides
     // side-first struct keeps the cross-side filter two field tests; nsh
     // rides last so the PPJoin length filter can drop length-mismatched
     // candidates before the pair-dedup exchange (exact, as in
@@ -838,7 +905,8 @@ object Dedup {
     // broadcast-gated verify — no shuffle may carry a shingle array
     // (minhashDupPairs' sf10 rationale; same conf gate)
     val withSets =
-      if (verifyBroadcastOk(base))
+      if (verifyBroadcastOk(base, exact = doCut,
+          srcBytes = leafPlanBytes(existing) + leafPlanBytes(incoming)))
         pairs.join(broadcast(exA), "existing_id")
           .join(broadcast(inB), "incoming_id")
       else

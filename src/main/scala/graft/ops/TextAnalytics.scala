@@ -619,25 +619,44 @@ object TextAnalytics {
     // the tokenizer lowercases, so query terms must match that domain;
     // dedup so a repeated query term cannot double-count a score
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    // ONE tokenize pass at scale (r19 opt): the stats aggregate and the tf
-    // stream both need the tokenizer, and as separate lineages each re-ran
-    // it over the whole corpus. Project the tokens down to (dl, query-term
-    // hits) — a few bytes per doc — and share that slim frame; on a corpus
-    // past the cutSharedKernel threshold it is checkpointed so both
-    // consumers read one materialization (below it the lazy two-pass plan
-    // is cheaper than the extra job). The kernel is widened off the
-    // file-split count like every other scan-stage text kernel.
-    val docs = Dedup.cutSharedKernel(Dedup.widenKernelStage(df)
+    // ONE tokenize pass at scale (r19 opt, r20 gate-conditional SHAPE):
+    // the stats aggregate and the tf stream both need the tokenizer, and
+    // as separate lineages each re-ran it over the whole corpus. Past the
+    // shared-kernel gate, project the tokens down to (dl, query-term
+    // hits) — a few bytes per doc — checkpoint that slim frame, and both
+    // consumers read one materialization. BELOW the gate nothing is
+    // materialized, so the slim projection bought nothing (both lineages
+    // re-tokenized anyway) while its higher-order `filter(_toks, isin)`
+    // lambda — interpreted per token, no whole-stage codegen — ran in
+    // BOTH of them: the measured r19 retrieval_eval regression (2.39 →
+    // 2.77 s isolated, verdict #4). Sub-gate keeps the r18 shape: carry
+    // `_toks`, explode, then a codegen'd `isin` filter on the exploded
+    // stream — row-identical, since explode(filter(xs,p)) ≡
+    // explode(xs).filter(p) and `dl`/stats never depended on the hits.
+    // The kernel is widened off the file-split count either way.
+    val doCut = Dedup.sharedKernelCutOk(df)
+    val tokked = Dedup.widenKernelStage(df)
       .select(id.as("doc_id"), tokensCol(text).as("_toks"))
-      .select(col("doc_id"),
-        size(col("_toks")).cast("long").as("dl"),
-        filter(col("_toks"), t => t.isin(terms: _*)).as("_hits"))
-      .filter(col("dl") > 0), src = df)
+    val docs =
+      if (doCut) Checkpoints.cut(tokked
+        .select(col("doc_id"),
+          size(col("_toks")).cast("long").as("dl"),
+          filter(col("_toks"), t => t.isin(terms: _*)).as("_hits"))
+        .filter(col("dl") > 0))
+      else tokked
+        .select(col("doc_id"), col("_toks"),
+          size(col("_toks")).cast("long").as("dl"))
+        .filter(col("dl") > 0)
     // N and total token count in ONE broadcast row; avgdl derived in a
     // fixed order (sumdl/N) so both engines divide the same integers
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"), explode(col("_hits")).as("term"))
+    val hits =
+      if (doCut) docs
+        .select(col("doc_id"), col("dl"), explode(col("_hits")).as("term"))
+      else docs
+        .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+        .filter(col("term").isin(terms: _*))
+    val tf = hits
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"),
         first(col("dl")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

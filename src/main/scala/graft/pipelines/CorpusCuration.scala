@@ -73,8 +73,13 @@ object CorpusCuration {
     // (165 s on 100k rows, PROBE.md round 13); the corpus scan's own
     // stats are the honest volume signal.
     val mparts = Dedup.explodedShuffleParts(base, bytesPerRow = 75L)
+    // gateSrc for the same reason as partsHint: s2's carried join-estimate
+    // stats must not decide the shared-kernel gate either (r20 — the
+    // inflated estimate opened it on a sub-MB corpus, re-adding the eager
+    // cut + verify jobs verdict r19 #1 charged)
     val pairs = Dedup.minhashDupPairs(s2, col("doc_id"), col("text"),
-      partsHint = Some(mparts), ordered = false) // feeds components only
+      partsHint = Some(mparts), ordered = false, // feeds components only
+      gateSrc = Some(base))
     val nearDropped = Graph.dedupClusters(pairs, col("id_a"), col("id_b"))
       .filter(!col("keep"))
       .select(col("id").as("doc_id"), lit("near_dup").as("status"),

@@ -198,7 +198,11 @@ class ScaleShapeSpec extends SparkSpec {
       // BroadcastHashJoins against the signature table, so the two
       // verify-side exchanges (pair stream re-keyed by id_a, then the
       // s-side shuffles) no longer move records — only the pair-dedup
-      // exchange, the prefix stages and the Σn² stats job remain
+      // exchange, the prefix stages and the Σn² stats job remain.
+      // r20: unchanged — measured mode (cuts + Σn² width job) stays the
+      // DEFAULT for this operator (pairVolMinBytes 0): an sf0.1 A/B read
+      // the cut-free arm ~1 s slower in-suite, so only the minhash
+      // family's eager machinery was gated, not this one.
       "jaccard_prefix_pairs" -> 26490L,
       "pq_ann_topk" -> 100L,
       "corpus_curation" -> 2152L,

@@ -12,7 +12,7 @@ object Explain {
     val (confArgs, nameArgs) = args.drop(1).toSeq.partition(_.startsWith("conf:"))
     val names = if (nameArgs.nonEmpty) nameArgs
                 else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
+    val spark = LocalDirs.configure(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

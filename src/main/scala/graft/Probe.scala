@@ -49,7 +49,7 @@ object Probe {
     // partitions bound per-sort memory).
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val spark = LocalDirs.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")

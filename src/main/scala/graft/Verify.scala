@@ -15,7 +15,7 @@ object Verify {
     // ride along on the executor classpath (this JVM's own classpath
     // already contains exactly the classes dir + the Spark jars).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
+    val builder = LocalDirs.configure(SparkSession.builder())
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

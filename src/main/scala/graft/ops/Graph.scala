@@ -277,7 +277,17 @@ object Graph {
       s"checkpointInterval must be positive, got $checkpointInterval")
     val e0 = edges
       .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-    val e = (if (edgesDistinct) e0 else e0.distinct()).persist()
+    // re-key on src BEFORE caching (r20): the incoming edge list inherits
+    // its producer's width (e.g. a pair generator's pinned expansion
+    // stages — 64 partitions of ~200 rows each at bench scale), and every
+    // aug-build stage below re-reads the cache at that width; measured at
+    // local[32], three 64-128-task cache/broadcast-build stages over a
+    // 12k-row edge list were ~¾ of doc_pagerank's wall. One hash exchange
+    // keyed the way every consumer wants it (outdeg groupBy, aug join)
+    // lets AQE size the cached width from bytes, not the producer's task
+    // count — scale-adaptive in both directions.
+    val e = (if (edgesDistinct) e0 else e0.distinct())
+      .repartition(col("src")).persist()
     // materialize BEFORE fan-out: aug references e several times (join
     // side, outdegree, node self-loops); without an eager fill those
     // sibling scans race the cold cache and each recompute e's upstream
@@ -356,7 +366,9 @@ object Graph {
       s"checkpointInterval must be positive, got $checkpointInterval")
     val e0 = edges
       .select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-    val e = (if (edgesDistinct) e0 else e0.distinct()).persist()
+    // re-key on src before caching — same rationale as pageRank (r20)
+    val e = (if (edgesDistinct) e0 else e0.distinct())
+      .repartition(col("src")).persist()
     e.count()
     val sd = seeds.select(seed.cast("long").as("node")).distinct()
     val nodes = e.select(col("src").as("node"))

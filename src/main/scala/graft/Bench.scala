@@ -88,6 +88,14 @@ object Bench {
       if (b > peakB) peakB = b
       if (r > peakR) peakR = r
       rep += 1
+      // Inter-REP hygiene (r20), same mechanism and rationale as the
+      // inter-QUERY System.gc() below (r15 verdict #1): a rep's lineage
+      // cuts leave dead localCheckpoint/shuffle blocks that only the
+      // ContextCleaner frees after a driver GC, so later reps of the SAME
+      // query time their predecessor's garbage (measured: doc_pagerank
+      // rep walls growing 6.7 → 22.9 s across 7 reps at local[32]).
+      // Outside the timed window, so no rep's own wall is affected.
+      if (rep < reps) System.gc()
     }
     Timing(name, times.toVector, status, peakB, peakR, tainted)
   }
